@@ -101,10 +101,18 @@ def simulate_reads(ref: str, depth: int, read_len: int = 100,
         r2_pos = fb + _ref_advance(cig_events, r2_off)
         isize = fe - fb
         qv = chr(base_qual + 33) * read_len
-        out.append((qname, FPAIRED | FPROPER_PAIR | FMREVERSE | FREAD1,
-                    r1_pos, r1_cig, r1_seq, qv, r2_pos, isize))
-        out.append((qname, FPAIRED | FPROPER_PAIR | FREVERSE | FREAD2,
-                    r2_pos, r2_cig, r2_seq, qv, r1_pos, -isize))
+        if i % 2 == 0:
+            # F1R2 template (strand 0): R1 is the left forward read
+            out.append((qname, FPAIRED | FPROPER_PAIR | FMREVERSE | FREAD1,
+                        r1_pos, r1_cig, r1_seq, qv, r2_pos, isize))
+            out.append((qname, FPAIRED | FPROPER_PAIR | FREVERSE | FREAD2,
+                        r2_pos, r2_cig, r2_seq, qv, r1_pos, -isize))
+        else:
+            # F2R1 template (strand 1): R1 is the right reverse read
+            out.append((qname, FPAIRED | FPROPER_PAIR | FREVERSE | FREAD1,
+                        r2_pos, r2_cig, r2_seq, qv, r1_pos, -isize))
+            out.append((qname, FPAIRED | FPROPER_PAIR | FMREVERSE | FREAD2,
+                        r1_pos, r1_cig, r1_seq, qv, r2_pos, isize))
     return out
 
 
