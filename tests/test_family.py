@@ -1,0 +1,118 @@
+"""Family (FQ) engine and dedup tests."""
+
+import numpy as np
+import pytest
+
+from uvc_tpu.config import UVCConfig
+from uvc_tpu.constants import CHAR_TO_SYMBOL, Symbol
+from uvc_tpu.io import bam, simulate
+from uvc_tpu.family import dedup
+from uvc_tpu.model import sscs
+from uvc_tpu.pileup import region, events
+
+
+def _sym(s):
+    return CHAR_TO_SYMBOL[np.frombuffer(s.encode(), np.uint8)]
+
+
+@pytest.fixture(scope="module")
+def result(tmp_path_factory):
+    d = tmp_path_factory.mktemp("fq")
+    fa, bam_path, ref, variants, n = simulate.build_test_dataset(str(d), seed=5)
+    hdr, batch = bam.read_bam(bam_path)
+    cfg = UVCConfig()
+    cfg.central_readlen = 100
+    res = region.call_region(batch, _sym(ref), 0, cfg)
+    return ref, variants, batch, res
+
+
+def test_dedup_merges_duplicates(result):
+    ref, variants, batch, res = result
+    # simulated start positions collide at depth 120 over 3000bp
+    assert res.famgrp.n_fams < res.famgrp.n_frags
+    assert res.famgrp.n_frags == batch.n // 2  # paired reads
+
+
+def test_umi_parsing():
+    umis, dupx = dedup.parse_umis([b"r1#ACGTAA", b"r2", b"r3#AGTA+TGGT"])
+    assert umis == [b"ACGTAA", b"", b"AGTA+TGGT"]
+    assert dupx == [False, False, True]
+    canon_a, f_a = dedup.normalize_duplex_umi(b"AGTA+TGGT")
+    canon_b, f_b = dedup.normalize_duplex_umi(b"TGGT+AGTA")
+    assert canon_a == canon_b  # both strands of one molecule share a key
+
+
+def test_fq_tiers_at_planted_variants(result):
+    ref, variants, batch, res = result
+    cdp1 = res.fq.cdp1.sum(axis=2)
+    snv = variants[0]
+    alt = "ACGT".index(snv.spec.split(">")[1])
+    tot = cdp1[snv.pos, :6].sum()
+    assert tot > 50
+    assert 0.1 < cdp1[snv.pos, alt] / tot < 0.55
+    # dedup tier <= fragment tier
+    bdp = res.bq.bdp.sum(axis=2)
+    assert cdp1[snv.pos, alt] <= bdp[snv.pos, alt]
+    # cDP12 defined and bounded by family count
+    assert res.fq.cdp12.sum() > 0
+    assert res.fq.cdp1.sum(axis=(0, 2)).max() <= res.famgrp.n_fams * 3000
+
+
+def test_fq_exact_indels(result):
+    ref, variants, batch, res = result
+    ins = variants[1]
+    key_ins = res.fq.fam_indel.get((ins.pos + 1, int(Symbol.LINK_I2)), {})
+    assert b"TT" in key_ins and key_ins[b"TT"] > 5
+    dele = variants[2]
+    key_del = res.fq.fam_indel.get((dele.pos + 1, int(Symbol.LINK_D2)), {})
+    assert key_del.get(2, 0) > 5
+
+
+def test_no_umi_means_no_cdp2(result):
+    ref, variants, batch, res = result
+    # without UMIs, is_fam_good is always false -> cDP2 and c2 counters empty
+    assert res.fq.cdp2.sum() == 0
+    assert res.fq.c2info["c2BQ2"].sum() == 0
+
+
+def test_umi_families_enable_cdp2(tmp_path):
+    ref = simulate.random_ref(1500, 7)
+    p = str(tmp_path / "umi.bam")
+    variants = [simulate.Variant(700, f"{ref[700]}>" + ("A" if ref[700] != "A" else "G"), 0.4)]
+    simulate.build_bam(p, ref, depth=200, variants=variants, seed=8,
+                       umi=True, n_umi_families=60)
+    hdr, batch = bam.read_bam(p)
+    cfg = UVCConfig()
+    cfg.central_readlen = 100
+    res = region.call_region(batch, _sym(ref), 0, cfg)
+    # UMI grouping produces families with multiple fragments
+    assert res.famgrp.n_fams < res.famgrp.n_frags
+    assert res.fq.cdp2.sum() > 0          # tier-2 SSCS families exist
+    assert res.fq.c2info["c2BQ2"].sum() > 0
+
+
+def test_duplex_agreement(tmp_path):
+    ref = simulate.random_ref(1200, 9)
+    p = str(tmp_path / "dx.bam")
+    simulate.build_bam(p, ref, depth=150, variants=[], seed=10,
+                       umi=True, duplex=True, n_umi_families=30)
+    hdr, batch = bam.read_bam(p)
+    cfg = UVCConfig()
+    cfg.central_readlen = 100
+    res = region.call_region(batch, _sym(ref), 0, cfg)
+    assert res.fq.ddp1.sum() > 0
+    # both strands of a duplex agree on ref bases -> dDP2 present
+    assert res.fq.ddp2.sum() > 0
+
+
+def test_sscs_table_values():
+    cfg = UVCConfig()
+    t = sscs.table_from_cfg(cfg)
+    # quirk: default vcf_tumor_fname="." means +3 everywhere
+    A, C, G, T = 0, 1, 2, 3
+    assert t[C, T] == 40 + 3
+    assert t[A, G] == 44 + 3
+    assert t[C, A] == 48 + 3
+    assert t[A, T] == 48 + 3
+    assert t[int(Symbol.LINK_M), int(Symbol.LINK_D1)] == 58 + 3
+    assert t[int(Symbol.LINK_I2), 0] == 58 + 3

@@ -1,0 +1,188 @@
+"""UMI dedup and family grouping.
+
+Behavioral reference: grouping.cpp:608-997 (two-pass family builder),
+MolecularID.hpp:20-68 (dedup key), SURVEY.md §A.2 (dedup_idflag decision
+table).
+
+Key bits: 0x1 fragment-begin, 0x2 fragment-end, 0x4 QNAME, 0x8 UMI.
+Families group fragments by the masked key per template strand
+(strand = isrc ^ isr2). The UMI is the QNAME suffix after '#'
+('#ACGT' single-strand, '#AGTA+TGGT' duplex; duplex UMIs are
+orientation-normalized so both strands of one molecule share a family
+pair).
+
+This vectorized implementation covers the core decision table; the
+reference's centroid attraction of fragment endpoints (±3bp PCR-stutter
+absorption, grouping.cpp:422-442) is implemented as a histogram-peak
+snap. Amplicon detection from border/insert coverage is in `infer_assay`.
+"""
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..constants import MoleculeTag, AssayType, SequencingPlatform
+
+
+@dataclass
+class FamilyGrouping:
+    frag_of_read: np.ndarray   # int64 [n_reads] fragment (template) id
+    fam_of_frag: np.ndarray    # int64 [n_frags] family id
+    frag_strand: np.ndarray    # int64 [n_frags] template strand 0/1
+    fam_strand: np.ndarray     # int64 [n_fams]
+    fam_dflag: np.ndarray      # int64 [n_fams] duplex/umi/amplicon flags
+    frag_dflag: np.ndarray     # int64 [n_frags]
+    n_frags: int
+    n_fams: int
+    umi_of_fam: list           # umi string per family ("" if none)
+    duplex_pair: np.ndarray    # int64 [n_fams] molecule id shared across strands
+
+
+def parse_umis(qnames):
+    """Extract UMI strings (after '#') and duplex flags from QNAMEs."""
+    umis = []
+    is_duplex = []
+    for q in qnames:
+        i = q.rfind(b"#")
+        if i < 0:
+            umis.append(b"")
+            is_duplex.append(False)
+        else:
+            u = q[i + 1:]
+            umis.append(u)
+            is_duplex.append(b"+" in u)
+    return umis, is_duplex
+
+
+def normalize_duplex_umi(umi: bytes):
+    """alpha+beta ordered canonically; returns (canonical, flipped)."""
+    a, _, b = umi.partition(b"+")
+    if a <= b:
+        return a + b"+" + b, False
+    return b + b"+" + a, True
+
+
+def snap_positions(pos: np.ndarray, counts_window: int = 3,
+                   center_mult: float = 5.0) -> np.ndarray:
+    """Centroid attraction (grouping.cpp:422-442): snap each endpoint to a
+    nearby higher-count position within +-window if its count times
+    center_mult^distance is exceeded by the neighbor's count."""
+    if len(pos) == 0:
+        return pos
+    lo = pos.min()
+    hist = np.bincount(pos - lo)
+    snapped = pos.copy()
+    cnt = hist[pos - lo]
+    best_cnt = cnt.astype(np.float64)
+    for d in range(1, counts_window + 1):
+        for sgn in (-1, 1):
+            q = pos + sgn * d
+            ok = (q >= lo) & (q < lo + len(hist))
+            qc = np.where(ok, hist[np.clip(q - lo, 0, len(hist) - 1)], 0)
+            better = qc > best_cnt * (center_mult ** d)
+            snapped = np.where(better, q, snapped)
+            best_cnt = np.where(better, qc / (center_mult ** d), best_cnt)
+    return snapped
+
+
+def group_families(batch, table, cfg,
+                   assay_type=AssayType.CAPTURE,
+                   platform=SequencingPlatform.ILLUMINA) -> FamilyGrouping:
+    """Build fragments (by QNAME) and families (by dedup key)."""
+    n = batch.n
+    qn = batch.qnames()
+    # fragments: group reads by QNAME
+    uniq = {}
+    frag_of_read = np.empty(n, dtype=np.int64)
+    frag_reads = []
+    for i, q in enumerate(qn):
+        j = uniq.setdefault(q, len(uniq))
+        frag_of_read[i] = j
+        if j == len(frag_reads):
+            frag_reads.append([i])
+        else:
+            frag_reads[j].append(i)
+    n_frags = len(frag_reads)
+
+    r = table.reads
+    frag_strand = np.zeros(n_frags, dtype=np.int64)
+    frag_beg = np.full(n_frags, np.iinfo(np.int64).max, dtype=np.int64)
+    frag_end = np.zeros(n_frags, dtype=np.int64)
+    np.minimum.at(frag_beg, frag_of_read, np.minimum(r.pos, np.minimum(
+        batch.mpos.astype(np.int64), r.frag_pos_L)))
+    np.maximum.at(frag_end, frag_of_read,
+                  np.where(r.isize != 0, r.frag_pos_R, r.rend))
+    frag_strand[frag_of_read] = r.strand.astype(np.int64)
+
+    # UMI per fragment (from the first read's qname)
+    first_read = np.zeros(n_frags, dtype=np.int64)
+    for j, rids in enumerate(frag_reads):
+        first_read[j] = rids[0]
+    umis, is_dupx = parse_umis([qn[int(i)] for i in first_read])
+
+    has_umi = any(len(u) > 0 for u in umis)
+    molecule_tag = cfg.molecule_tag
+    if molecule_tag == MoleculeTag.AUTO:
+        molecule_tag = (MoleculeTag.DUPLEX if any(is_dupx)
+                        else (MoleculeTag.BARCODING if has_umi
+                              else MoleculeTag.NONE))
+
+    # dedup key selection (grouping.cpp:854-895, SURVEY.md A.2)
+    if cfg.dedup_flag != 0:
+        idflag = cfg.dedup_flag
+    elif platform == SequencingPlatform.IONTORRENT:
+        idflag = 0x9 if has_umi else (0x7 if assay_type == AssayType.AMPLICON else 0x3)
+    else:
+        if has_umi:
+            idflag = 0xB
+        elif assay_type == AssayType.AMPLICON:
+            idflag = 0x7
+        else:
+            idflag = 0x3
+
+    beg_s = snap_positions(frag_beg, center_mult=cfg.dedup_center_mult)
+    end_s = snap_positions(frag_end, center_mult=cfg.dedup_center_mult)
+
+    fam_keys = {}
+    fam_of_frag = np.empty(n_frags, dtype=np.int64)
+    fam_strand_l = []
+    fam_dflag_l = []
+    fam_umi_l = []
+    duplex_mol = {}
+    duplex_pair_l = []
+    frag_dflag = np.zeros(n_frags, dtype=np.int64)
+    for j in range(n_frags):
+        umi = umis[j]
+        dflag = 0
+        umi_norm = umi
+        if is_dupx[j]:
+            umi_norm, _ = normalize_duplex_umi(umi)
+            dflag |= 0x2 | 0x1
+        elif len(umi):
+            dflag |= 0x1
+        frag_dflag[j] = dflag
+        key = (int(frag_strand[j]),
+               int(beg_s[j]) if idflag & 0x1 else -1,
+               int(end_s[j]) if idflag & 0x2 else -1,
+               qn[int(first_read[j])] if idflag & 0x4 else b"",
+               umi_norm if idflag & 0x8 else b"")
+        f = fam_keys.setdefault(key, len(fam_keys))
+        fam_of_frag[j] = f
+        if f == len(fam_strand_l):
+            fam_strand_l.append(int(frag_strand[j]))
+            fam_dflag_l.append(dflag)
+            fam_umi_l.append(umi_norm.decode() if umi_norm else "")
+            if dflag & 0x2:
+                mkey = (int(beg_s[j]) if idflag & 0x1 else -1,
+                        int(end_s[j]) if idflag & 0x2 else -1, umi_norm)
+                duplex_pair_l.append(duplex_mol.setdefault(mkey, len(duplex_mol)))
+            else:
+                duplex_pair_l.append(-1)
+
+    return FamilyGrouping(
+        frag_of_read=frag_of_read, fam_of_frag=fam_of_frag,
+        frag_strand=frag_strand, fam_strand=np.asarray(fam_strand_l, np.int64),
+        fam_dflag=np.asarray(fam_dflag_l, np.int64), frag_dflag=frag_dflag,
+        n_frags=n_frags, n_fams=len(fam_strand_l),
+        umi_of_fam=fam_umi_l,
+        duplex_pair=np.asarray(duplex_pair_l, np.int64))

@@ -1,0 +1,409 @@
+"""Family-tier (FQ) consensus engine: dedup families -> cDP1/cDP12/cDP2/
+cDP3/cDP21/cDPM/cDPm depth tiers, SSCS bias counters, duplex agreement, and
+family-level IID binomial qualities.
+
+Behavioral reference: updateByAlns3UsingFQ (main.hpp:2832-3594):
+  stage 1  per fragment: MAX coverage -> updateByFiltering into the family
+           fragment-count coverage (thres [fam_thres_highBQ_snv, 0]) and
+           updateByMajorMinusMinor into the BQ-weighted family coverage
+  sweep 1  family fragment-count consensus -> cDP12/cDP21/cDP2(+c2 bias)/
+           cDP3/cDPM/cDPm + family exact indels
+  sweep 2  family BQ-weighted consensus    -> cDP1, empirical-error confam
+           quality -> per-strand bucket histograms, phase signatures
+  duplex   strand-paired families -> dDP1/dDP2
+  final    infer_max_qual(dec=4) over buckets -> cIAQf/r, cIADf/r, cIDQf/r
+
+Consensus rule notes: stage 1 uses the LINK_M-overridden rule
+(updateByFiltering<true>); sweeps 1-2 use the plain rule
+(fillConsensusCounts default template args at main.hpp:2983,3006,3452).
+"""
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..constants import Symbol, NUM_SYMBOLS
+from ..pileup import consensus as cns
+from ..ops.math import NUM_BUCKETS
+
+NS = NUM_SYMBOLS
+INV_LOG10 = 10.0 / np.log(10.0)
+
+
+@dataclass
+class FQResult:
+    cdp1: np.ndarray    # [P,14,2] FAM_cDP1 per strand
+    cdp12: np.ndarray
+    cdp2: np.ndarray
+    cdp3: np.ndarray
+    cdp21: np.ndarray
+    cdpM: np.ndarray
+    cdpm: np.ndarray
+    cdpD: np.ndarray
+    ddp1: np.ndarray    # [P,14] duplex raw
+    ddp2: np.ndarray    # [P,14] duplex agreement
+    c2info: dict        # name -> [P,14] SSCS bias counters (c2LP1..c2BQ2)
+    vq_cIAQ: np.ndarray  # [P,14,2]
+    vq_cIAD: np.ndarray
+    vq_cIDQ: np.ndarray
+    fam_indel: dict     # (pos, sym) -> {key: cDP1-level count}
+    mutforms_fq: dict
+    mutforms_f2q: dict
+
+
+C2_NAMES = ("c2LP1 c2LP2 c2LPL c2RP1 c2RP2 c2RPL c2LP0 c2RP0 "
+            "c2LB1 c2LB2 c2LBL c2RB1 c2RB2 c2RBL c2BQ2").split()
+
+
+def run_fq(frag_cons, frag_gap_info, famgrp, ref_syms, sscs_table, thres,
+           baq, baq2, table, batch, P, cfg, is_normal=False) -> FQResult:
+    """frag_cons: GroupConsensus per (fragment, pos, symboltype) from the
+    shared fragment MAX-merge; frag_gap_info: exact-indel info per kept gap
+    event (read, pos, sym, len, is_del, qpos, val)."""
+    fam_of_frag = famgrp.fam_of_frag
+    fam_strand = famgrp.fam_strand
+    fam_dflag = famgrp.fam_dflag
+    n_fams = famgrp.n_fams
+    fc = frag_cons
+
+    # ---- stage 1: fragment -> family coverages
+    adj = np.maximum(2 * fc.con_cnt, fc.tot) - fc.tot
+    pass_filt = (adj > 0) & ((fc.st == 1) | (adj >= cfg.fam_thres_highBQ_snv))
+    fam_of_row = fam_of_frag[fc.group]
+    # family fragment-count coverage (famcov)
+    fg, fp, fs, fcnt = cns.segment_reduce_sum(
+        fam_of_row[pass_filt], fc.pos[pass_filt], fc.con_sym[pass_filt],
+        np.ones(int(pass_filt.sum()), dtype=np.int64), P)
+    # family BQ-weighted coverage (fammmm)
+    mm = adj > 0
+    mg, mp, ms, msum = cns.segment_reduce_sum(
+        fam_of_row[mm], fc.pos[mm], fc.con_sym[mm], adj[mm], P)
+
+    # ---- sweep 1: famcov consensus
+    s1 = cns.consensus_by_group(fg, fp, fs, fcnt, P, link_m_overridden=False)
+    strand1 = fam_strand[s1.group]
+    z3 = lambda: np.zeros((P, NS, 2), dtype=np.int64)  # noqa: E731
+    cdp1, cdp12, cdp2, cdp3, cdp21 = z3(), z3(), z3(), z3(), z3()
+    cdpM, cdpm, cdpD = z3(), z3(), z3()
+    np.add.at(cdp12, (s1.pos, s1.con_sym, strand1), 1)
+    m1 = s1.tot == 1
+    np.add.at(cdp21, (s1.pos[m1], s1.con_sym[m1], strand1[m1]), 1)
+
+    has_umi = (fam_dflag[s1.group] & 0x1) != 0
+    fam_good = ((s1.tot >= cfg.fam_thres_dup1add)
+                & (s1.con_cnt * 100 >= s1.tot * cfg.fam_thres_dup1perc)
+                & (has_umi | ((cfg.fam_flag & 0x2) != 0)))
+    np.add.at(cdp2, (s1.pos[fam_good], s1.con_sym[fam_good],
+                     strand1[fam_good]), 1)
+    t3 = ((s1.tot >= cfg.fam_thres_dup2add)
+          & (s1.con_cnt * 100 >= s1.tot * cfg.fam_thres_dup2perc))
+    np.add.at(cdp3, (s1.pos[t3], s1.con_sym[t3], strand1[t3]), 1)
+
+    # cDPM/cDPm (main.hpp:3340-3352): per non-consensus symbol of the type,
+    # cDPm += that symbol's count, cDPM += tot (so tot x 5 or x 7)
+    emperr = np.where(s1.con_sym < 6, cfg.fam_thres_emperr_all_flat_snv,
+                      cfg.fam_thres_emperr_all_flat_indel)
+    emperc = np.where(s1.con_sym < 6, cfg.fam_thres_emperr_con_perc_snv,
+                      cfg.fam_thres_emperr_con_perc_indel)
+    em = (s1.tot >= emperr) & (s1.con_cnt * 100 >= s1.tot * emperc)
+    n_others = np.where(s1.st == 0, 5, 7)
+    np.add.at(cdpm, (s1.pos[em], s1.con_sym[em], strand1[em]),
+              (s1.tot - s1.con_cnt)[em])
+    np.add.at(cdpM, (s1.pos[em], s1.con_sym[em], strand1[em]),
+              (s1.tot * n_others)[em])
+
+    # SSCS bias counters for good families (c2*, main.hpp:3208-3319)
+    c2info = {nm: np.zeros((P, NS), dtype=np.int64) for nm in C2_NAMES}
+    if fam_good.any():
+        _c2_bias(c2info, s1, fam_good, famgrp, fc, thres, baq, baq2, P, cfg)
+
+    # family exact indels at cDP1 level (majority fragment key per family)
+    fam_indel = _family_indels(frag_gap_info, fc, fam_of_frag, P,
+                               famgrp.frag_of_read, batch)
+
+    # ---- sweep 2: fammmm consensus -> cDP1 + confam quality buckets
+    s2 = cns.consensus_by_group(mg, mp, ms, msum, P, link_m_overridden=False)
+    strand2 = fam_strand[s2.group]
+    np.add.at(cdp1, (s2.pos, s2.con_sym, strand2), 1)
+
+    # gather famcov counts at the sweep-2 winners
+    famcov_lookup = {}
+    for i in range(len(fg)):
+        famcov_lookup[(int(fg[i]), int(fp[i]), int(fs[i]))] = int(fcnt[i])
+    # vectorized: rebuild via dense hash is heavy; use sorted merge instead
+    con_nfrags = _gather_triplet(fg, fp, fs, fcnt, s2.group, s2.pos,
+                                 s2.con_sym, P)
+    tot_nfrags = _gather_type_sum(fg, fp, fs, fcnt, s2.group, s2.pos,
+                                  s2.st, P)
+
+    avgBQ = np.where(tot_nfrags == 0, 1, s2.con_cnt // np.maximum(tot_nfrags, 1))
+    major = cdpM[s2.pos, s2.con_sym, strand2]
+    minor = cdpm[s2.pos, s2.con_sym, strand2]
+    w = 1.0 / (minor + 1.0)
+    realphred = -INV_LOG10 * np.log(
+        (minor + w) / (major + minor + w / np.power(10.0, -avgBQ / 10.0)))
+    indep = np.round((2 * con_nfrags - tot_nfrags) * realphred).astype(np.int64)
+    confam = np.where(
+        s2.st == 1,
+        np.maximum(1, np.minimum(indep, cfg.fam_phred_indel_inc_before_barcode_labeling
+                                 + np.round(realphred).astype(np.int64))),
+        np.maximum(1, np.minimum(indep, 2 * s2.con_cnt - s2.tot)))
+
+    rescue_add = 0 if cfg.vcf_tumor_fname in (".", "") else 4
+    refsym2 = ref_syms[s2.pos]
+    max_qual = sscs_table[refsym2, s2.con_sym] + rescue_add
+    confam2 = np.minimum(confam, max_qual)
+    hist = np.zeros((2, P, NS, NUM_BUCKETS), dtype=np.int64)
+    hb = tot_nfrags >= cfg.fam_thres_dup1add
+    pb = np.clip((max_qual - confam2 + 2) // 4, 0, NUM_BUCKETS - 1)
+    np.add.at(hist, (strand2[hb], s2.pos[hb], s2.con_sym[hb], pb[hb]), 1)
+
+    # phase signatures (fq tier)
+    mutforms_fq, mutforms_f2q = _phase_signatures(
+        s2, refsym2, confam, famgrp, con_nfrags, tot_nfrags, cfg)
+
+    # ---- duplex (strand-paired families with duplexflag 0x2)
+    ddp1 = np.zeros((P, NS), dtype=np.int64)
+    ddp2 = np.zeros((P, NS), dtype=np.int64)
+    if np.any((fam_dflag & 0x2) != 0):
+        _duplex(ddp1, ddp2, cdpD, s1, famgrp, P, cfg)
+
+    # ---- final: per-strand IID qualities from the family buckets
+    vq_cIAQ = np.zeros((P, NS, 2), dtype=np.int64)
+    vq_cIAD = np.zeros((P, NS, 2), dtype=np.int64)
+    vq_cIDQ = np.zeros((P, NS, 2), dtype=np.int64)
+    refmat = np.broadcast_to(ref_syms[:, None], (P, NS))
+    symmat = np.broadcast_to(np.arange(NS)[None, :], (P, NS))
+    mq_all = sscs_table[refmat, symmat] + rescue_add
+    for strand in (0, 1):
+        tot_type = cns.sum_by_symboltype(cdp1[:, :, strand])
+        q, ad, bq = _iid_scan(mq_all, 4, hist[strand], tot_type)
+        vq_cIAQ[:, :, strand] = q
+        vq_cIAD[:, :, strand] = ad
+        vq_cIDQ[:, :, strand] = bq
+
+    return FQResult(cdp1=cdp1, cdp12=cdp12, cdp2=cdp2, cdp3=cdp3,
+                    cdp21=cdp21, cdpM=cdpM, cdpm=cdpm, cdpD=cdpD,
+                    ddp1=ddp1, ddp2=ddp2, c2info=c2info,
+                    vq_cIAQ=vq_cIAQ, vq_cIAD=vq_cIAD, vq_cIDQ=vq_cIDQ,
+                    fam_indel=fam_indel, mutforms_fq=mutforms_fq,
+                    mutforms_f2q=mutforms_f2q)
+
+
+def _gather_triplet(kg, kp, ks, kv, qg, qp, qs, P):
+    """value at (qg,qp,qs) in the unique table (kg,kp,ks)->kv, 0 if absent."""
+    key_t = (kg * P + kp) * NS + ks
+    key_q = (qg * P + qp) * NS + qs
+    idx = np.searchsorted(key_t, key_q)
+    idx_c = np.clip(idx, 0, max(len(key_t) - 1, 0))
+    if len(key_t) == 0:
+        return np.zeros(len(key_q), dtype=np.int64)
+    hit = key_t[idx_c] == key_q
+    return np.where(hit, kv[idx_c], 0)
+
+
+def _gather_type_sum(kg, kp, ks, kv, qg, qp, qst, P):
+    """sum of kv over symbols of the query symboltype at (qg,qp)."""
+    kst = (ks >= 6).astype(np.int64)
+    gk = (kg * P + kp) * 2 + kst
+    order = np.argsort(gk, kind="stable")
+    gs = gk[order]
+    vs = kv[order]
+    if len(gs) == 0:
+        return np.zeros(len(qg), dtype=np.int64)
+    seg = np.concatenate([[True], gs[1:] != gs[:-1]])
+    sid = np.cumsum(seg) - 1
+    sums = np.zeros(int(sid[-1]) + 1, dtype=np.int64)
+    np.add.at(sums, sid, vs)
+    ukeys = gs[seg]
+    qk = (qg * P + qp) * 2 + qst
+    idx = np.searchsorted(ukeys, qk)
+    idx_c = np.clip(idx, 0, len(ukeys) - 1)
+    hit = ukeys[idx_c] == qk
+    return np.where(hit, sums[idx_c], 0)
+
+
+def _c2_bias(c2info, s1, fam_good, famgrp, fc, thres, baq, baq2, P, cfg):
+    """SSCS positional/BAQ bias counters (main.hpp:3208-3319), computed per
+    good family at its consensus positions.
+
+    The family span bounds (no_strict_bias_pos_min/max and the R1R2
+    non-overlap middle) are approximated by the family's covered-position
+    extent from the fragment consensus rows."""
+    # family extent from fragment rows
+    fam_of_row = famgrp.fam_of_frag[fc.group]
+    n_fams = famgrp.n_fams
+    fbeg = np.full(n_fams, np.iinfo(np.int64).max, dtype=np.int64)
+    fend = np.full(n_fams, -1, dtype=np.int64)
+    np.minimum.at(fbeg, fam_of_row, fc.pos)
+    np.maximum.at(fend, fam_of_row, fc.pos)
+
+    g = s1.group[fam_good]
+    pos = s1.pos[fam_good]
+    sym = s1.con_sym[fam_good]
+    st = s1.st[fam_good]
+    is_gap = st == 1
+    l_nb = np.maximum(pos + 1 - fbeg[g], 0)
+    r_nb = np.maximum(fend[g] + 1 - pos, 0)
+
+    const_LPxT = np.where(is_gap, thres.aLPxT[pos],
+                          np.minimum(thres.aLPxT[pos], thres.aRPxT[pos]))
+    is_far = (l_nb >= const_LPxT) & (r_nb >= thres.aRPxT[pos])
+    tier2 = np.ones(len(pos), dtype=bool)
+
+    def bidir(prefix, nl, nr, L1, L2, R1, R2, mask):
+        l1 = mask & (nl >= L1)
+        l2 = mask & (nl >= L2)
+        r1 = mask & (nr >= R1)
+        r2 = mask & (nr >= R2)
+        np.add.at(c2info[prefix[0] + "1"], (pos[l1], sym[l1]), 1)
+        np.add.at(c2info[prefix[0] + "2"], (pos[l2], sym[l2]), 1)
+        np.add.at(c2info[prefix[1] + "1"], (pos[r1], sym[r1]), 1)
+        np.add.at(c2info[prefix[1] + "2"], (pos[r2], sym[r2]), 1)
+        np.add.at(c2info[prefix[0] + "L"], (pos[mask], sym[mask]), nl[mask])
+        np.add.at(c2info[prefix[1] + "L"], (pos[mask], sym[mask]), nr[mask])
+
+    bidir(("c2LP", "c2RP"), l_nb, r_nb,
+          thres.aLP1t[pos], thres.aLP2t[pos],
+          thres.aRP1t[pos], thres.aRP2t[pos], is_far)
+    m0l = l_nb >= cfg.bias_thres_strict_c2LRP0
+    np.add.at(c2info["c2LP0"], (pos[m0l], sym[m0l]), 1)
+    m0r = r_nb >= cfg.bias_thres_strict_c2LRP0
+    np.add.at(c2info["c2RP0"], (pos[m0r], sym[m0r]), 1)
+
+    from ..constants import MAX_STR_N_BASES
+    lo = np.maximum(fbeg[g], np.maximum(pos - MAX_STR_N_BASES, 0))
+    hi = np.minimum(np.minimum(fend[g], pos + MAX_STR_N_BASES), P - 1)
+    l_baq = baq[pos] - baq[np.clip(lo, 0, P - 1)] + 1
+    r_baq_ = baq[np.clip(hi, 0, P - 1)] - baq[pos] + 1
+    r_baq = np.where(is_gap,
+                     np.minimum(r_baq_, baq2[np.clip(hi, 0, P - 1)] - baq2[pos] + 7),
+                     r_baq_)
+    thr_baq = cfg.bias_thres_highBAQ + np.where(is_gap, 0, 3)
+    una = (l_baq >= thr_baq) & (r_baq >= thr_baq)
+    bidir(("c2LB", "c2RB"), l_baq, r_baq,
+          cfg.bias_thres_BAQ1, cfg.bias_thres_BAQ2,
+          cfg.bias_thres_BAQ1, cfg.bias_thres_BAQ2, una)
+    np.add.at(c2info["c2BQ2"], (pos, sym), 1)
+
+
+def _family_indels(frag_gap_info, fc, fam_of_frag, P, frag_of_read, batch):
+    """Family-level exact-indel majority (cDP1-level maps): per family with
+    an indel consensus, the majority exact inserted sequence / deletion
+    length among its fragments' gap events (posToIndelToCount_updateByConsensus
+    semantics)."""
+    fam_indel = {}
+    if frag_gap_info is None:
+        return fam_indel
+    gk_read, gk_pos, gsym, gk_len, gk_del, gk_qpos, g_val = frag_gap_info
+    if len(gk_read) == 0:
+        return fam_indel
+    soff = batch.seq_off
+    # per (fam, pos, sym): counts of exact keys across fragment gap events
+    counts = {}
+    for j in range(len(gk_read)):
+        fam = int(fam_of_frag[frag_of_read[int(gk_read[j])]])
+        if gk_del[j]:
+            key = int(gk_len[j])
+        else:
+            s = soff[int(gk_read[j])] + int(gk_qpos[j])
+            key = bytes(b"ACGTN"[min(int(c), 4)]
+                        for c in batch.seq[s:s + int(gk_len[j])])
+        d = counts.setdefault((fam, int(gk_pos[j]), int(gsym[j])), {})
+        d[key] = d.get(key, 0) + 1
+    # majority per family -> +1 at the (pos, sym) global map
+    for (fam, pos, sym), d in counts.items():
+        key = max(sorted(d.items()), key=lambda kv: kv[1])[0]
+        g = fam_indel.setdefault((pos, sym), {})
+        g[key] = g.get(key, 0) + 1
+    return fam_indel
+
+
+def _phase_signatures(s2, refsym2, confam, famgrp, con_nfrags, tot_nfrags, cfg):
+    """Per-family multi-variant phase strings (fq + confam tiers)."""
+    mut = np.zeros(len(s2.group), dtype=bool)
+    base_m = s2.st == 0
+    mut[base_m] = ((refsym2[base_m] != s2.con_sym[base_m])
+                   & (refsym2[base_m] < 4) & (s2.con_sym[base_m] < 4))
+    link_m = s2.st == 1
+    mut[link_m] = ((s2.con_sym[link_m] != int(Symbol.LINK_M))
+                   & (s2.con_sym[link_m] != int(Symbol.LINK_NN)))
+    highbq = np.where(s2.st == 1, True, confam >= cfg.bias_thres_highBQ)
+    mut = mut & highbq
+    mutforms_fq = {}
+    mutforms_f2q = {}
+    mf = np.flatnonzero(mut)
+    if len(mf):
+        order = np.lexsort((1 - s2.st[mf], s2.pos[mf], s2.group[mf]))
+        mo = mf[order]
+        groups = s2.group[mo]
+        gstart = np.concatenate([[True], groups[1:] != groups[:-1]])
+        bounds = np.flatnonzero(gstart).tolist() + [len(mo)]
+        confam_ok = ((tot_nfrags >= cfg.fam_thres_dup1add)
+                     & (con_nfrags * 100 >= tot_nfrags * cfg.fam_thres_dup1perc))
+        for bi in range(len(bounds) - 1):
+            lo, hi = bounds[bi], bounds[bi + 1]
+            if hi - lo < 2:
+                continue
+            rows = mo[lo:hi]
+            sig = tuple(zip(s2.pos[rows].tolist(), s2.con_sym[rows].tolist()))
+            strand = int(famgrp.fam_strand[int(groups[lo])])
+            mutforms_fq.setdefault(sig, [0, 0])[strand] += 1
+            rows_cf = rows[confam_ok[rows]]
+            if len(rows_cf) >= 2:
+                sig2 = tuple(zip(s2.pos[rows_cf].tolist(),
+                                 s2.con_sym[rows_cf].tolist()))
+                mutforms_f2q.setdefault(sig2, [0, 0])[strand] += 1
+    return mutforms_fq, mutforms_f2q
+
+
+def _duplex(ddp1, ddp2, cdpD, s1, famgrp, P, cfg):
+    """Duplex pairing (main.hpp:3382-3550): a duplex-flagged molecule with
+    families on BOTH strands contributes dDP1 (>=1 strand covering) and
+    dDP2 (both strands agreeing on the consensus symbol); a duplex-flagged
+    molecule with only ONE strand contributes FAM_cDPD when it passes the
+    tier-1 family thresholds."""
+    mol_all = famgrp.duplex_pair
+    n_mol = int(mol_all.max()) + 1 if len(mol_all) else 0
+    strands_seen = np.zeros((n_mol, 2), dtype=bool)
+    dx = mol_all >= 0
+    strands_seen[mol_all[dx], famgrp.fam_strand[dx]] = True
+    is_dscs_mol = strands_seen[:, 0] & strands_seen[:, 1]
+
+    mol = famgrp.duplex_pair[s1.group]
+    strand = famgrp.fam_strand[s1.group]
+    dm = (mol >= 0) & is_dscs_mol[np.maximum(mol, 0)]
+    if dm.any():
+        mg, mp, ms, cnt = cns.segment_reduce_sum(
+            mol[dm], s1.pos[dm], s1.con_sym[dm],
+            np.ones(int(dm.sum()), dtype=np.int64), P)
+        dc = cns.consensus_by_group(mg, mp, ms, cnt, P, link_m_overridden=False)
+        np.add.at(ddp1, (dc.pos, dc.con_sym), 1)
+        two = dc.tot > 1
+        np.add.at(ddp2, (dc.pos[two], dc.con_sym[two]), 1)
+    # single-strand duplex-flagged families -> cDPD
+    sm = (mol >= 0) & ~is_dscs_mol[np.maximum(mol, 0)] \
+        & (s1.tot >= cfg.fam_thres_dup1add) \
+        & (s1.con_cnt * 100 >= s1.tot * cfg.fam_thres_dup1perc)
+    if sm.any():
+        np.add.at(cdpD, (s1.pos[sm], s1.con_sym[sm], strand[sm]), 1)
+
+
+def _iid_scan(max_qual, dec_qual, hist, totDP):
+    """numpy infer_max_qual_assuming_independence over [P,NS,16]."""
+    DBL_EPS = 2.220446049250313e-16
+    idx = np.arange(NUM_BUCKETS)
+    curr_ad = np.cumsum(hist, axis=-1)
+    curr_bq = max_qual[..., None] - dec_qual * idx
+    with np.errstate(divide="ignore", invalid="ignore"):
+        exp_bq = INV_LOG10 * np.log(totDP[..., None] / np.maximum(curr_ad, 1) + DBL_EPS)
+    vq = (curr_ad * (curr_bq - exp_bq)).astype(np.int64)
+    valid = (hist > 0) & (idx < np.maximum(max_qual[..., None] // dec_qual, 0))
+    vq = np.where(valid, vq, np.iinfo(np.int64).min)
+    best = np.argmax(vq, axis=-1)
+    mv = np.take_along_axis(vq, best[..., None], axis=-1)[..., 0]
+    found = mv > 0
+    q = np.where(found, mv, 0)
+    ad = np.where(found, np.take_along_axis(curr_ad, best[..., None], -1)[..., 0], 0)
+    bq = np.where(found, max_qual - dec_qual * best, 0)
+    return q, ad, bq

@@ -64,13 +64,29 @@ def simulate_reads(ref: str, depth: int, read_len: int = 100,
     n_frags = max(1, depth * (end - beg) // (2 * read_len))
     out = []
     for i in range(n_frags):
-        fb = int(rng.integers(beg, max(beg + 1, end - frag_len)))
+        is_fam_sim = umi and n_umi_families
+        # template orientation: duplex alternates per replicate so each
+        # molecule gets both strands; otherwise alternate per fragment
+        parity = ((i // n_umi_families) % 2) if (is_fam_sim and duplex) else (i % 2)
+        if is_fam_sim:
+            # PCR replicates of one tagged molecule share the fragment span
+            fam0 = i % n_umi_families
+            fb = beg + (fam0 * 131) % max(1, (end - frag_len) - beg)
+        else:
+            fb = int(rng.integers(beg, max(beg + 1, end - frag_len)))
         fe = min(fb + frag_len, len(ref))
         # choose haplotype
         hap = ref[fb:fe]
         cig_events = []  # (relpos_in_fragment_ref, kind, arg)
-        for v in variants:
-            if rng.random() < v.fraction:
+        for vi, v in enumerate(variants):
+            if is_fam_sim:
+                # variant presence is a property of the tagged molecule: all
+                # PCR replicates of one family share the same haplotype
+                fam0 = i % n_umi_families
+                carries = ((fam0 * 2654435761 + vi * 40503) % 1000) / 1000.0 < v.fraction
+            else:
+                carries = rng.random() < v.fraction
+            if carries:
                 applied = v.apply(ref, fb, fe, rng)
                 if applied is not None:
                     hap = applied
@@ -88,8 +104,9 @@ def simulate_reads(ref: str, depth: int, read_len: int = 100,
             u = "".join(BASES[(fam >> (2 * k)) & 3] for k in range(6))
             if duplex:
                 u2 = "".join(BASES[((fam + 7) >> (2 * k)) & 3] for k in range(6))
-                # duplex: half the fragments present the swapped orientation
-                umi_tag = "#" + (u + "+" + u2 if i % 2 == 0 else u2 + "+" + u)
+                # the two template strands of one molecule carry the two UMI
+                # orientations (alpha+beta vs beta+alpha)
+                umi_tag = "#" + (u + "+" + u2 if parity == 0 else u2 + "+" + u)
             else:
                 umi_tag = "#" + u
         qname = f"sim{i:06d}{umi_tag}"
@@ -101,7 +118,7 @@ def simulate_reads(ref: str, depth: int, read_len: int = 100,
         r2_pos = fb + _ref_advance(cig_events, r2_off)
         isize = fe - fb
         qv = chr(base_qual + 33) * read_len
-        if i % 2 == 0:
+        if parity == 0:
             # F1R2 template (strand 0): R1 is the left forward read
             out.append((qname, FPAIRED | FPROPER_PAIR | FMREVERSE | FREAD1,
                         r1_pos, r1_cig, r1_seq, qv, r2_pos, isize))

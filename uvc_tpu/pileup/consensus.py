@@ -1,0 +1,114 @@
+"""Segmented consensus reductions shared by the fragment (BQ) and family
+(FQ) tiers.
+
+Implements GenericSymbol2Count::fillConsensusCounts semantics
+(main.hpp:374-417) as sorted segmented reductions over flat
+(group, pos, symbol, value) event tables:
+
+  - BASE consensus: plain first-maximum argmax over symbols 0..5,
+    count_sum = sum over all six.
+  - LINK consensus with TIsRefCountedOnceInLink=true: any nonzero non-LINK_M
+    symbol overrides LINK_M regardless of count; among the non-LINK_M
+    symbols, first strict maximum wins; count_sum = winner count only.
+  - LINK consensus plain (TIsRefCountedOnceInLink=false): same rule as BASE
+    over symbols 6..13 with full sum.
+"""
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..constants import Symbol, NUM_SYMBOLS
+
+NS = NUM_SYMBOLS
+
+
+@dataclass
+class GroupConsensus:
+    """Per-(group, pos, symboltype) consensus rows (tot > 0 only)."""
+
+    group: np.ndarray
+    pos: np.ndarray
+    st: np.ndarray        # 0 BASE, 1 LINK
+    con_sym: np.ndarray
+    con_cnt: np.ndarray
+    tot: np.ndarray       # per the symboltype's count_sum rule
+
+
+def segment_reduce_max(group, pos, sym, val, P):
+    """Collapse duplicate (group,pos,sym) rows by max(val).
+    Returns (ugroup, upos, usym, maxval)."""
+    key = (group * P + pos) * NS + sym
+    order = np.argsort(key, kind="stable")
+    sk = key[order]
+    sv = val[order]
+    if len(sk) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy(), z.copy(), z.copy()
+    seg_start = np.concatenate([[True], sk[1:] != sk[:-1]])
+    seg_id = np.cumsum(seg_start) - 1
+    nseg = int(seg_id[-1]) + 1
+    maxv = np.zeros(nseg, dtype=np.int64)
+    np.maximum.at(maxv, seg_id, sv)
+    ukey = sk[seg_start]
+    return (ukey // (NS * P), (ukey // NS) % P, ukey % NS, maxv)
+
+
+def segment_reduce_sum(group, pos, sym, val, P):
+    """Collapse duplicate (group,pos,sym) rows by sum(val)."""
+    key = (group * P + pos) * NS + sym
+    order = np.argsort(key, kind="stable")
+    sk = key[order]
+    sv = val[order]
+    if len(sk) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy(), z.copy(), z.copy()
+    seg_start = np.concatenate([[True], sk[1:] != sk[:-1]])
+    seg_id = np.cumsum(seg_start) - 1
+    sums = np.zeros(int(seg_id[-1]) + 1, dtype=np.int64)
+    np.add.at(sums, seg_id, sv)
+    ukey = sk[seg_start]
+    return (ukey // (NS * P), (ukey // NS) % P, ukey % NS, sums)
+
+
+def consensus_by_group(ugroup, upos, usym, uval, P,
+                       link_m_overridden: bool) -> GroupConsensus:
+    """Consensus per (group, pos, symboltype) from unique symbol rows.
+
+    link_m_overridden selects the TIsRefCountedOnceInLink rule for LINK.
+    Rows with uval == 0 are treated as absent. Returns only groups with
+    tot > 0.
+    """
+    m = uval > 0
+    ugroup, upos, usym, uval = ugroup[m], upos[m], usym[m], uval[m]
+    if len(ugroup) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return GroupConsensus(z, z.copy(), z.copy(), z.copy(), z.copy(), z.copy())
+    ust = (usym >= 6).astype(np.int64)
+    gkey = (ugroup * P + upos) * 2 + ust
+    if link_m_overridden:
+        link_cls = ((usym == int(Symbol.LINK_M)) & (ust == 1)).astype(np.int64)
+    else:
+        link_cls = np.zeros(len(usym), dtype=np.int64)
+    order = np.lexsort((usym, -uval, link_cls, gkey))
+    g2 = gkey[order]
+    gstart = np.concatenate([[True], g2[1:] != g2[:-1]])
+    gid = np.cumsum(gstart) - 1
+    first_idx = order[gstart]
+    con_sym = usym[first_idx]
+    con_cnt = uval[first_idx]
+    tot = np.zeros(int(gid[-1]) + 1, dtype=np.int64)
+    np.add.at(tot, gid, uval[order])
+    st_g = ust[first_idx]
+    if link_m_overridden:
+        tot = np.where(st_g == 1, con_cnt, tot)
+    return GroupConsensus(group=ugroup[first_idx], pos=upos[first_idx],
+                          st=st_g, con_sym=con_sym, con_cnt=con_cnt, tot=tot)
+
+
+def sum_by_symboltype(arr):
+    """[.., 14] -> per-symbol broadcast of the symboltype sums [.., 14]."""
+    base = arr[..., :6].sum(axis=-1, keepdims=True)
+    link = arr[..., 6:].sum(axis=-1, keepdims=True)
+    return np.concatenate([np.repeat(base, 6, axis=-1),
+                           np.repeat(link, 8, axis=-1)], axis=-1)

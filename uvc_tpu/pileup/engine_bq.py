@@ -895,9 +895,10 @@ def pass_c_scatter(allev: EventValues, table, baq, baq2, thres: SegThres,
 
 def pass_d_fragments(allev: EventValues, gap_info, table, ref_syms,
                      frag_of_read, frag_strand, P, cfg, info: SegInfo,
-                     bg: np.ndarray):
+                     bg: np.ndarray, frag_gc=None):
     """R1R2 MAX-merge per fragment and consensus scatter
-    (main.hpp:2620-2798)."""
+    (main.hpp:2620-2798). frag_gc: precomputed GroupConsensus to share with
+    the family engine."""
     e = allev
     n_frags = int(frag_of_read.max()) + 1 if len(frag_of_read) else 0
     frag = frag_of_read[e.read]
@@ -909,49 +910,16 @@ def pass_d_fragments(allev: EventValues, gap_info, table, ref_syms,
                 np.zeros((P, NS, NUM_BUCKETS), dtype=np.int64),
                 np.zeros((P, NS), dtype=np.int64), {}, {})
 
-    # segment max over (frag, pos, sym)
-    key = (frag * P + e.pos) * NS + e.sym
-    order = np.argsort(key, kind="stable")
-    sk = key[order]
-    sv = e.val[order]
-    seg_start = np.concatenate([[True], sk[1:] != sk[:-1]])
-    seg_id = np.cumsum(seg_start) - 1
-    nseg = int(seg_id[-1]) + 1 if len(seg_id) else 0
-    maxv = np.zeros(nseg, dtype=np.int64)
-    np.maximum.at(maxv, seg_id, sv)
-    ukey = sk[seg_start]
-    usym = ukey % NS
-    upos = (ukey // NS) % P
-    ufrag = ukey // (NS * P)
-    ust = (usym >= 6).astype(np.int64)
-
-    # consensus per (frag, pos, symboltype)
-    # sort by (group, link-class, value desc, sym asc); first row per group wins
-    gkey = (ufrag * P + upos) * 2 + ust
-    link_cls = ((usym == int(Symbol.LINK_M)) & (ust == 1)).astype(np.int64)
-    order2 = np.lexsort((usym, -maxv, link_cls, gkey))
-    g2 = gkey[order2]
-    gstart = np.concatenate([[True], g2[1:] != g2[:-1]])
-    gid = np.cumsum(gstart) - 1
-    ngroups = int(gid[-1]) + 1 if len(gid) else 0
-    first_idx = order2[gstart]
-    con_sym = usym[first_idx]
-    con_cnt = maxv[first_idx]
-    tot = np.zeros(ngroups, dtype=np.int64)
-    np.add.at(tot, gid, maxv[order2])
-    g_pos = upos[first_idx]
-    g_frag = ufrag[first_idx]
-    g_st = ust[first_idx]
-    # LINK consensus: tot = winner count only (TIsRefCountedOnceInLink)
-    tot = np.where(g_st == 1, con_cnt, tot)
-    valid = tot > 0
-
-    con_sym = con_sym[valid]
-    con_cnt = con_cnt[valid]
-    tot = tot[valid]
-    g_pos = g_pos[valid]
-    g_frag = g_frag[valid]
-    g_st = g_st[valid]
+    # segment max over (frag, pos, sym), then consensus per (frag, pos, st)
+    from . import consensus as cns
+    if frag_gc is None:
+        ufrag, upos, usym, maxv = cns.segment_reduce_max(frag, e.pos, e.sym,
+                                                         e.val, P)
+        frag_gc = cns.consensus_by_group(ufrag, upos, usym, maxv, P,
+                                         link_m_overridden=True)
+    gc = frag_gc
+    con_sym, con_cnt, tot = gc.con_sym, gc.con_cnt, gc.tot
+    g_pos, g_frag, g_st = gc.pos, gc.group, gc.st
 
     # normMQ per fragment
     normMQ = np.zeros(n_frags, dtype=np.int64)

@@ -1,0 +1,104 @@
+"""Per-region orchestration: dedup grouping -> BQ tier -> FQ tier.
+
+Equivalent of Symbol2CountCoverageSet::updateByRegion3Aln (main.hpp:3665-
+3742): runs the prep/threshold passes, the segment (BQ) engine, and the
+family (FQ) engine over one region's read batch, returning all per-position
+per-symbol tensors the variant-call model consumes.
+"""
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..family import dedup, engine_fq
+from ..model import sscs
+from ..constants import AssayType, SequencingPlatform
+from . import consensus as cns
+from . import engine_bq, events, strscan
+
+
+@dataclass
+class RegionResult:
+    bq: engine_bq.BQResult
+    fq: engine_fq.FQResult
+    tracks: strscan.RepeatTracks
+    baq: np.ndarray
+    baq2: np.ndarray
+    famgrp: dedup.FamilyGrouping
+    ref_syms: np.ndarray
+    region_offset: int
+    assay_type: AssayType
+
+
+def infer_assay(batch, cfg) -> AssayType:
+    """Amplicon vs capture inference (main.cpp:510-511): amplicon when
+    pcrpassed * 2 > passed. The per-read amplicon flags come from border
+    coverage ratios (grouping.cpp:826-850); until those are implemented the
+    configured assay type (default capture when AUTO) is used."""
+    if cfg.assay_type != AssayType.AUTO:
+        return cfg.assay_type
+    return AssayType.CAPTURE
+
+
+def call_region(batch, ref_syms, region_offset, cfg,
+                is_normal=False) -> RegionResult:
+    P = len(ref_syms)
+    table = events.expand(batch)
+
+    platform = cfg.inferred_sequencing_platform
+    if platform == SequencingPlatform.AUTO:
+        platform = SequencingPlatform.ILLUMINA
+    assay = infer_assay(batch, cfg)
+    famgrp = dedup.group_families(batch, table, cfg, assay, platform)
+
+    tracks = strscan.scan_repeats(
+        ref_syms, cfg.indel_str_repeatsize_max, cfg.indel_vntr_repeatsize_max,
+        cfg.indel_BQ_max, cfg.indel_polymerase_slip_rate,
+        cfg.indel_del_to_ins_err_ratio)
+    baq = strscan.baq_offsets(tracks, use_anyTR=True,
+                              indel_str_phred_per_region=cfg.indel_str_phred_per_region,
+                              indel_nonSTR_phred_per_base=cfg.indel_nonSTR_phred_per_base,
+                              indel_polymerase_size=cfg.indel_polymerase_size)
+    baq2 = strscan.baq_offsets(tracks, use_anyTR=False,
+                               indel_str_phred_per_region=cfg.indel_str_phred_per_region,
+                               indel_nonSTR_phred_per_base=cfg.indel_nonSTR_phred_per_base,
+                               indel_polymerase_size=cfg.indel_polymerase_size)
+
+    dflag = famgrp.frag_dflag[famgrp.frag_of_read]
+    if assay == AssayType.AMPLICON:
+        dflag = dflag | 0x4
+
+    prep = engine_bq.pass_a_prep(table, batch, ref_syms, tracks, baq,
+                                 region_offset, P, cfg, dflag)
+    thres = engine_bq.pass_b_thres(prep, tracks, cfg, is_normal)
+    allev, gap_info = engine_bq.compute_event_values(
+        table, batch, ref_syms, tracks, baq, baq2, prep, thres,
+        region_offset, P, cfg, dflag)
+    info, bg, a1, a2 = engine_bq.pass_c_scatter(
+        allev, table, baq, baq2, thres, region_offset, P, cfg, dflag)
+
+    # shared fragment consensus
+    frag = famgrp.frag_of_read[allev.read]
+    ufrag, upos, usym, maxv = cns.segment_reduce_max(
+        frag, allev.pos, allev.sym, allev.val, P)
+    frag_gc = cns.consensus_by_group(ufrag, upos, usym, maxv, P,
+                                     link_m_overridden=True)
+
+    bdp, bta, btb, hist, vq_bMQ, frag_indel, mutforms = \
+        engine_bq.pass_d_fragments(allev, gap_info, table, ref_syms,
+                                   famgrp.frag_of_read, famgrp.frag_strand,
+                                   P, cfg, info, bg, frag_gc=frag_gc)
+    bIAQ, bIAD, bIDQ = engine_bq.final_iid_qualities(bdp, bg, info, hist, P)
+    bq_res = engine_bq.BQResult(
+        prep=prep, thres=thres, seginfo=info, bg_bqsum=bg, vq_a1BQ=a1,
+        vq_a2BQ=a2, vq_bMQ=vq_bMQ, bdp=bdp, bta=bta, btb=btb,
+        bucket_hist=hist, vq_bIAQ=bIAQ, vq_bIAD=bIAD, vq_bIDQ=bIDQ,
+        frag_indel=frag_indel, mutforms=mutforms)
+
+    sscs_table = sscs.table_from_cfg(cfg)
+    fq_res = engine_fq.run_fq(frag_gc, gap_info, famgrp, ref_syms,
+                              sscs_table, thres, baq, baq2, table, batch, P,
+                              cfg, is_normal)
+    return RegionResult(bq=bq_res, fq=fq_res, tracks=tracks, baq=baq,
+                        baq2=baq2, famgrp=famgrp, ref_syms=ref_syms,
+                        region_offset=region_offset, assay_type=assay)
