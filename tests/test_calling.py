@@ -1,0 +1,78 @@
+"""End-to-end variant-calling tests: the full pileup -> DPv -> qual ->
+record pipeline on simulated data."""
+
+import numpy as np
+import pytest
+
+from uvc_tpu import calling
+from uvc_tpu.config import UVCConfig
+from uvc_tpu.constants import CHAR_TO_SYMBOL, SequencingPlatform
+from uvc_tpu.io import bam, simulate
+
+
+def _call(tmpdir, seed=21, depth=120, variants=None, ref_len=3000):
+    ref = simulate.random_ref(ref_len, seed)
+    if variants is None:
+        variants = [
+            simulate.Variant(1000, f"{ref[1000]}>" + ("A" if ref[1000] != "A" else "C"), 0.3),
+            simulate.Variant(1500, "+TT", 0.25),
+            simulate.Variant(2000, "-2", 0.25),
+        ]
+    p = str(tmpdir / "t.bam")
+    simulate.build_bam(p, ref, depth=depth, variants=variants, seed=seed + 1)
+    hdr, batch = bam.read_bam(p)
+    cfg = UVCConfig()
+    cfg.central_readlen = 100
+    cfg.self_update_by_platform(SequencingPlatform.ILLUMINA)
+    ref_syms = CHAR_TO_SYMBOL[np.frombuffer(ref.encode(), np.uint8)]
+    recs, res, F = calling.call_variants(batch, ref_syms, ref.encode(), 0,
+                                         "chr1", cfg)
+    return ref, variants, recs
+
+
+def test_planted_variants_called(tmp_path):
+    ref, variants, recs = _call(tmp_path)
+    by_pos = {r.vcfpos: r for r in recs}
+    snv = variants[0]
+    assert snv.pos + 1 in by_pos
+    r = by_pos[snv.pos + 1]
+    assert r.ref == snv.spec.split(">")[0]
+    assert r.alt == snv.spec.split(">")[1]
+    assert r.filter == "PASS"
+    assert r.qual > 40
+    # insertion: left-anchored REF/ALT at anchor position
+    ins = by_pos[variants[1].pos + 1]
+    assert ins.alt == ins.ref + "TT"
+    # deletion: REF carries the deleted bases
+    dele = by_pos[variants[2].pos + 1]
+    assert dele.ref == dele.alt + ref[2001:2003]
+    assert len(recs) == 3  # no false positives at depth 120 / q>=15
+
+
+def test_no_variants_no_calls(tmp_path):
+    ref, variants, recs = _call(tmp_path, seed=33, variants=[], ref_len=2000)
+    assert recs == []
+
+
+def test_low_fraction_not_called_high_fraction_called(tmp_path):
+    ref = simulate.random_ref(2000, 44)
+    alt = "A" if ref[900] != "A" else "G"
+    variants = [simulate.Variant(900, f"{ref[900]}>{alt}", 0.01)]
+    _, _, recs_low = _call(tmp_path, seed=44, variants=variants, ref_len=2000)
+    lowq = [r for r in recs_low if r.vcfpos == 901]
+    variants2 = [simulate.Variant(900, f"{ref[900]}>{alt}", 0.5)]
+    _, _, recs_hi = _call(tmp_path, seed=44, variants=variants2, ref_len=2000)
+    hi = [r for r in recs_hi if r.vcfpos == 901]
+    assert len(hi) == 1 and hi[0].qual > 40
+    if lowq:
+        assert lowq[0].qual < hi[0].qual
+
+
+def test_info_and_fmt_fields(tmp_path):
+    ref, variants, recs = _call(tmp_path)
+    r = recs[0]
+    assert r.info["TLODQ"] == r.fmt["cVQ1"] or r.info["TLODQ"] >= 0
+    assert r.fmt["DP"] >= r.fmt["AD"] > 0
+    assert r.fmt["bDP"] >= r.fmt["bAD"] > 0
+    assert r.fmt["FTS"] == "PASS"
+    assert r.info["SomaticQ"] == min(r.info["TLODQ"], r.info["NLODQ"])

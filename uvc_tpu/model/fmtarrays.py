@@ -1,0 +1,245 @@
+"""Dense per-(position, symbol) FORMAT tensors for the variant-call model.
+
+Builds the [P,14] struct-of-arrays equivalent of bcfrec::BcfFormat
+(BcfFormat_symboltype_init + BcfFormat_symbol_init + fill_symbol_VQ_fmts,
+main.hpp:3745-4251): lowercase arrays are per-allele, capitalized arrays
+are the symboltype sums broadcast back to [P,14], and *_nn arrays carry the
+ambiguous-symbol (BASE_NN/LINK_NN) values.
+
+The reference fills these per emitted candidate; the TPU-first design
+computes them densely for every (pos, symbol) so the downstream quality
+model is pure elementwise tensor math.
+"""
+
+import numpy as np
+
+from ..constants import Symbol, NUM_SYMBOLS
+from ..pileup.consensus import sum_by_symboltype
+
+NS = NUM_SYMBOLS
+FLT_EPSILON = 1.1920928955078125e-07
+
+
+def tdiv(a, b):
+    """C-style integer division truncating toward zero (vectorized)."""
+    a = np.asarray(a, dtype=np.int64)
+    b = np.asarray(b, dtype=np.int64)
+    q = np.abs(a) // np.abs(b)
+    return np.where((a < 0) != (b < 0), -q, q)
+
+
+def nn_broadcast(arr):
+    """Value of the type's NN symbol broadcast to all symbols [P,14]."""
+    base_nn = arr[:, int(Symbol.BASE_NN)][:, None]
+    link_nn = arr[:, int(Symbol.LINK_NN)][:, None]
+    return np.concatenate([np.repeat(base_nn, 6, axis=1),
+                           np.repeat(link_nn, 8, axis=1)], axis=1)
+
+
+def build(res, cfg, minABQ_snv, minABQ_indel):
+    """res: pileup.region.RegionResult -> dict of dense arrays."""
+    P = len(res.ref_syms)
+    info = res.bq.seginfo
+    fq = res.fq
+    F = {}
+    F["P"] = P
+    F["ref_syms"] = res.ref_syms
+
+    for nm in info.names:
+        F["a" + nm[1:] if False else nm] = getattr(info, nm)
+        F["A" + nm[1:]] = sum_by_symboltype(getattr(info, nm))
+    # keep reference naming for capitals: ADPff == sum over type of aDPff
+    for nm in info.names:
+        F[nm.replace("a", "A", 1)] = F.pop("A" + nm[1:])
+
+    F["a1BQf"] = res.bq.vq_a1BQ[:, :, 0]
+    F["a1BQr"] = res.bq.vq_a1BQ[:, :, 1]
+    F["A1BQf"] = sum_by_symboltype(F["a1BQf"])
+    F["A1BQr"] = sum_by_symboltype(F["a1BQr"])
+    F["a2BQf_raw"] = res.bq.vq_a2BQ[:, :, 0]
+    F["a2BQr_raw"] = res.bq.vq_a2BQ[:, :, 1]
+
+    F["bDPf"] = res.bq.bdp[:, :, 0]
+    F["bDPr"] = res.bq.bdp[:, :, 1]
+    F["BDPb_l"] = sum_by_symboltype(F["bDPf"])
+    F["BDPb_r"] = sum_by_symboltype(F["bDPr"])
+    F["BDP"] = F["BDPb_l"] + F["BDPb_r"]
+    F["bTAf"] = res.bq.bta[:, :, 0]
+    F["bTAr"] = res.bq.bta[:, :, 1]
+    F["bTBf"] = res.bq.btb[:, :, 0]
+    F["bTBr"] = res.bq.btb[:, :, 1]
+    F["BTA"] = sum_by_symboltype(F["bTAf"] + F["bTAr"])
+    F["BTB"] = sum_by_symboltype(F["bTBf"] + F["bTBr"])
+
+    for tier, arr in (("cDP1", fq.cdp1), ("cDP12", fq.cdp12),
+                      ("cDP2", fq.cdp2), ("cDP3", fq.cdp3),
+                      ("cDP21", fq.cdp21), ("cDPM", fq.cdpM),
+                      ("cDPm", fq.cdpm), ("cDPD", fq.cdpD)):
+        F[tier + "f"] = arr[:, :, 0]
+        F[tier + "r"] = arr[:, :, 1]
+        F["C" + tier[1:] + "b_l"] = sum_by_symboltype(arr[:, :, 0])
+        F["C" + tier[1:] + "b_r"] = sum_by_symboltype(arr[:, :, 1])
+        F["C" + tier[1:]] = F["C" + tier[1:] + "b_l"] + F["C" + tier[1:] + "b_r"]
+    F["CDP1d"] = 2 * nn_broadcast(fq.cdp1[:, :, 0])  # quirk: strand 0 twice
+
+    for nm, arr in fq.c2info.items():
+        F[nm] = arr
+        F[nm.replace("c2", "C2", 1)] = sum_by_symboltype(arr)
+
+    F["dDP1"] = fq.ddp1
+    F["dDP2"] = fq.ddp2
+    F["DDP1"] = sum_by_symboltype(fq.ddp1)
+    F["DDP2"] = sum_by_symboltype(fq.ddp2)
+
+    F["bIAQb"] = res.bq.vq_bIAQ
+    F["bIADb"] = res.bq.vq_bIAD
+    F["bIDQb"] = res.bq.vq_bIDQ
+    F["cIAQf"] = fq.vq_cIAQ[:, :, 0]
+    F["cIADf"] = fq.vq_cIAD[:, :, 0]
+    F["cIDQf"] = fq.vq_cIDQ[:, :, 0]
+    F["cIAQr"] = fq.vq_cIAQ[:, :, 1]
+    F["cIADr"] = fq.vq_cIAD[:, :, 1]
+    F["cIDQr"] = fq.vq_cIDQ[:, :, 1]
+
+    prep = res.bq.prep
+    F["APDP"] = np.stack([
+        prep.a_dp, prep.a_near_ins_dp, prep.a_near_del_dp,
+        prep.a_near_RTR_ins_dp, prep.a_near_RTR_del_dp, prep.a_pcr_dp,
+        prep.a_snv_dp, prep.a_dnv_dp, prep.a_highBQ_dp,
+        prep.a_near_pcr_clip_dp, prep.a_near_long_clip_dp, prep.a_umi_dp],
+        axis=1)
+    F["APXM"] = np.stack([
+        prep.a_XM1500, prep.a_GO1500, prep.a_qlen, prep.a_GAPLEN,
+        prep.a_near_ins_pow2len, prep.a_near_del_pow2len,
+        prep.a_near_ins_inv100len, prep.a_near_del_inv100len], axis=1)
+    F["APLRID"] = np.stack([
+        prep.a_near_ins_l_pow2len, prep.a_near_ins_r_pow2len,
+        prep.a_near_del_l_pow2len, prep.a_near_del_r_pow2len], axis=1)
+    F["APLRI"] = np.stack([prep.a_LI, prep.a_LIDP, prep.a_RI, prep.a_RIDP],
+                          axis=1)
+    F["APLRP"] = np.stack([prep.a_l_dist_sum, prep.a_r_dist_sum,
+                           prep.a_inslen_sum, prep.a_dellen_sum], axis=1)
+
+    # repeat-track context at +-indel_adj_tracklen_dist and +-3 (DPv/qual use
+    # rtr at distance 3, append_vcf_record at distance 6)
+    tr = res.tracks
+    n_tr = len(tr.tracklen)
+    for dist, tag in ((3, "3"), (cfg.indel_adj_tracklen_dist, "6")):
+        i1 = np.maximum(np.arange(P), dist) - dist
+        i2 = np.minimum(np.arange(P) + dist, n_tr - 1)
+        F["rtr1_tracklen_" + tag] = tr.tracklen[i1]
+        F["rtr1_unitlen_" + tag] = tr.unitlen[i1]
+        F["rtr1_begpos_" + tag] = tr.begpos[i1]
+        F["rtr2_tracklen_" + tag] = tr.tracklen[i2]
+        F["rtr2_unitlen_" + tag] = tr.unitlen[i2]
+        F["rtr2_begpos_" + tag] = tr.begpos[i2]
+        F["rtr2_anyTR_tracklen_" + tag] = tr.anyTR_tracklen[i2]
+
+    # per-position STR context of the emission loop (indelpos_to_context)
+    F["ctx_repeatnum"] = tr.ctx_repeatnum
+    F["ctx_unitlen"] = tr.ctx_unitlen
+
+    # ---- per-allele exact-indel majority (bDPa / cDP0a / gapSa)
+    F["bDPa"], F["cDP0a"], F["gapLen"], F["gapSa"] = _indel_majority_arrays(
+        res, P)
+
+    _fill_vq_fmts(F, res, cfg, minABQ_snv, minABQ_indel)
+    return F
+
+
+def _indel_majority_arrays(res, P):
+    """Per-(pos,sym): majority exact-indel allele depths and length.
+
+    For non-indel symbols: bDPa = bDP, cDP0a = max(cDP1,cDP12) summed over
+    strands (the "cdepth" of main.cpp:812-816); gapLen = 0.
+    For indel symbols: the majority exact allele's (b-depth, c-depth, len),
+    per indel_get_majority (main.hpp:5406-5455, top entry).
+    """
+    bdp = res.bq.bdp.sum(axis=2)
+    cdepth = (np.maximum(res.fq.cdp1[:, :, 0], res.fq.cdp12[:, :, 0])
+              + np.maximum(res.fq.cdp1[:, :, 1], res.fq.cdp12[:, :, 1]))
+    bDPa = bdp.copy()
+    cDP0a = cdepth.copy()
+    gapLen = np.zeros((P, NS), dtype=np.int64)
+    gapSa = {}
+    # frag-level exact counts give bAD; fam-level give cAD
+    for (pos, sym), d in res.bq.frag_indel.items():
+        # resolve ins placeholders into sequences (already materialized keys)
+        items = sorted(d.items(), key=lambda kv: (kv[1],), reverse=True)
+        key, bad = items[0][0], items[0][1]
+        cad = 0
+        camap = res.fq.fam_indel.get((pos, sym), {})
+        cad = camap.get(key, 0)
+        if isinstance(key, tuple):  # unresolved ins placeholder
+            continue
+        bDPa[pos, sym] = bad
+        cDP0a[pos, sym] = cad
+        if isinstance(key, (bytes, str)):
+            gapLen[pos, sym] = len(key)
+            gapSa[(pos, sym)] = key if isinstance(key, bytes) else key.encode()
+        else:
+            gapLen[pos, sym] = int(key)
+    return bDPa, cDP0a, gapLen, gapSa
+
+
+def _fill_vq_fmts(F, res, cfg, minABQ_snv, minABQ_indel):
+    """fill_symbol_VQ_fmts (main.hpp:3820-3887): systematic BQ-error quality
+    aBQQ with strand/xm/bm ratio adjustments, rss BQ terms, bMQ rms."""
+    P = F["P"]
+    ref = F["ref_syms"]
+    # homopolymer-context minABQ reduction (main.cpp:909-928): per position,
+    # BASE symbols only
+    refpad = np.concatenate([[-1, -1], ref, [-2, -2]])
+    c = refpad[2:-2]
+    hp1 = (refpad[1:-3] == c) & (refpad[3:-1] == c)
+    hp2 = (refpad[:-4] == c) & (refpad[4:] == c)
+    red = np.where(hp1 & hp2, 20, np.where(hp1, 10, 0))
+    minABQ = np.empty((P, NS), dtype=np.int64)
+    minABQ[:, :6] = np.maximum(minABQ_snv - red, 0)[:, None]
+    minABQ[:, 6:] = minABQ_indel
+
+    aDPf = F["aDPff"] + F["aDPrf"]
+    aDPr = F["aDPfr"] + F["aDPrr"]
+    ADP = F["ADPff"] + F["ADPrf"] + F["ADPfr"] + F["ADPrr"]
+    a2BQf = F["a2BQf_raw"]
+    a2BQr = F["a2BQr_raw"]
+    SQ = 32
+    rssf = (aDPf * np.sqrt((a2BQf * SQ) // np.maximum(1, aDPf))).astype(np.int64)
+    rssr = (aDPr * np.sqrt((a2BQr * SQ) // np.maximum(1, aDPr))).astype(np.int64)
+    rssb = ((aDPf + aDPr) * np.sqrt(
+        ((a2BQf + a2BQr) * SQ) // np.maximum(1, aDPf + aDPr))).astype(np.int64)
+
+    minABQa = minABQ - (5 * 10.0 * np.square(np.maximum(
+        0.0, (aDPf + aDPr + 0.5) * 2.0 / (ADP + 1.0) - 1.0))).astype(np.int64)
+    dp10pc = 10
+    sbratio = ((np.maximum(aDPf, aDPr) * 10.0 + dp10pc)
+               / (np.minimum(aDPf, aDPr) * 10.0 + dp10pc))
+    minABQa = minABQa + np.clip(np.square(sbratio).astype(np.int64)
+                                - cfg.syserr_BQ_sbratio_q_add, 0,
+                                cfg.syserr_BQ_sbratio_q_max)
+    xmratio = (cfg.syserr_BQ_xmratio_q_max * 10 * (aDPf + aDPr)
+               // np.maximum(1, F["a2XM2"]))
+    bmratio = (cfg.syserr_BQ_bmratio_q_max * 10 * (aDPf + aDPr)
+               // np.maximum(1, F["a2BM2"]))
+    minABQa = (minABQa
+               + np.clip(xmratio - cfg.syserr_BQ_xmratio_q_add, 0,
+                         cfg.syserr_BQ_xmratio_q_max)
+               + np.clip(bmratio - cfg.syserr_BQ_bmratio_q_add, 0,
+                         cfg.syserr_BQ_bmratio_q_max))
+    m = cfg.syserr_BQ_strand_favor_mul
+    q_fw = tdiv(rssf * m - tdiv(minABQa * aDPf * m, 10)
+                + rssr - tdiv(minABQa * aDPr, 10), m)
+    q_rv = tdiv(rssr * m - tdiv(minABQa * aDPr * m, 10)
+                + rssf - tdiv(minABQa * aDPf, 10), m)
+    q_2d = rssb - tdiv(minABQa * (aDPf + aDPr), 10)
+    a_rmsBQ = rssb // np.maximum(1, aDPf + aDPr)
+    F["a2BQf"] = rssf
+    F["a2BQr"] = rssr
+    F["aBQ"] = a_rmsBQ
+    F["aBQQ"] = np.maximum(a_rmsBQ, cfg.syserr_BQ_prior
+                           + np.maximum(np.maximum(q_2d, q_fw), q_rv))
+    bmq_raw = res.bq.vq_bMQ
+    F["bMQ"] = np.round(np.sqrt(
+        (bmq_raw * SQ) / np.maximum(F["bDPf"] + F["bDPr"], 1))
+        + (1.0 - FLT_EPSILON)).astype(np.int64)
+    F["aMQs_"] = F["aMQs"]

@@ -895,7 +895,7 @@ def pass_c_scatter(allev: EventValues, table, baq, baq2, thres: SegThres,
 
 def pass_d_fragments(allev: EventValues, gap_info, table, ref_syms,
                      frag_of_read, frag_strand, P, cfg, info: SegInfo,
-                     bg: np.ndarray, frag_gc=None):
+                     bg: np.ndarray, frag_gc=None, batch=None):
     """R1R2 MAX-merge per fragment and consensus scatter
     (main.hpp:2620-2798). frag_gc: precomputed GroupConsensus to share with
     the family engine."""
@@ -963,8 +963,11 @@ def pass_d_fragments(allev: EventValues, gap_info, table, ref_syms,
                 continue
             if gk_del[j]:
                 ik = int(gk_len[j])
+            elif batch is not None:
+                s0 = batch.seq_off[int(gk_read[j])] + int(gk_qpos[j])
+                ik = bytes(b"ACGTN"[min(int(c), 4)]
+                           for c in batch.seq[s0:s0 + int(gk_len[j])])
             else:
-                ik = None  # filled by caller with sequence bytes
                 ik = ("ins", int(gk_read[j]), int(gk_qpos[j]), int(gk_len[j]))
             d = frag_indel.setdefault((p_, s_), {})
             d[ik] = d.get(ik, 0) + 1

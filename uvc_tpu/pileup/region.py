@@ -87,7 +87,8 @@ def call_region(batch, ref_syms, region_offset, cfg,
     bdp, bta, btb, hist, vq_bMQ, frag_indel, mutforms = \
         engine_bq.pass_d_fragments(allev, gap_info, table, ref_syms,
                                    famgrp.frag_of_read, famgrp.frag_strand,
-                                   P, cfg, info, bg, frag_gc=frag_gc)
+                                   P, cfg, info, bg, frag_gc=frag_gc,
+                                   batch=batch)
     bIAQ, bIAD, bIDQ = engine_bq.final_iid_qualities(bdp, bg, info, hist, P)
     bq_res = engine_bq.BQResult(
         prep=prep, thres=thres, seginfo=info, bg_bqsum=bg, vq_a1BQ=a1,
