@@ -94,10 +94,21 @@ def infer_platform(batch, cfg):
     return plat, qlens[len(qlens) // 2], maxMQ
 
 
+def check_file_exist(fname, ftype):
+    """CmdLineArgs.cpp:138-145: clean exit on missing inputs."""
+    import os
+    if not fname or fname == "." or not os.path.isfile(fname):
+        print(f"The file {fname!r} of type ({ftype}) does not exist.",
+              file=sys.stderr)
+        sys.exit(-4 & 0xFF)
+
+
 def run(argv=None):
     t0 = time.time()
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
+    check_file_exist(cfg.bam_input_fname, "BAM")
+    check_file_exist(cfg.fasta_ref_fname, "FASTA")
 
     fa = FastaFile(cfg.fasta_ref_fname)
     header, batch = bam_mod.read_bam(cfg.bam_input_fname)
