@@ -22,6 +22,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from uvc_tpu.ops.scatter import fast_add_at
+
 from ..constants import Symbol, NUM_SYMBOLS
 from ..pileup import consensus as cns
 from ..ops.math import NUM_BUCKETS
@@ -85,19 +87,19 @@ def run_fq(frag_cons, frag_gap_info, famgrp, ref_syms, sscs_table, thres,
     z3 = lambda: np.zeros((P, NS, 2), dtype=np.int64)  # noqa: E731
     cdp1, cdp12, cdp2, cdp3, cdp21 = z3(), z3(), z3(), z3(), z3()
     cdpM, cdpm, cdpD = z3(), z3(), z3()
-    np.add.at(cdp12, (s1.pos, s1.con_sym, strand1), 1)
+    fast_add_at(cdp12, (s1.pos, s1.con_sym, strand1), 1)
     m1 = s1.tot == 1
-    np.add.at(cdp21, (s1.pos[m1], s1.con_sym[m1], strand1[m1]), 1)
+    fast_add_at(cdp21, (s1.pos[m1], s1.con_sym[m1], strand1[m1]), 1)
 
     has_umi = (fam_dflag[s1.group] & 0x1) != 0
     fam_good = ((s1.tot >= cfg.fam_thres_dup1add)
                 & (s1.con_cnt * 100 >= s1.tot * cfg.fam_thres_dup1perc)
                 & (has_umi | ((cfg.fam_flag & 0x2) != 0)))
-    np.add.at(cdp2, (s1.pos[fam_good], s1.con_sym[fam_good],
+    fast_add_at(cdp2, (s1.pos[fam_good], s1.con_sym[fam_good],
                      strand1[fam_good]), 1)
     t3 = ((s1.tot >= cfg.fam_thres_dup2add)
           & (s1.con_cnt * 100 >= s1.tot * cfg.fam_thres_dup2perc))
-    np.add.at(cdp3, (s1.pos[t3], s1.con_sym[t3], strand1[t3]), 1)
+    fast_add_at(cdp3, (s1.pos[t3], s1.con_sym[t3], strand1[t3]), 1)
 
     # cDPM/cDPm (main.hpp:3340-3352): per non-consensus symbol of the type,
     # cDPm += that symbol's count, cDPM += tot (so tot x 5 or x 7)
@@ -107,9 +109,9 @@ def run_fq(frag_cons, frag_gap_info, famgrp, ref_syms, sscs_table, thres,
                       cfg.fam_thres_emperr_con_perc_indel)
     em = (s1.tot >= emperr) & (s1.con_cnt * 100 >= s1.tot * emperc)
     n_others = np.where(s1.st == 0, 5, 7)
-    np.add.at(cdpm, (s1.pos[em], s1.con_sym[em], strand1[em]),
+    fast_add_at(cdpm, (s1.pos[em], s1.con_sym[em], strand1[em]),
               (s1.tot - s1.con_cnt)[em])
-    np.add.at(cdpM, (s1.pos[em], s1.con_sym[em], strand1[em]),
+    fast_add_at(cdpM, (s1.pos[em], s1.con_sym[em], strand1[em]),
               (s1.tot * n_others)[em])
 
     # SSCS bias counters for good families (c2*, main.hpp:3208-3319)
@@ -124,13 +126,9 @@ def run_fq(frag_cons, frag_gap_info, famgrp, ref_syms, sscs_table, thres,
     # ---- sweep 2: fammmm consensus -> cDP1 + confam quality buckets
     s2 = cns.consensus_by_group(mg, mp, ms, msum, P, link_m_overridden=False)
     strand2 = fam_strand[s2.group]
-    np.add.at(cdp1, (s2.pos, s2.con_sym, strand2), 1)
+    fast_add_at(cdp1, (s2.pos, s2.con_sym, strand2), 1)
 
-    # gather famcov counts at the sweep-2 winners
-    famcov_lookup = {}
-    for i in range(len(fg)):
-        famcov_lookup[(int(fg[i]), int(fp[i]), int(fs[i]))] = int(fcnt[i])
-    # vectorized: rebuild via dense hash is heavy; use sorted merge instead
+    # gather famcov counts at the sweep-2 winners (sorted-key merge)
     con_nfrags = _gather_triplet(fg, fp, fs, fcnt, s2.group, s2.pos,
                                  s2.con_sym, P)
     tot_nfrags = _gather_type_sum(fg, fp, fs, fcnt, s2.group, s2.pos,
@@ -156,7 +154,7 @@ def run_fq(frag_cons, frag_gap_info, famgrp, ref_syms, sscs_table, thres,
     hist = np.zeros((2, P, NS, NUM_BUCKETS), dtype=np.int64)
     hb = tot_nfrags >= cfg.fam_thres_dup1add
     pb = np.clip((max_qual - confam2 + 2) // 4, 0, NUM_BUCKETS - 1)
-    np.add.at(hist, (strand2[hb], s2.pos[hb], s2.con_sym[hb], pb[hb]), 1)
+    fast_add_at(hist, (strand2[hb], s2.pos[hb], s2.con_sym[hb], pb[hb]), 1)
 
     # phase signatures (fq tier)
     mutforms_fq, mutforms_f2q = _phase_signatures(
@@ -214,7 +212,7 @@ def _gather_type_sum(kg, kp, ks, kv, qg, qp, qst, P):
     seg = np.concatenate([[True], gs[1:] != gs[:-1]])
     sid = np.cumsum(seg) - 1
     sums = np.zeros(int(sid[-1]) + 1, dtype=np.int64)
-    np.add.at(sums, sid, vs)
+    fast_add_at(sums, sid, vs)
     ukeys = gs[seg]
     qk = (qg * P + qp) * 2 + qst
     idx = np.searchsorted(ukeys, qk)
@@ -256,20 +254,20 @@ def _c2_bias(c2info, s1, fam_good, famgrp, fc, thres, baq, baq2, P, cfg):
         l2 = mask & (nl >= L2)
         r1 = mask & (nr >= R1)
         r2 = mask & (nr >= R2)
-        np.add.at(c2info[prefix[0] + "1"], (pos[l1], sym[l1]), 1)
-        np.add.at(c2info[prefix[0] + "2"], (pos[l2], sym[l2]), 1)
-        np.add.at(c2info[prefix[1] + "1"], (pos[r1], sym[r1]), 1)
-        np.add.at(c2info[prefix[1] + "2"], (pos[r2], sym[r2]), 1)
-        np.add.at(c2info[prefix[0] + "L"], (pos[mask], sym[mask]), nl[mask])
-        np.add.at(c2info[prefix[1] + "L"], (pos[mask], sym[mask]), nr[mask])
+        fast_add_at(c2info[prefix[0] + "1"], (pos[l1], sym[l1]), 1)
+        fast_add_at(c2info[prefix[0] + "2"], (pos[l2], sym[l2]), 1)
+        fast_add_at(c2info[prefix[1] + "1"], (pos[r1], sym[r1]), 1)
+        fast_add_at(c2info[prefix[1] + "2"], (pos[r2], sym[r2]), 1)
+        fast_add_at(c2info[prefix[0] + "L"], (pos[mask], sym[mask]), nl[mask])
+        fast_add_at(c2info[prefix[1] + "L"], (pos[mask], sym[mask]), nr[mask])
 
     bidir(("c2LP", "c2RP"), l_nb, r_nb,
           thres.aLP1t[pos], thres.aLP2t[pos],
           thres.aRP1t[pos], thres.aRP2t[pos], is_far)
     m0l = l_nb >= cfg.bias_thres_strict_c2LRP0
-    np.add.at(c2info["c2LP0"], (pos[m0l], sym[m0l]), 1)
+    fast_add_at(c2info["c2LP0"], (pos[m0l], sym[m0l]), 1)
     m0r = r_nb >= cfg.bias_thres_strict_c2LRP0
-    np.add.at(c2info["c2RP0"], (pos[m0r], sym[m0r]), 1)
+    fast_add_at(c2info["c2RP0"], (pos[m0r], sym[m0r]), 1)
 
     from ..constants import MAX_STR_N_BASES
     lo = np.maximum(fbeg[g], np.maximum(pos - MAX_STR_N_BASES, 0))
@@ -284,7 +282,7 @@ def _c2_bias(c2info, s1, fam_good, famgrp, fc, thres, baq, baq2, P, cfg):
     bidir(("c2LB", "c2RB"), l_baq, r_baq,
           cfg.bias_thres_BAQ1, cfg.bias_thres_BAQ2,
           cfg.bias_thres_BAQ1, cfg.bias_thres_BAQ2, una)
-    np.add.at(c2info["c2BQ2"], (pos, sym), 1)
+    fast_add_at(c2info["c2BQ2"], (pos, sym), 1)
 
 
 def _family_indels(frag_gap_info, fc, fam_of_frag, P, frag_of_read, batch):
@@ -378,15 +376,15 @@ def _duplex(ddp1, ddp2, cdpD, s1, famgrp, P, cfg):
             mol[dm], s1.pos[dm], s1.con_sym[dm],
             np.ones(int(dm.sum()), dtype=np.int64), P)
         dc = cns.consensus_by_group(mg, mp, ms, cnt, P, link_m_overridden=False)
-        np.add.at(ddp1, (dc.pos, dc.con_sym), 1)
+        fast_add_at(ddp1, (dc.pos, dc.con_sym), 1)
         two = dc.tot > 1
-        np.add.at(ddp2, (dc.pos[two], dc.con_sym[two]), 1)
+        fast_add_at(ddp2, (dc.pos[two], dc.con_sym[two]), 1)
     # single-strand duplex-flagged families -> cDPD
     sm = (mol >= 0) & ~is_dscs_mol[np.maximum(mol, 0)] \
         & (s1.tot >= cfg.fam_thres_dup1add) \
         & (s1.con_cnt * 100 >= s1.tot * cfg.fam_thres_dup1perc)
     if sm.any():
-        np.add.at(cdpD, (s1.pos[sm], s1.con_sym[sm], strand[sm]), 1)
+        fast_add_at(cdpD, (s1.pos[sm], s1.con_sym[sm], strand[sm]), 1)
 
 
 def _iid_scan(max_qual, dec_qual, hist, totDP):

@@ -18,6 +18,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from uvc_tpu.ops.scatter import fast_add_at
+
 from ..constants import Symbol, NUM_SYMBOLS
 
 NS = NUM_SYMBOLS
@@ -66,7 +68,7 @@ def segment_reduce_sum(group, pos, sym, val, P):
     seg_start = np.concatenate([[True], sk[1:] != sk[:-1]])
     seg_id = np.cumsum(seg_start) - 1
     sums = np.zeros(int(seg_id[-1]) + 1, dtype=np.int64)
-    np.add.at(sums, seg_id, sv)
+    fast_add_at(sums, seg_id, sv)
     ukey = sk[seg_start]
     return (ukey // (NS * P), (ukey // NS) % P, ukey % NS, sums)
 
@@ -86,11 +88,20 @@ def consensus_by_group(ugroup, upos, usym, uval, P,
         return GroupConsensus(z, z.copy(), z.copy(), z.copy(), z.copy(), z.copy())
     ust = (usym >= 6).astype(np.int64)
     gkey = (ugroup * P + upos) * 2 + ust
+    # single packed sort key instead of a 4-key lexsort (~3x faster):
+    # [gkey | link_cls | inverted clamped value | sym]
+    VAL_BITS = 20
+    VAL_MAX = (1 << VAL_BITS) - 1
     if link_m_overridden:
         link_cls = ((usym == int(Symbol.LINK_M)) & (ust == 1)).astype(np.int64)
     else:
         link_cls = np.zeros(len(usym), dtype=np.int64)
-    order = np.lexsort((usym, -uval, link_cls, gkey))
+    if len(gkey) and int(gkey.max()) < (1 << 37):
+        packed = (((gkey << 1) | link_cls) << (VAL_BITS + 4)) \
+            | ((VAL_MAX - np.minimum(uval, VAL_MAX)) << 4) | usym
+        order = np.argsort(packed, kind="stable")
+    else:  # key would overflow int64: fall back to lexsort
+        order = np.lexsort((usym, -uval, link_cls, gkey))
     g2 = gkey[order]
     gstart = np.concatenate([[True], g2[1:] != g2[:-1]])
     gid = np.cumsum(gstart) - 1
@@ -98,7 +109,7 @@ def consensus_by_group(ugroup, upos, usym, uval, P,
     con_sym = usym[first_idx]
     con_cnt = uval[first_idx]
     tot = np.zeros(int(gid[-1]) + 1, dtype=np.int64)
-    np.add.at(tot, gid, uval[order])
+    fast_add_at(tot, gid, uval[order])
     st_g = ust[first_idx]
     if link_m_overridden:
         tot = np.where(st_g == 1, con_cnt, tot)

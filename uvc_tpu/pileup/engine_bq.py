@@ -21,6 +21,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from uvc_tpu.ops.scatter import fast_add_at
+
 from ..constants import Symbol, NUM_SYMBOLS, MAX_INSERT_SIZE
 from ..io.bam import BAM_CINS, BAM_CDEL
 from ..ops.math import NUM_BUCKETS
@@ -36,8 +38,8 @@ def _interval_add(diff: np.ndarray, beg, end, val=1):
     beg = np.asarray(beg)
     end = np.asarray(end)
     ok = end > beg
-    np.add.at(diff, beg[ok], val if np.isscalar(val) else val[ok])
-    np.add.at(diff, end[ok], -val if np.isscalar(val) else -val[ok])
+    fast_add_at(diff, beg[ok], val if np.isscalar(val) else val[ok])
+    fast_add_at(diff, end[ok], -val if np.isscalar(val) else -val[ok])
 
 
 def _zeros(P):
@@ -133,23 +135,23 @@ def pass_a_prep(table: ev.EventTable, batch, ref_syms: np.ndarray,
     bi = (b.rpos - off).astype(np.int64)
     br = b.read
     span = r.rend - r.pos
-    np.add.at(prep.a_pcr_dp, bi, pcr_inc[br])
-    np.add.at(prep.a_umi_dp, bi, umi_inc[br])
-    np.add.at(prep.a_dp, bi, 1)
-    np.add.at(prep.a_qlen, bi, span[br])
-    np.add.at(prep.a_XM1500, bi, r.xm1500[br])
-    np.add.at(prep.a_GO1500, bi, r.go1500[br])
-    np.add.at(prep.a_GAPLEN, bi, r.avg_gaplen[br])
+    fast_add_at(prep.a_pcr_dp, bi, pcr_inc[br])
+    fast_add_at(prep.a_umi_dp, bi, umi_inc[br])
+    fast_add_at(prep.a_dp, bi, 1)
+    fast_add_at(prep.a_qlen, bi, span[br])
+    fast_add_at(prep.a_XM1500, bi, r.xm1500[br])
+    fast_add_at(prep.a_GO1500, bi, r.go1500[br])
+    fast_add_at(prep.a_GAPLEN, bi, r.avg_gaplen[br])
 
     has_isize = r.isize[br] != 0
     m_rc = r.isrc[br] & has_isize
     m_fw = (~r.isrc[br]) & has_isize
     li_val = np.minimum(b.rpos - r.frag_pos_L[br] + 1, MAX_INSERT_SIZE)
     ri_val = np.minimum(r.frag_pos_R[br] - b.rpos, MAX_INSERT_SIZE)
-    np.add.at(prep.a_LI, bi[m_rc], li_val[m_rc])
-    np.add.at(prep.a_LIDP, bi[m_rc], 1)
-    np.add.at(prep.a_RI, bi[m_fw], ri_val[m_fw])
-    np.add.at(prep.a_RIDP, bi[m_fw], 1)
+    fast_add_at(prep.a_LI, bi[m_rc], li_val[m_rc])
+    fast_add_at(prep.a_LIDP, bi[m_rc], 1)
+    fast_add_at(prep.a_RI, bi[m_fw], ri_val[m_fw])
+    fast_add_at(prep.a_RIDP, bi[m_fw], 1)
 
     # snv/dnv mismatch-run intervals (main.hpp:1025-1046)
     mm_run = _mismatch_runlen(table, ref_syms, off)
@@ -172,18 +174,18 @@ def pass_a_prep(table: ev.EventTable, batch, ref_syms: np.ndarray,
     bh, ih = br[hb], bi[hb]
     ldist = (b.rpos - r.pos[br] + 1)[hb]
     rdist = (r.rend[br] - b.rpos)[hb]
-    np.add.at(prep.a_l_dist_sum, ih, ldist)
-    np.add.at(prep.a_r_dist_sum, ih, rdist)
-    np.add.at(prep.a_inslen_sum, ih, r.inslen_sum[bh])
-    np.add.at(prep.a_dellen_sum, ih, r.dellen_sum[bh])
+    fast_add_at(prep.a_l_dist_sum, ih, ldist)
+    fast_add_at(prep.a_r_dist_sum, ih, rdist)
+    fast_add_at(prep.a_inslen_sum, ih, r.inslen_sum[bh])
+    fast_add_at(prep.a_dellen_sum, ih, r.dellen_sum[bh])
     lbaq = baq[ih] - baq[r.pos[bh] - off] + 1
     rbaq = baq[r.rend[bh] - 1 - off] - baq[ih] + 1
-    np.add.at(prep.a_l_BAQ_sum, ih, lbaq)
-    np.add.at(prep.a_r_BAQ_sum, ih, rbaq)
+    fast_add_at(prep.a_l_BAQ_sum, ih, lbaq)
+    fast_add_at(prep.a_r_BAQ_sum, ih, rbaq)
     insbaq, delbaq = _read_gap_baq_sums(table, baq, off, P)
-    np.add.at(prep.a_insBAQ_sum, ih, insbaq[bh])
-    np.add.at(prep.a_delBAQ_sum, ih, delbaq[bh])
-    np.add.at(prep.a_highBQ_dp, ih, 1)
+    fast_add_at(prep.a_insBAQ_sum, ih, insbaq[bh])
+    fast_add_at(prep.a_delBAQ_sum, ih, delbaq[bh])
+    fast_add_at(prep.a_highBQ_dp, ih, 1)
 
     # --- gap ops
     _pass_a_gaps(prep, table, tracks, baq, insbaq, delbaq, off, P, cfg,
@@ -249,8 +251,8 @@ def _read_gap_baq_sums(table, baq, off, P):
                              off + P - 1) - off
         # reference: baq[min(rpos+oplen, end-1)] - baq[rpos] for both I and D
         v = baq[np.clip(end_idx, 0, P - 1)] - baq[np.clip(g.rpos - off, 0, P - 1)]
-        np.add.at(insb, g.read[~g.is_del], v[~g.is_del])
-        np.add.at(delb, g.read[g.is_del], v[g.is_del])
+        fast_add_at(insb, g.read[~g.is_del], v[~g.is_del])
+        fast_add_at(delb, g.read[g.is_del], v[g.is_del])
     return insb, delb
 
 
@@ -331,7 +333,7 @@ def _pass_a_gaps(prep, table, tracks, baq, insbaq, delbaq, off, P, cfg,
         d_rtr = np.zeros(P + 2, np.int64)
         _interval_add(d_rtr, np.clip(lo2 - off, 0, P), np.clip(hi2 - off, 0, P + 1))
         getattr(prep, f"a_near_RTR_{names}_dp")[:] += np.cumsum(d_rtr)[:P]
-        np.add.at(getattr(prep, f"a_at_{names}_dp"), np.clip(rpos - off, 0, P - 1), 1)
+        fast_add_at(getattr(prep, f"a_at_{names}_dp"), np.clip(rpos - off, 0, P - 1), 1)
 
     # deleted-base per-position adds (main.hpp:1127-1161)
     dmask = g.is_del
@@ -342,38 +344,38 @@ def _pass_a_gaps(prep, table, tracks, baq, insbaq, delbaq, off, P, cfg,
         owner, rpos2 = ev._flat_idx(rpos, oplen)
         rd = read[owner]
         i2 = np.clip(rpos2 - off, 0, P - 1)
-        np.add.at(prep.a_pcr_dp, i2, pcr_inc[rd])
-        np.add.at(prep.a_umi_dp, i2, umi_inc[rd])
-        np.add.at(prep.a_dp, i2, 1)
-        np.add.at(prep.a_qlen, i2, (r.rend - r.pos)[rd])
-        np.add.at(prep.a_highBQ_dp, i2, 1)
-        np.add.at(prep.a_XM1500, i2, r.xm1500[rd])
-        np.add.at(prep.a_GO1500, i2, r.go1500[rd])
-        np.add.at(prep.a_GAPLEN, i2, r.avg_gaplen[rd])
+        fast_add_at(prep.a_pcr_dp, i2, pcr_inc[rd])
+        fast_add_at(prep.a_umi_dp, i2, umi_inc[rd])
+        fast_add_at(prep.a_dp, i2, 1)
+        fast_add_at(prep.a_qlen, i2, (r.rend - r.pos)[rd])
+        fast_add_at(prep.a_highBQ_dp, i2, 1)
+        fast_add_at(prep.a_XM1500, i2, r.xm1500[rd])
+        fast_add_at(prep.a_GO1500, i2, r.go1500[rd])
+        fast_add_at(prep.a_GAPLEN, i2, r.avg_gaplen[rd])
         has_is = r.isize[rd] != 0
         m_rc = r.isrc[rd] & has_is
         m_fw = (~r.isrc[rd]) & has_is
         rpos_o = rpos[owner]
         li_val = np.minimum(rpos_o - r.frag_pos_L[rd] + 1, MAX_INSERT_SIZE)
         ri_val = np.minimum(r.frag_pos_R[rd] - rpos_o, MAX_INSERT_SIZE)
-        np.add.at(prep.a_LI, i2[m_rc], li_val[m_rc])
-        np.add.at(prep.a_LIDP, i2[m_rc], 1)
-        np.add.at(prep.a_RI, i2[m_fw], ri_val[m_fw])
-        np.add.at(prep.a_RIDP, i2[m_fw], 1)
+        fast_add_at(prep.a_LI, i2[m_rc], li_val[m_rc])
+        fast_add_at(prep.a_LIDP, i2[m_rc], 1)
+        fast_add_at(prep.a_RI, i2[m_fw], ri_val[m_fw])
+        fast_add_at(prep.a_RIDP, i2[m_fw], 1)
         ldist = rpos_o - r.pos[rd] + 1
         rdist = r.rend[rd] - rpos_o
-        np.add.at(prep.a_l_dist_sum, i2, ldist)
-        np.add.at(prep.a_r_dist_sum, i2, rdist)
-        np.add.at(prep.a_inslen_sum, i2, r.inslen_sum[rd])
-        np.add.at(prep.a_dellen_sum, i2, r.dellen_sum[rd])
+        fast_add_at(prep.a_l_dist_sum, i2, ldist)
+        fast_add_at(prep.a_r_dist_sum, i2, rdist)
+        fast_add_at(prep.a_inslen_sum, i2, r.inslen_sum[rd])
+        fast_add_at(prep.a_dellen_sum, i2, r.dellen_sum[rd])
         # quirk in reference: l/r BAQ sums are added at rpos (not rpos2)
         i_at = np.clip(rpos_o - off, 0, P - 1)
         lbaq = baq[i_at] - baq[np.clip(r.pos[rd] - off, 0, P - 1)] + 1
         rbaq = baq[np.clip(r.rend[rd] - 1 - off, 0, P - 1)] - baq[i_at] + 1
-        np.add.at(prep.a_l_BAQ_sum, i_at, lbaq)
-        np.add.at(prep.a_r_BAQ_sum, i_at, rbaq)
-        np.add.at(prep.a_insBAQ_sum, i2, insbaq[rd])
-        np.add.at(prep.a_delBAQ_sum, i2, delbaq[rd])
+        fast_add_at(prep.a_l_BAQ_sum, i_at, lbaq)
+        fast_add_at(prep.a_r_BAQ_sum, i_at, rbaq)
+        fast_add_at(prep.a_insBAQ_sum, i2, insbaq[rd])
+        fast_add_at(prep.a_delBAQ_sum, i2, delbaq[rd])
 
 
 def _pass_a_clips(prep, batch, table, off, P, cfg, pcr_inc):
@@ -399,10 +401,10 @@ def _pass_a_clips(prep, batch, table, off, P, cfg, pcr_inc):
     for k in range(-cfg.microadjust_near_clip_dist, cfg.microadjust_near_clip_dist + 1):
         idx = rp[amp] + k - off
         ok = (idx >= 0) & (idx < P)
-        np.add.at(prep.a_near_pcr_clip_dp, idx[ok], pcr_inc[rd[amp]][ok])
+        fast_add_at(prep.a_near_pcr_clip_dp, idx[ok], pcr_inc[rd[amp]][ok])
     longc = (~amp) & (ln[ci] >= cfg.microadjust_alignment_clip_min_len)
     idx = np.clip(rp[longc] - off, 0, P - 1)
-    np.add.at(prep.a_near_long_clip_dp, idx, 1)
+    fast_add_at(prep.a_near_long_clip_dp, idx, 1)
 
 
 # ---------------------------------------------------------------------------
@@ -742,7 +744,7 @@ def pass_c_scatter(allev: EventValues, table, baq, baq2, thres: SegThres,
     bq = e.val
     rpos_abs = pos + off
 
-    np.add.at(bg, (pos, sym), bq)
+    fast_add_at(bg, (pos, sym), bq)
 
     isrc = r.isrc[rd]
     strand = r.strand[rd]
@@ -750,22 +752,22 @@ def pass_c_scatter(allev: EventValues, table, baq, baq2, thres: SegThres,
     paired = r.is_paired[rd]
     flag = r.flag[rd]
 
-    np.add.at(a1, (pos, sym, isrc.astype(np.int64)), bq)
-    np.add.at(a2, (pos, sym, isrc.astype(np.int64)), bq * bq // SQR_QUAL_DIV)
-    np.add.at(info.aMQs, (pos, sym), r.mapq[rd])
+    fast_add_at(a1, (pos, sym, isrc.astype(np.int64)), bq)
+    fast_add_at(a2, (pos, sym, isrc.astype(np.int64)), bq * bq // SQR_QUAL_DIV)
+    fast_add_at(info.aMQs, (pos, sym), r.mapq[rd])
 
     # quadrant depths
     quad_isrc = isrc.astype(np.int64)
     for s_val, c_val, name in ((0, 0, "aDPff"), (0, 1, "aDPfr"),
                                (1, 0, "aDPrf"), (1, 1, "aDPrr")):
         m = (strand.astype(np.int64) == s_val) & (quad_isrc == c_val)
-        np.add.at(getattr(info, name), (pos[m], sym[m]), 1)
+        fast_add_at(getattr(info, name), (pos[m], sym[m]), 1)
 
     seg_l_nbases = rpos_abs - r.pos[rd] + 1
     seg_r_nbases = r.rend[rd] - rpos_abs
-    np.add.at(info.aP3, (pos, sym), (np.minimum(np.minimum(
+    fast_add_at(info.aP3, (pos, sym), (np.minimum(np.minimum(
         e.dist, seg_l_nbases), seg_r_nbases) >= cfg.bias_thres_interfering_indel).astype(np.int64))
-    np.add.at(info.aNC, (pos, sym), (r.clip_cnt[rd] == 0).astype(np.int64))
+    fast_add_at(info.aNC, (pos, sym), (r.clip_cnt[rd] == 0).astype(np.int64))
 
     frag_l2 = np.where(isize != 0,
                        np.minimum(rpos_abs - r.frag_pos_L[rd] + 1, MAX_INSERT_SIZE),
@@ -774,9 +776,9 @@ def pass_c_scatter(allev: EventValues, table, baq, baq2, thres: SegThres,
                        np.minimum(r.frag_pos_R[rd] - rpos_abs, MAX_INSERT_SIZE),
                        MAX_INSERT_SIZE)
     m = isrc & (isize != 0)
-    np.add.at(info.aLIT, (pos[m], sym[m]), frag_l2[m])
+    fast_add_at(info.aLIT, (pos[m], sym[m]), frag_l2[m])
     m = (~isrc) & (isize != 0)
-    np.add.at(info.aRIT, (pos[m], sym[m]), frag_r2[m])
+    fast_add_at(info.aRIT, (pos[m], sym[m]), frag_r2[m])
 
     # BAQ distances
     p_beg = np.clip(r.pos[rd] - off, 0, P - 1)
@@ -810,9 +812,9 @@ def pass_c_scatter(allev: EventValues, table, baq, baq2, thres: SegThres,
     min_dist2iend = np.where(paired, np.minimum(frag_l2, frag_r2),
                              np.where(isrc, seg_r_nbases, seg_l_nbases))
     m = is_far & is_unaff & ((min_dist2iend > cfg.primerlen2) | ~is_amplicon_ev)
-    np.add.at(info.aP1, (pos[m], sym[m]), 1)
+    fast_add_at(info.aP1, (pos[m], sym[m]), 1)
     m = is_umi_ev | ~is_amplicon_ev
-    np.add.at(info.aP2, (pos[m], sym[m]), 1)
+    fast_add_at(info.aP2, (pos[m], sym[m]), 1)
 
     # PF passing-fraction depths (x100)
     def ampfact(bqv, thr):
@@ -821,15 +823,15 @@ def pass_c_scatter(allev: EventValues, table, baq, baq2, thres: SegThres,
     pf1 = ampfact(bq, cfg.bias_thres_PFBQ1)
     pf2 = ampfact(bq, cfg.bias_thres_PFBQ2)
     # gap: min(100, ampfact2); non-gap: 100*ampfact2/100 == ampfact2 (XMGOT off)
-    np.add.at(info.aPF1, (pos, sym), np.where(e.is_gap, np.minimum(100, pf1), pf1))
-    np.add.at(info.aPF2, (pos, sym), np.where(e.is_gap, np.minimum(100, pf2), pf2))
+    fast_add_at(info.aPF1, (pos, sym), np.where(e.is_gap, np.minimum(100, pf1), pf1))
+    fast_add_at(info.aPF2, (pos, sym), np.where(e.is_gap, np.minimum(100, pf2), pf2))
     ng = ~e.is_gap
     xm1500e = r.xm1500[rd]
     bm1500e = np.zeros(len(rd), dtype=np.int64)  # per-symbol mismatch density
     # a2XM2/a2BM2 only for non-gap events
-    np.add.at(info.a2XM2, (pos[ng], sym[ng]),
+    fast_add_at(info.a2XM2, (pos[ng], sym[ng]),
               np.where(xm1500e[ng] > 20, 100 * 400 // np.maximum(xm1500e[ng] ** 2, 1), 100))
-    np.add.at(info.a2BM2, (pos[ng], sym[ng]),
+    fast_add_at(info.a2BM2, (pos[ng], sym[ng]),
               np.where(bm1500e[ng] > 20, 100 * 400 // np.maximum(bm1500e[ng] ** 2, 1), 100))
 
     # tier gate
@@ -842,12 +844,12 @@ def pass_c_scatter(allev: EventValues, table, baq, baq2, thres: SegThres,
         l2 = mask & (nl + n_indel >= L2) & tier2
         r1 = mask & (nr >= R1)
         r2 = mask & (nr >= R2) & tier2
-        np.add.at(getattr(info, f"{prefix[0]}1"), (pos[l1], sym[l1]), 1)
-        np.add.at(getattr(info, f"{prefix[0]}2"), (pos[l2], sym[l2]), 1)
-        np.add.at(getattr(info, f"{prefix[1]}1"), (pos[r1], sym[r1]), 1)
-        np.add.at(getattr(info, f"{prefix[1]}2"), (pos[r2], sym[r2]), 1)
-        np.add.at(getattr(info, f"{prefix[0]}L"), (pos[mask], sym[mask]), nl[mask])
-        np.add.at(getattr(info, f"{prefix[1]}L"), (pos[mask], sym[mask]), nr[mask])
+        fast_add_at(getattr(info, f"{prefix[0]}1"), (pos[l1], sym[l1]), 1)
+        fast_add_at(getattr(info, f"{prefix[0]}2"), (pos[l2], sym[l2]), 1)
+        fast_add_at(getattr(info, f"{prefix[1]}1"), (pos[r1], sym[r1]), 1)
+        fast_add_at(getattr(info, f"{prefix[1]}2"), (pos[r2], sym[r2]), 1)
+        fast_add_at(getattr(info, f"{prefix[0]}L"), (pos[mask], sym[mask]), nl[mask])
+        fast_add_at(getattr(info, f"{prefix[1]}L"), (pos[mask], sym[mask]), nr[mask])
 
     mfar = gate & is_far
     bidir(("aLP", "aRP"), seg_l_nbases, seg_r_nbases,
@@ -857,7 +859,7 @@ def pass_c_scatter(allev: EventValues, table, baq, baq2, thres: SegThres,
     bidir(("aLB", "aRB"), seg_l_baq, seg_r_baq,
           cfg.bias_thres_BAQ1, cfg.bias_thres_BAQ2,
           cfg.bias_thres_BAQ1, cfg.bias_thres_BAQ2, 0, muna)
-    np.add.at(info.aBQ2, (pos[gate], sym[gate]), 1)
+    fast_add_at(info.aBQ2, (pos[gate], sym[gate]), 1)
 
     # insert-end bias counters
     mate_ok = ((flag & 0x8) == 0) | ((flag & 0x1) == 0)
@@ -869,22 +871,22 @@ def pass_c_scatter(allev: EventValues, table, baq, baq2, thres: SegThres,
     d2 = frag_l2
     m1 = mrc & (d2 >= thres.aLI1t[pos]) & ((d2 <= thres.aLI1T[pos]) | e.is_gap) \
         & (is_norm | (e.is_gap & is_l_nonb))
-    np.add.at(info.aLI1, (pos[m1], sym[m1]), 1)
+    fast_add_at(info.aLI1, (pos[m1], sym[m1]), 1)
     m2 = mrc & (d2 >= thres.aLI2t[pos]) & ((d2 <= thres.aLI2T[pos]) | e.is_gap) \
         & (is_norm | (e.is_gap & is_l_nonb)) & is_pos_good
-    np.add.at(info.aLI2, (pos[m2], sym[m2]), 1)
+    fast_add_at(info.aLI2, (pos[m2], sym[m2]), 1)
     m3 = mrc & is_pos_good
-    np.add.at(info.aLIr, (pos[m3], sym[m3]), 1)
+    fast_add_at(info.aLIr, (pos[m3], sym[m3]), 1)
     mfw = ~isrc
     d2 = frag_r2
     m1 = mfw & (d2 >= thres.aRI1t[pos]) & ((d2 <= thres.aRI1T[pos]) | e.is_gap) \
         & (is_norm | (e.is_gap & is_r_nonb))
-    np.add.at(info.aRI1, (pos[m1], sym[m1]), 1)
+    fast_add_at(info.aRI1, (pos[m1], sym[m1]), 1)
     m2 = mfw & (d2 >= thres.aRI2t[pos]) & ((d2 <= thres.aRI2T[pos]) | e.is_gap) \
         & (is_norm | (e.is_gap & is_r_nonb)) & is_pos_good
-    np.add.at(info.aRI2, (pos[m2], sym[m2]), 1)
+    fast_add_at(info.aRI2, (pos[m2], sym[m2]), 1)
     m3 = mfw & is_pos_good
-    np.add.at(info.aRIf, (pos[m3], sym[m3]), 1)
+    fast_add_at(info.aRIf, (pos[m3], sym[m3]), 1)
 
     return info, bg, a1, a2
 
@@ -934,13 +936,13 @@ def pass_d_fragments(allev: EventValues, gap_info, table, ref_syms,
 
     hist = np.zeros((P, NS, NUM_BUCKETS), dtype=np.int64)
     hm = pbucket < NUM_BUCKETS
-    np.add.at(hist, (g_pos[hm], con_sym[hm], pbucket[hm]), 1)
+    fast_add_at(hist, (g_pos[hm], con_sym[hm], pbucket[hm]), 1)
 
     bdp = np.zeros((P, NS, 2), dtype=np.int64)
     strand_g = frag_strand[g_frag].astype(np.int64)
-    np.add.at(bdp, (g_pos, con_sym, strand_g), 1)
+    fast_add_at(bdp, (g_pos, con_sym, strand_g), 1)
     vq_bMQ = np.zeros((P, NS), dtype=np.int64)
-    np.add.at(vq_bMQ, (g_pos, con_sym), normMQ[g_frag] ** 2 // SQR_QUAL_DIV)
+    fast_add_at(vq_bMQ, (g_pos, con_sym), normMQ[g_frag] ** 2 // SQR_QUAL_DIV)
 
     # exact indel consensus per fragment (simplified majority: first max-val
     # gap event of the fragment matching (pos, winner sym))
@@ -995,7 +997,7 @@ def pass_d_fragments(allev: EventValues, gap_info, table, ref_syms,
     fp_key = f_s * P + p_s
     fp_new = np.concatenate([[True], fp_key[1:] != fp_key[:-1]])
     n_cov = np.zeros(n_frags, dtype=np.int64)
-    np.add.at(n_cov, f_s[fp_new], 1)
+    fast_add_at(n_cov, f_s[fp_new], 1)
     # near-mut: a covered pos is near-mut if within 11 of any mutated pos of
     # the same fragment
     n_near = np.zeros(n_frags, dtype=np.int64)
@@ -1028,8 +1030,8 @@ def pass_d_fragments(allev: EventValues, gap_info, table, ref_syms,
 
     bta = np.zeros((P, NS, 2), dtype=np.int64)
     btb = np.zeros((P, NS, 2), dtype=np.int64)
-    np.add.at(bta, (g_pos, con_sym, strand_g), n_cov[g_frag])
-    np.add.at(btb, (g_pos, con_sym, strand_g), n_near[g_frag])
+    fast_add_at(bta, (g_pos, con_sym, strand_g), n_cov[g_frag])
+    fast_add_at(btb, (g_pos, con_sym, strand_g), n_near[g_frag])
 
     return bdp, bta, btb, hist, vq_bMQ, frag_indel, mutforms
 
