@@ -76,3 +76,36 @@ def test_info_and_fmt_fields(tmp_path):
     assert r.fmt["bDP"] >= r.fmt["bAD"] > 0
     assert r.fmt["FTS"] == "PASS"
     assert r.info["SomaticQ"] == min(r.info["TLODQ"], r.info["NLODQ"])
+
+
+def test_tumor_normal_join(tmp_path):
+    """Somatic variants survive the TN join; germline variants are
+    filtered by the normal evidence."""
+    from uvc_tpu.io.fasta import write_fasta
+    from uvc_tpu.vcfout import reader as vcf_reader
+    from uvc_tpu.io import bgzf
+    from uvc_tpu.cli import uvctn
+
+    ref = simulate.random_ref(3000, 50)
+    write_fasta(str(tmp_path / "ref.fa"), [("chr1", ref)])
+    tvars = [simulate.Variant(1000, f"{ref[1000]}>" + ("A" if ref[1000] != "A" else "C"), 0.3),
+             simulate.Variant(1800, f"{ref[1800]}>" + ("G" if ref[1800] != "G" else "T"), 0.5),
+             simulate.Variant(2200, "-2", 0.25)]
+    nvars = [tvars[1]]
+    simulate.build_bam(str(tmp_path / "tumor.bam"), ref, depth=150,
+                       variants=tvars, seed=51)
+    simulate.build_bam(str(tmp_path / "normal.bam"), ref, depth=150,
+                       variants=nvars, seed=52)
+    rc = uvctn.run([str(tmp_path / "ref.fa"), str(tmp_path / "tumor.bam"),
+                    str(tmp_path / "normal.bam"), str(tmp_path / "out"),
+                    "TS,NS"])
+    assert rc == 0 or rc is None
+    text = bgzf.read_file(str(tmp_path / "out.normal.vcf.gz")).decode()
+    recs = [l.split("\t") for l in text.splitlines() if not l.startswith("#")]
+    poss = {int(r[1]) for r in recs}
+    assert 1001 in poss          # somatic SNV kept
+    assert 2201 in poss          # somatic deletion kept
+    assert 1801 not in poss      # germline variant filtered
+    for r in recs:
+        assert "SOMATIC" in r[7]
+        assert len(r) == 11      # normal + appended tumor column

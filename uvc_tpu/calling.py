@@ -33,6 +33,7 @@ class VariantRecord:
     filter: str
     info: dict
     fmt: dict         # FORMAT tag -> value(s)
+    tumor_fmt: str = ""  # verbatim tumor column (normal mode)
 
 
 def tumor_only_tlodq(F, cfg):
@@ -75,9 +76,61 @@ def tumor_only_tlodq(F, cfg):
     return tlodq, b4, c4
 
 
+def tn_join_quals(tki, nfm_vals, cfg, is_indel, gap_len):
+    """calc_binom_powlaw_syserr_normv_quals for one rescued variant
+    (main.hpp:5982-6009, 6137-6185). nfm_vals: dict of the normal sample's
+    values at this (pos, symbol)."""
+    prior_phred = 3
+    h3_snp = max(0, 2 * cfg.germ_phred_hetero_snp - cfg.germ_phred_het3al_snp)
+    h3_indel = max(0, 2 * cfg.germ_phred_hetero_indel - cfg.germ_phred_het3al_indel)
+    h3inc = (max(h3_indel + 1 - gap_len, 0) if is_indel else h3_snp)
+
+    tn_dec_by_xm = (int(np.clip(min(nfm_vals["bNMQ"], tki.bNMQ),
+                                cfg.microadjust_syserr_MQ_NMR_tn_syserr_no_penal_qual_min,
+                                cfg.microadjust_syserr_MQ_NMR_tn_syserr_no_penal_qual_max))
+                    - cfg.microadjust_syserr_MQ_NMR_tn_syserr_no_penal_qual_min)
+    short_frag = nfm_vals["short_frag"]
+    add1 = (cfg.lib_nonwgs_normal_add_mul_ad * nfm_vals["cDP1x"] / 100.0
+            if short_frag else 0.0)
+    add2 = (cfg.lib_nonwgs_normal_add_mul_ad * nfm_vals["cDP2x"] / 100.0
+            if short_frag else 0.0)
+
+    def q4(tAD, tDP, tVQ, cap, nAD, nDP, nVQ, dec_xm):
+        tAD = min(tAD, tDP)
+        binom = int(qual.binom_lr((tDP - tAD) / tDP, nDP - nAD, nAD))
+        nADplus = nAD * min(max(nDP / tDP - 1.0, 0.0), 1.0)
+        bjp = ((tAD + 0.5) / (tDP + 1.0)) / ((nAD + 0.5 + nADplus) / (nDP + 1.0 + nADplus))
+        powl = round(cfg.powlaw_exponent * INV_LOG10 * math.log(bjp))
+        inc = max(-prior_phred, -int(nAD) * 3,
+                  min(binom - prior_phred, powl - prior_phred))
+        dec = max(0, nVQ - max(0, min(
+            binom - prior_phred,
+            int((math.log(max(bjp, 1.001)) / math.log(2.0)) ** 2
+                * cfg.tn_syserr_norm_devqual))))
+        dec = max(dec, min(nVQ + 9, dec_xm))
+        return (binom, powl, dec, min(cap, tVQ + inc) - dec)
+
+    b4 = q4((tki.cDP1x + 0.5) / 100.0, (tki.CDP1x + 1.0) / 100.0,
+            tki.cVQ1, tki.cPCQ1,
+            (nfm_vals["cDP1x"] + 0.5) / 100.0 + add1,
+            (nfm_vals["CDP1x"] + 1.0) / 100.0 + add1,
+            max(nfm_vals["cVQ1"] - h3inc, 0), tn_dec_by_xm)
+    conv_nfm_cVQ2 = nfm_vals["cVQ1"] - (3 * (nfm_vals["BDP"] + 1)
+                                        // (nfm_vals["CDP1"] + 1))
+    norm_norm_vq = max(nfm_vals["cVQ2"] - (max(h3inc, 3) - 3), 0)
+    c4 = q4((tki.cDP2x + 0.5) / 100.0, (tki.CDP2x + 1.0) / 100.0,
+            tki.cVQ2, tki.cPCQ2,
+            (nfm_vals["cDP2x"] + 0.5) / 100.0 + add2,
+            (nfm_vals["CDP2x"] + 1.0) / 100.0 + add2,
+            norm_norm_vq,
+            max(tn_dec_by_xm, min(max(nfm_vals["cVQ2"], conv_nfm_cVQ2), 12)))
+    return b4, c4
+
+
 def call_variants(batch, ref_syms, refstring, region_offset, chrom, cfg,
-                  is_tumor_only=True):
-    """Returns (records, region_result, F)."""
+                  is_tumor_only=True, tki_map=None):
+    """Returns (records, region_result, F). tki_map: (tid,sympos,symbol) ->
+    [TumorKeyInfo] for normal-mode joint calling (tid ignored here)."""
     res = region_mod.call_region(batch, ref_syms, region_offset, cfg,
                                  is_normal=not is_tumor_only)
     assay = res.assay_type
@@ -97,10 +150,26 @@ def call_variants(batch, ref_syms, refstring, region_offset, chrom, cfg,
     F["ins1_cdepth"] = cdepth[:, 12]
     F["del1_cdepth"] = cdepth[:, 9]
 
-    cand = dpv.candidate_mask(F, cfg, is_tumor_only)
-    dpv.calc_dpv(F, cfg, is_tumor_only)
+    rescued = {}
+    tpfa_dpv = None
+    tpfa_qual = None
+    if not is_tumor_only and tki_map:
+        tpfa_dpv = np.full((P, NS), -1.0)
+        tpfa_qual = np.full((P, NS), -1.0)
+        for (tid_, sympos, vti), tkis in tki_map.items():
+            p = sympos - region_offset
+            if 0 <= p < P and 0 <= vti < NS:
+                rescued[(p, vti)] = tkis
+                tki = tkis[0]
+                tpfa_dpv[p, vti] = (tki.cDP1x + 1.0) / (tki.CDP1x + 2.0)
+                tpfa_qual[p, vti] = (tki.bDP + 0.5) / (tki.BDP + 1.0)
+    rescued_pos = sorted({p for (p, s) in rescued})
+    cand = dpv.candidate_mask(
+        F, cfg, is_tumor_only,
+        rescued_pos_sym=[(p, 0) for p in rescued_pos] if not is_tumor_only else None)
+    dpv.calc_dpv(F, cfg, is_tumor_only, tpfa=tpfa_dpv)
     dpv.sum_dpv(F, cand)
-    qual.calc_qual(F, cfg, is_tumor_only)
+    qual.calc_qual(F, cfg, is_tumor_only, tpfa=tpfa_qual)
     germ = germline.germline_nlodq(F, cand, cfg, is_tumor_only)
     tlodq, b4, c4 = tumor_only_tlodq(F, cfg)
 
@@ -123,15 +192,74 @@ def call_variants(batch, ref_syms, refstring, region_offset, chrom, cfg,
 
     # assemble records for candidates
     records = []
-    cand_idx = np.argwhere(cand)
-    is_subst = dpv.IS_SUBST
     germ_phred = {0: cfg.germ_phred_hetero_snp, 1: cfg.germ_phred_hetero_indel}
-    for p, s in cand_idx:
-        p, s = int(p), int(s)
+    if is_tumor_only:
+        work = [(int(p), int(s), None) for p, s in np.argwhere(cand)]
+    else:
+        work = [(p, s, tkis[0]) for (p, s), tkis in sorted(rescued.items())]
+
+    for p, s, tki in work:
         st = 0 if s < 6 else 1
         stq = germ[st]
         nlodq_ss = int(stq["nlodq"][p]) - 3 + germ_phred[st]
-        q = float(vcfqual[p, s])
+        gap_len = int(F["gapLen"][p, s])
+        is_indel = s in (7, 8, 9, 10, 11, 12)
+
+        if is_tumor_only:
+            q = float(vcfqual[p, s])
+            tl = int(tlodq[p, s])
+            nlodq_rec = nlodq_ss
+            nlodv = SYMBOL_TO_DESC[NS]
+        else:
+            # TN join (main.hpp:6137-6205 + main.cpp:1104-1147)
+            ref_link = F["ref_syms"][p] if st == 0 else int(Symbol.LINK_M)
+            nfm_vals = {
+                "bNMQ": int(F["bNMQ"][p, s]),
+                "cDP1x": int(F["cDP1x"][p, s]), "CDP1x": int(F["CDP1x"][p, s]),
+                "cDP2x": int(F["cDP2x"][p, s]), "CDP2x": int(F["CDP2x"][p, s]),
+                "cVQ1": int(F["cVQ1"][p, s]), "cVQ2": int(F["cVQ2"][p, s]),
+                "BDP": int(F["BDP"][p, s]), "CDP1": int(F["CDP1"][p, s]),
+                "short_frag": bool(F["short_frag"][p, 0]),
+            }
+            b4t, c4t = tn_join_quals(tki, nfm_vals, cfg, is_indel, gap_len)
+            tlodq1 = max(b4t[3], c4t[3])
+            tl = tlodq1 if tlodq1 >= 10 else tlodq1 * 3 - 20
+            # nlodq_inc over the normal's top-2 germline alts
+            nlodq_inc = 999
+            nlodv = SYMBOL_TO_DESC[NS]
+            for altk in ("alt1", "alt2"):
+                norm_sym = int(stq[altk + "_sym"][p])
+                nAD = (int(stq[altk + "_cDP1x"][p]) + 50) / 100.0
+                nDP = (int(F["CDP1x"][p, s]) + 100) / 100.0
+                tAD = (tki.cDP1x + 50) / 100.0
+                tDP = (tki.CDP1x + 100) / 100.0
+                bjpfrac = (tAD / tDP) / (nAD / nDP)
+                binom = int(qual.binom_lr((tDP - min(tAD, tDP)) / tDP,
+                                          nDP - nAD, nAD))
+                powl = int(cfg.powlaw_exponent * INV_LOG10 * math.log(bjpfrac))
+                tri_inc = 0
+                if norm_sym != s:
+                    tri_inc = (2 * cfg.germ_phred_hetero_snp - cfg.germ_phred_het3al_snp
+                               if st == 0 else
+                               2 * cfg.germ_phred_hetero_indel - cfg.germ_phred_het3al_indel)
+                new_inc = int(np.clip(min(binom, powl), -3,
+                              cfg.powlaw_anyvar_base)) + tri_inc
+                if new_inc < nlodq_inc:
+                    nlodq_inc = new_inc
+                    nlodv = SYMBOL_TO_DESC[min(norm_sym, NS)]
+            totBDP = int(F["BDP"][p, s])
+            ref_bdp = int((F["bDPf"] + F["bDPr"])[p, ref_link])
+            alt_bdp = int((F["bDPf"] + F["bDPr"])[p, s])
+            n_norm_alts = (totBDP - ref_bdp) + alt_bdp
+            nlodq_rec = max(max(nlodq_ss, germ_phred[st] + nlodq_inc),
+                            tki.vHGQ + min(3, totBDP - n_norm_alts
+                                           * int(round(0.5 / cfg.contam_any_mul_frac))))
+            somaticq = min(tl, nlodq_rec)
+            raw = float(somaticq)
+            base10 = 10.0 ** 0.1
+            q = (math.log1p(base10 ** raw) / math.log(base10)
+                 if raw < 10.0 else raw)
+
         keep = ((q >= cfg.vqual)
                 or (is_tumor_only
                     and ((F["aBQ2"][p, s] >= cfg.vad1 and F["ABQ2"][p, s] >= cfg.vdp1
@@ -142,70 +270,74 @@ def call_variants(batch, ref_syms, refstring, region_offset, chrom, cfg,
         if ref_here and not cfg.should_output_all:
             keep = False
         if s == int(Symbol.BASE_NN) or s == int(Symbol.LINK_NN):
-            keep = keep and False  # OUTVAR gating for NN handled later
+            keep = False  # OUTVAR_BASE_NN emission comes with the NN records
         if not keep:
             continue
-        # REF/ALT strings (main.hpp:6064-6089)
-        regionpos = p
-        gap_key = F["gapSa"].get((p, s))
-        gap_len = int(F["gapLen"][p, s])
-        if s in (7, 8, 9, 10, 11, 12) and gap_len > 0:
-            vcfpos = p  # 1-based anchored at p-1 (internal p == VCF pos)
-            anchor = refstring[regionpos - 1:regionpos].decode() if regionpos > 0 else "n"
-            if s in (10, 11, 12):
-                iseq = gap_key.decode() if isinstance(gap_key, bytes) else ""
-                ref_a, alt_a = anchor, anchor + iseq
-            else:
-                dseq = refstring[regionpos:regionpos + gap_len].decode()
-                ref_a, alt_a = anchor + dseq, anchor
-        elif st == 0:
-            vcfpos = p + 1
-            ref_a = refstring[regionpos:regionpos + 1].decode()
-            alt_a = SYMBOL_TO_DESC[s]
-        else:
-            vcfpos = p
-            ref_a = refstring[regionpos - 1:regionpos].decode() if regionpos > 0 else "n"
-            alt_a = SYMBOL_TO_DESC[s]
 
-        if q < 10:
-            filt = "Q10"
-        elif q < 20:
-            filt = "Q20"
-        elif q < 30:
-            filt = "Q30"
-        elif q < 40:
-            filt = "Q40"
-        elif q < 50:
-            filt = "Q50"
-        elif q < 60:
-            filt = "Q60"
+        # REF/ALT strings (main.hpp:6064-6089)
+        if tki is not None and tki.ref_alt:
+            ref_a, alt_a = tki.ref_alt.split("\t")
+            vcfpos = p + 1 if st == 0 else p
         else:
-            filt = "PASS"
-        tl = int(tlodq[p, s])
+            regionpos = p
+            gap_key = F["gapSa"].get((p, s))
+            if is_indel and gap_len > 0:
+                vcfpos = p  # anchored at p-1 (internal p printed as POS)
+                anchor = refstring[regionpos - 1:regionpos].decode() if regionpos > 0 else "n"
+                if s in (10, 11, 12):
+                    iseq = gap_key.decode() if isinstance(gap_key, bytes) else ""
+                    ref_a, alt_a = anchor, anchor + iseq
+                else:
+                    dseq = refstring[regionpos:regionpos + gap_len].decode()
+                    ref_a, alt_a = anchor + dseq, anchor
+            elif st == 0:
+                vcfpos = p + 1
+                ref_a = refstring[regionpos:regionpos + 1].decode()
+                alt_a = SYMBOL_TO_DESC[s]
+            else:
+                vcfpos = p
+                ref_a = refstring[regionpos - 1:regionpos].decode() if regionpos > 0 else "n"
+                alt_a = SYMBOL_TO_DESC[s]
+
+        filt = ("Q10" if q < 10 else "Q20" if q < 20 else "Q30" if q < 30
+                else "Q40" if q < 40 else "Q50" if q < 50
+                else "Q60" if q < 60 else "PASS")
+        ref_link = F["ref_syms"][p] if st == 0 else int(Symbol.LINK_M)
         info = {
-            "ANY_VAR": True, "SomaticQ": min(tl, nlodq_ss),
-            "TLODQ": tl, "NLODQ": nlodq_ss, "NLODV": SYMBOL_TO_DESC[NS],
-            "tbDP": int(F["BDP"][p, s]),
-            "tDP": int(F["CDP1"][p, s]),
-            "tAD": (int(F["AD"][p, F["ref_syms"][p] if st == 0 else int(Symbol.LINK_M)]),
-                    int(F["AD"][p, s])),
+            ("SOMATIC" if not is_tumor_only else "ANY_VAR"): True,
+            "SomaticQ": min(tl, nlodq_rec),
+            "TLODQ": tl, "NLODQ": nlodq_rec, "NLODV": nlodv,
+            "tbDP": (tki.BDP if tki else int(F["BDP"][p, s])),
+            "tDP": (0 if tki else int(F["CDP1"][p, s])),
+            "tAD": (int(F["AD"][p, ref_link]), int(F["AD"][p, s])),
             "RU": "", "RC": int(F["ctx_repeatnum"][p]),
         }
+        if not is_tumor_only:
+            info["nDP"] = int(F["CDP1"][p, s])
+            info["nAD"] = (int(F["AD"][p, ref_link]), int(F["AD"][p, s]))
         fmt = {
             "GT": "./1",
             "VTI": s, "VTD": SYMBOL_TO_DESC[s],
             "DP": int(F["CDP1"][p, s]), "AD": int(F["AD"][p, s]),
             "bDP": int(F["BDP"][p, s]), "bAD": int(F["bAD"][p, s]),
+            "bDPf": int(F["bDPf"][p, s]), "bDPr": int(F["bDPr"][p, s]),
+            "BDPb": f"{int(F['BDPb_l'][p, s])},{int(F['BDPb_r'][p, s])}",
             "cVQ1": int(F["cVQ1"][p, s]), "cVQ2": int(F["cVQ2"][p, s]),
+            "cPCQ1": int(F["cPCQ1"][p, s]), "cPCQ2": int(F["cPCQ2"][p, s]),
             "gVQ1": int(F["gVQ1"][p, s]), "CONTQ": int(F["CONTQ"][p, s]),
             "bIAQ": int(F["bIAQ"][p, s]), "cPLQ1": int(F["cPLQ1"][p, s]),
             "bMQQ": int(F["bMQQ"][p, s]), "aBQQ": int(F["aBQQ"][p, s]),
+            "bNMQ": int(F["bNMQ"][p, s]),
             "cDP1v": int(F["cDP1v"][p, s]), "CDP1v": int(F["CDP1v"][p, s]),
+            "cDP1x": int(F["cDP1x"][p, s]), "CDP1x": int(F["CDP1x"][p, s]),
+            "cDP2x": int(F["cDP2x"][p, s]), "CDP2x": int(F["CDP2x"][p, s]),
+            "vHGQ": nlodq_ss,
             "FTS": "|".join(nm for nm, (flag, _) in F["FTS"].items()
                             if flag[p, s]) or "PASS",
         }
         records.append(VariantRecord(
             pos=p, symbol=s, vcfpos=vcfpos + region_offset, ref=ref_a,
-            alt=alt_a, qual=round(q, 4), filter=filt, info=info, fmt=fmt))
+            alt=alt_a, qual=round(q, 4), filter=filt, info=info, fmt=fmt,
+            tumor_fmt=(tki.tumor_format_text if tki else "")))
     records.sort(key=lambda r: (r.vcfpos, r.symbol))
     return records, res, F

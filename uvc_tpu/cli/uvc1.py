@@ -38,10 +38,11 @@ def build_parser():
     ap.add_argument("-R", "--regions-file", dest="bed_region_fname",
                     default=".")
     ap.add_argument("--targets", dest="tier1_target_region", default=".")
+    ap.add_argument("--tumor-vcf", dest="vcf_tumor_fname", default=None)
     cfg_fields = {f.name: f for f in dataclasses.fields(UVCConfig)}
     covered = {"bam_input_fname", "fasta_ref_fname", "vcf_out_pass_fname",
                "sample_name", "max_cpu_num", "vqual", "bed_region_fname",
-               "tier1_target_region"}
+               "tier1_target_region", "vcf_tumor_fname"}
     for name, f in cfg_fields.items():
         if name in covered or name.startswith("inferred_"):
             continue
@@ -124,11 +125,19 @@ def run(argv=None):
     ref_lens = {i: ln for i, ln in enumerate(header.ref_lens)}
     plans = regions_mod.plan(batch, ref_lens, cfg.mem_per_thread)
 
+    is_normal_run = is_provided(cfg.vcf_tumor_fname)
+    tki_all = None
+    if is_normal_run:
+        from ..vcfout import reader as vcf_reader
+        name2tid = header.name2tid()
+        tki_all = vcf_reader.read_tumor_vcf(cfg.vcf_tumor_fname, name2tid)
+
     out = vcf_writer.VcfWriter(cfg.vcf_out_pass_fname)
     cmdline = " ".join(argv if argv is not None else sys.argv[1:])
     out.write(vcf_writer.generate_header(
         cmdline, list(zip(header.ref_names, header.ref_lens)),
-        cfg.sample_name))
+        cfg.sample_name,
+        tumor_sample="TUMOR" if is_normal_run else None))
 
     n_records = 0
     n_reads = 0
@@ -138,10 +147,13 @@ def run(argv=None):
         refstring = fa.fetch(chrom, plan.ext_beg, plan.ext_end)
         ref_syms = CHAR_TO_SYMBOL[
             np.frombuffer(refstring, dtype=np.uint8) & 0x7F]
+        tki_map = None
+        if is_normal_run:
+            tki_map = {k: v for k, v in tki_all.items()
+                       if k[0] == plan.tid and plan.ext_beg <= k[1] < plan.ext_end}
         recs, res, F = calling.call_variants(
             sub, ref_syms, refstring, plan.ext_beg, chrom, cfg,
-            is_tumor_only=not is_provided(cfg.vcf_tumor_fname))
-        ref_here = None
+            is_tumor_only=not is_normal_run, tki_map=tki_map)
         for rec in recs:
             out.write(vcf_writer.render_record(chrom, rec) + "\n")
             n_records += 1

@@ -115,7 +115,12 @@ def calc_dpv(F, cfg, is_tumor_only=True, tpfa=None):
     is_weak_amp = a_pcr_pos * 100 > a_dp_pos * 30
 
     is_rescued = (tpfa is not None)
-    pfa = tpfa if is_rescued else 0.5
+    if is_rescued:
+        pfa = np.where(np.asarray(tpfa) >= 0, tpfa, 0.5)
+        rescued_allele = np.asarray(tpfa) >= 0
+    else:
+        pfa = 0.5
+        rescued_allele = np.zeros((P, NS), dtype=bool)
     c2altpc = 0.025
 
     ADP1 = F["ADPff"] + F["ADPfr"] + F["ADPrf"] + F["ADPrr"]
@@ -548,7 +553,8 @@ def calc_dpv(F, cfg, is_tumor_only=True, tpfa=None):
                                F["rtr2_anyTR_tracklen_3"][:, None]))
         rb = noinfo / ((np.minimum(F["ALPL"], F["ARPL"]) * 2 + noinfo)
                        / (F["ABQ2"] + 0.5))
-        refbias = np.where(is_indel, np.minimum(rb, cfg.microadjust_refbias_indel_max), 0.0)
+        refbias = np.where(is_indel & rescued_allele,
+                           np.minimum(rb, cfg.microadjust_refbias_indel_max), 0.0)
 
     def norm_fa(FA):
         return (FA + FA * refbias) / (FA + (1.0 - FA) / (1.0 + refbias) + FA * refbias)

@@ -93,6 +93,15 @@ FORMAT_DEFS = [
     ("CDP1v", 1, "Integer", "Effective de-duplicated depth of all alleles x100 (bias-reduced)"),
     ("bNMQ", "P", "Integer", "Phred penalty inferred from mismatches"),
     ("vHGQ", 1, "Integer", "Phred likelihood that the variant is an artifact given no germline nor somatic signal"),
+    ("bDPf", "R", "Integer", "Forward-strand fragment depths of the REF and ALT alleles with duplicates kept"),
+    ("bDPr", "R", "Integer", "Reverse-strand fragment depths of the REF and ALT alleles with duplicates kept"),
+    ("BDPb", 2, "Integer", "Total fragment depth on the forward and reverse strands with duplicates kept"),
+    ("cPCQ1", "P", "Integer", "Cap of the de-duplicated fragment tier variant quality not reduced by the matched normal"),
+    ("cPCQ2", "P", "Integer", "Cap of the SSCS tier variant quality not reduced by the matched normal"),
+    ("cDP1x", "P", "Integer", "Effective de-duplicated depth of the ALT allele x100 (passing-filter reduced)"),
+    ("CDP1x", 1, "Integer", "Effective de-duplicated depth of all alleles x100 (passing-filter reduced)"),
+    ("cDP2x", "P", "Integer", "Effective SSCS depth of the ALT allele x100 (passing-filter reduced)"),
+    ("CDP2x", 1, "Integer", "Effective SSCS depth of all alleles x100 (passing-filter reduced)"),
 ]
 
 
@@ -141,20 +150,24 @@ def render_record(chrom, rec, ref_fmt=None):
     parts.append(f"RC={info.get('RC', 0)}")
 
     f = rec.fmt
-    keys = ["GT", "VTI", "VTD", "FTS", "DP", "AD", "bDP", "bAD", "cVQ1",
-            "cVQ2", "gVQ1", "CONTQ", "bIAQ", "cPLQ1", "bMQQ", "aBQQ",
-            "cDP1v", "CDP1v"]
+    keys = ["GT", "VTI", "VTD", "FTS", "DP", "AD", "bDP", "bAD",
+            "bDPf", "bDPr", "BDPb", "cVQ1", "cVQ2", "cPCQ1", "cPCQ2",
+            "gVQ1", "CONTQ", "bIAQ", "cPLQ1", "bMQQ", "aBQQ", "bNMQ",
+            "cDP1v", "CDP1v", "cDP1x", "CDP1x", "cDP2x", "CDP2x", "vHGQ"]
     fmt_names = ":".join(keys)
     vals = []
     for k in keys:
         v = f.get(k, ".")
-        if k in ("AD", "bAD") and ref_fmt is not None:
+        if k in ("AD", "bAD", "bDPf", "bDPr") and ref_fmt is not None:
             v = f"{ref_fmt.get(k, 0)},{v}"
         vals.append(str(v))
-    return "\t".join([
+    line = "\t".join([
         chrom, str(rec.vcfpos), ".", rec.ref, rec.alt,
         f"{rec.qual:g}", rec.filter, ";".join(parts), fmt_names,
         ":".join(vals)])
+    if getattr(rec, "tumor_fmt", ""):
+        line += "\t" + rec.tumor_fmt
+    return line
 
 
 class VcfWriter:
