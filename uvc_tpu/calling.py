@@ -171,6 +171,8 @@ def call_variants(batch, ref_syms, refstring, region_offset, chrom, cfg,
     dpv.sum_dpv(F, cand)
     qual.calc_qual(F, cfg, is_tumor_only, tpfa=tpfa_qual)
     germ = germline.germline_nlodq(F, cand, cfg, is_tumor_only)
+    F["_germ"] = germ
+    F["_cand"] = cand
     tlodq, b4, c4 = tumor_only_tlodq(F, cfg)
 
     # lowestVAQ (main.hpp:6196-6201)

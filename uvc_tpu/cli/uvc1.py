@@ -95,6 +95,10 @@ def infer_platform(batch, cfg):
     return plat, qlens[len(qlens) // 2], maxMQ
 
 
+def _line_pos(line):
+    return int(line.split("\t", 2)[1])
+
+
 def check_file_exist(fname, ftype):
     """CmdLineArgs.cpp:138-145: clean exit on missing inputs."""
     import os
@@ -154,9 +158,26 @@ def run(argv=None):
         recs, res, F = calling.call_variants(
             sub, ref_syms, refstring, plan.ext_beg, chrom, cfg,
             is_tumor_only=not is_normal_run, tki_map=tki_map)
-        for rec in recs:
-            out.write(vcf_writer.render_record(chrom, rec) + "\n")
-            n_records += 1
+        # auxiliary emissions: MGVCF blocks, indel candidates, germline lines
+        from ..vcfout import aux_records
+        rbeg = plan.beg - plan.ext_beg
+        rend = min(plan.end - plan.ext_beg, F["P"])
+        lines = []
+        if is_tumor_only := not is_normal_run:
+            lines += [(_line_pos(l), 0, l) for l in aux_records.emit_mgvcf(
+                F, res, cfg, chrom, refstring, plan.ext_beg, rbeg, rend)]
+            lines += [(_line_pos(l), 1, l) for l in
+                      aux_records.emit_indel_candidates(
+                          F, res, cfg, chrom, refstring, plan.ext_beg, rbeg, rend)]
+            lines += [(_line_pos(l), 2, l) for l in aux_records.emit_germline(
+                F, F["_germ"], F["_cand"], cfg, chrom, refstring,
+                plan.ext_beg, rbeg, rend)]
+        lines += [(rec.vcfpos, 3, vcf_writer.render_record(chrom, rec))
+                  for rec in recs]
+        lines.sort(key=lambda t: (t[0], t[1]))
+        for _, _, l in lines:
+            out.write(l + "\n")
+        n_records += len(recs)
         n_reads += sub.n
     out.close()
     dt = time.time() - t0

@@ -67,10 +67,12 @@ def germline_nlodq(F, cand, cfg, is_tumor_only=True):
         cq0 = np.where(has_ref, np.take_along_axis(cq, r_idx[:, None], 1)[:, 0], 0)
         ad0 = np.where(has_ref, np.take_along_axis(ad, r_idx[:, None], 1)[:, 0], 0.5)
         # alts sorted by gvq desc, first-come order for ties replicated by
-        # stable sort over (-gvq)
-        galt = np.where((~isref) & present, g, np.iinfo(np.int64).min)
+        # stable sort over (-gvq); float sentinel avoids int64-min negation
+        # overflow
+        galt = np.where((~isref) & present, g.astype(np.float64), -np.inf)
         order = np.argsort(-galt, axis=1, kind="stable")
-        g_sorted = np.take_along_axis(galt, order, 1)
+        g_sorted = np.take_along_axis(
+            np.where((~isref) & present, g, np.iinfo(np.int64).min), order, 1)
         cq_sorted = np.take_along_axis(cq, order, 1)
         ad_sorted = np.take_along_axis(ad, order, 1)
         sym_sorted = cols[order]

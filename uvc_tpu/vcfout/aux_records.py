@@ -1,0 +1,244 @@
+"""Auxiliary VCF record emitters: MGVCF <NON_REF> blocks, additional-indel
+-candidate records, and GERMLINE genotype lines.
+
+Behavioral reference: main.cpp:655-757 (MGVCF run-length-compressed blocks
+per 1000bp), main.cpp:759-799 (<ADDITIONAL_INDEL_CANDIDATE> clip/STR
+records), main.hpp:5483-5775 (output_germline emission).
+"""
+
+import math
+
+import numpy as np
+
+from ..constants import (Symbol, NUM_SYMBOLS, MGVCF_REGION_MAX_SIZE,
+                         MGVCF_SYMBOL, ADDITIONAL_INDEL_CANDIDATE_SYMBOL,
+                         SYMBOL_TO_DESC, OUTVAR_MGVCF, OUTVAR_GERMLINE,
+                         OUTVAR_ADDITIONAL_INDEL_CANDIDATE, CHAR_TO_SYMBOL)
+
+NS = NUM_SYMBOLS
+INV_LOG10 = 10.0 / math.log(10.0)
+INT32_MIN_STR = "."
+
+
+def _are_depths_diff(curr, prev, mul_perc=130, add_num=3):
+    mn, mx = min(curr, prev), max(curr, prev)
+    if mn * mul_perc >= mx * 100:
+        return False
+    if mn + add_num >= mx:
+        return False
+    return True
+
+
+def emit_mgvcf(F, res, cfg, chrom, refstring, region_offset, region_beg,
+               region_end):
+    """MGVCF_BLOCK lines for one region; region_beg/end are region-relative
+    emission bounds."""
+    if not (cfg.outvar_flag & OUTVAR_MGVCF):
+        return []
+    P = F["P"]
+    bdp_t = res.bq.bdp.sum(axis=2)     # [P,14]
+    cdp1_t = res.fq.cdp1.sum(axis=2)
+    cdp12_t = res.fq.cdp12.sum(axis=2)
+
+    def tsum(arr, st):
+        return arr[:, :6].sum(axis=1) if st == 0 else arr[:, 6:].sum(axis=1)
+
+    ref_syms = F["ref_syms"]
+    # vectorized per-(pos, symboltype) depths and homref qualities
+    from ..model.qual import binom_lr
+    stats = {}
+    rows = np.arange(P)
+    for st in (0, 1):
+        refsym = (ref_syms.astype(np.int64) if st == 0
+                  else np.full(P, int(Symbol.LINK_M)))
+        bdp = tsum(bdp_t, st)
+        cdp = tsum(cdp1_t, st)
+        c12 = tsum(cdp12_t, st)
+        ref_c = cdp12_t[rows, refsym]
+        nonref_c = c12 - ref_c
+        rlb = -binom_lr(cfg.contam_any_mul_frac, nonref_c + 0.5, cdp + 1.0)
+        rlp = -np.maximum(0.0, cfg.powlaw_exponent * INV_LOG10 * np.log(
+            ((nonref_c + 0.5) / (cdp + 1.0) + 2.2e-16)
+            / (cfg.contam_any_mul_frac + 2.2e-16)))
+        nlb = -binom_lr(cfg.germ_hetero_FA, ref_c + 0.5, cdp + 1.0)
+        nlp = -np.maximum(0.0, cfg.powlaw_exponent * INV_LOG10 * np.log(
+            ((ref_c + 0.5) / (cdp + 1.0) + 2.2e-16)
+            / (cfg.germ_hetero_FA + 2.2e-16)))
+        refQ = (cfg.germ_phred_hetero_snp
+                + np.round(np.maximum(rlb, rlp)).astype(np.int64)
+                - np.round(np.maximum(nlb, nlp)).astype(np.int64))
+        stats[st] = (bdp, cdp, c12, refQ)
+
+    lines = []
+    blk_starts = [p for p in range(region_beg, region_end)
+                  if (p + region_offset) % MGVCF_REGION_MAX_SIZE == 0
+                  or p == region_beg]
+    for blk_start in blk_starts:
+        refpos_abs = blk_start + region_offset
+        rp2end = min(blk_start + MGVCF_REGION_MAX_SIZE + 1, P)
+        vec = []
+        prev = {"bdp": 0, "cdp": 0, "c12": 0, "refQ": None}
+        for rp2 in range(blk_start, rp2end):
+            for st in (1, 0):  # SYMBOL_TYPES_IN_VCF_ORDER = (LINK, BASE)
+                bdp = int(stats[st][0][rp2])
+                cdp = int(stats[st][1][rp2])
+                c12 = int(stats[st][2][rp2])
+                refQ = int(stats[st][3][rp2])
+                if (prev["refQ"] is None or abs(refQ - prev["refQ"]) > 10
+                        or _are_depths_diff(bdp, prev["bdp"])
+                        or _are_depths_diff(cdp, prev["cdp"])
+                        or _are_depths_diff(c12, prev["c12"])):
+                    vec += [rp2 + region_offset + (1 if st == 0 else 0),
+                            1 + st, INT32_MIN_STR, bdp, cdp, c12, refQ,
+                            INT32_MIN_STR]
+                    prev = {"bdp": bdp, "cdp": cdp, "c12": c12, "refQ": refQ}
+        vcfref = refstring[blk_start:blk_start + 1].decode() or "N"
+        match_refsym = int(ref_syms[blk_start])
+        lines.append("\t".join([
+            chrom, str(refpos_abs + 1), ".", vcfref, "<NON_REF>", ".", ".",
+            "MGVCF_BLOCK", "GT:VTI:POS_VT_BDP_CDP_HomRefQ",
+            "." + f":{match_refsym},{MGVCF_SYMBOL}:"
+            + ",".join(str(x) for x in vec)
+            + "," + str(rp2end + region_offset)]))
+    return lines
+
+
+def _binom_lr_s(prob, a, b):
+    DBL = 2.220446049250313e-16
+    prob = (prob + DBL) / (1.0 + 2 * DBL)
+    a += DBL
+    b += DBL
+    A = prob * (a + b)
+    B = (1 - prob) * (a + b)
+    if a > A:
+        return INV_LOG10 * (a * math.log(a / A) + b * math.log(b / B))
+    return 0.0
+
+
+def _logit2(a, b):
+    DBL = 2.220446049250313e-16
+    return math.log((a + DBL) / (b + DBL))
+
+
+def emit_indel_candidates(F, res, cfg, chrom, refstring, region_offset,
+                          region_beg, region_end):
+    """<ADDITIONAL_INDEL_CANDIDATE> records (main.cpp:759-799)."""
+    if not (cfg.outvar_flag & OUTVAR_ADDITIONAL_INDEL_CANDIDATE):
+        return []
+    prep = res.bq.prep
+    lines = []
+    tracklen = F["ctx_repeatnum"] * F["ctx_unitlen"]
+    prev_tracklen = 0
+    for p in range(region_beg, region_end):
+        curr_tracklen = int(tracklen[p])
+        aCDP = int(prep.a_near_long_clip_dp[p])
+        ADP = int(prep.a_dp[p])
+        is_long_track = curr_tracklen > max(
+            cfg.microadjust_alignment_tracklen_min - 1, prev_tracklen)
+        is_clip = (aCDP >= cfg.microadjust_alignment_clip_min_count
+                   and aCDP >= ADP * cfg.microadjust_alignment_clip_min_frac)
+        prev_tracklen = curr_tracklen
+        if not ((is_long_track or is_clip)
+                and ADP >= 2 * cfg.microadjust_alignment_clip_min_count):
+            continue
+        vcfref = refstring[p:p + 1].decode() or "N"
+        match_refsym = int(F["ref_syms"][p])
+        ru, rc = repeat_context_str(refstring, p, F)
+        lines.append("\t".join([
+            chrom, str(p + region_offset + 1), ".", vcfref,
+            "<ADDITIONAL_INDEL_CANDIDATE>", ".", ".",
+            f"ADDITIONAL_INDEL_CANDIDATE;RU={ru};RC={rc}",
+            "GT:VTI:clipDP",
+            f".:{match_refsym},{ADDITIONAL_INDEL_CANDIDATE_SYMBOL}:{ADP},{aCDP}"]))
+    return lines
+
+
+def repeat_context_str(refstring, p, F):
+    ru_len = int(F["ctx_unitlen"][p])
+    rc = int(F["ctx_repeatnum"][p])
+    ru = refstring[p:p + ru_len].decode()
+    return ru, rc
+
+
+def emit_germline(F, germ, cand, cfg, chrom, refstring, region_offset,
+                  region_beg, region_end):
+    """GERMLINE lines (output_germline emission, main.hpp:5618-5774)."""
+    if not (cfg.outvar_flag & OUTVAR_GERMLINE):
+        return []
+    lines = []
+    ref_syms = F["ref_syms"]
+    for st in (0, 1):
+        g = germ[st]
+        GL4 = g["GL4"]
+        order_all = np.argsort(-GL4, axis=1, kind="stable")
+        glidx_all = order_all[:, 0]
+        max_ad_all = np.maximum(g["alt1_cDP0a"], g["alt2_cDP0a"])
+        visit = ((glidx_all != 0) | cfg.should_output_all_germline
+                 | (max_ad_all > 2)) & (g["alt1_sym"] < NS)
+        has_cand = cand[:, :6].any(axis=1) if st == 0 else cand[:, 6:].any(axis=1)
+        visit = visit & has_cand
+        for p in np.flatnonzero(visit):
+            p = int(p)
+            if not (region_beg <= p < region_end):
+                continue
+            gl = GL4[p]
+            order = order_all[p]
+            GLidx = int(order[0])
+            alt1 = int(g["alt1_sym"][p])
+            alt2 = int(g["alt2_sym"][p])
+            max_ad = max(int(g["alt1_cDP0a"][p]), int(g["alt2_cDP0a"][p]))
+            if GLidx == 0 and not cfg.should_output_all_germline and max_ad <= 2:
+                continue
+            refsym = int(ref_syms[p]) if st == 0 else int(Symbol.LINK_M)
+            # allele strings
+            if st == 0:
+                vcfpos = p + region_offset + 1
+                vcfref = refstring[p:p + 1].decode()
+                vcfalt = SYMBOL_TO_DESC[alt1]
+                if GLidx == 3 and alt2 < NS:
+                    vcfalt += "," + SYMBOL_TO_DESC[alt2]
+            else:
+                vcfpos = p + region_offset
+                anchor = refstring[p - 1:p].decode() if p > 0 else "n"
+                vcfref, vcfalt = _germ_indel_alleles(F, p, alt1, alt2, GLidx,
+                                                     anchor, refstring)
+            GTs = ["0/0", "0/1", "1/1", "1/2"]
+            germ_GQ = int(gl[order[0]] - gl[order[1]])
+            adr = [int(F["cDP0a"][p, refsym]), int(g["alt1_cDP0a"][p])]
+            if GLidx == 3:
+                adr.append(int(g["alt2_cDP0a"][p]))
+            cdp1b = int(F["CDP1"][p, refsym])
+            lines.append("\t".join([
+                chrom, str(vcfpos), ".", vcfref, vcfalt, str(germ_GQ),
+                "PASS", "GERMLINE", "GT:GQ:HQ:FT:CDP1:cDP1:GL4:GST:note",
+                ":".join([
+                    GTs[GLidx], str(germ_GQ), "0,0", "PASS",
+                    f"{cdp1b},{int(F['CDP1d'][p, refsym])}",
+                    ",".join(str(x) for x in adr),
+                    ",".join(str(int(x)) for x in gl),
+                    ",".join(str(int(x)) for x in
+                             list(g["a_lodqs"][p]) + list(g["het_lodqs"][p])),
+                    ""])]))
+    return lines
+
+
+def _germ_indel_alleles(F, p, alt1, alt2, GLidx, anchor, refstring):
+    def allele(sym):
+        key = F["gapSa"].get((p, sym))
+        glen = int(F["gapLen"][p, sym])
+        if sym in (10, 11, 12) and isinstance(key, bytes):
+            return anchor, anchor + key.decode()
+        if sym in (7, 8, 9) and glen > 0:
+            return anchor + refstring[p:p + glen].decode(), anchor
+        return anchor, SYMBOL_TO_DESC[sym]
+
+    r1, a1 = allele(alt1)
+    if GLidx != 3 or alt2 >= NS:
+        return r1, a1
+    r2, a2 = allele(alt2)
+    # normalize to a common REF (longest), suffix-extend alts
+    if len(r1) >= len(r2):
+        a2 = a2 + r1[len(r2):]
+        return r1, a1 + "," + a2
+    a1 = a1 + r2[len(r1):]
+    return r2, a1 + "," + a2
