@@ -1,0 +1,171 @@
+// bamdec: native BGZF + BAM decoder producing columnar arrays.
+//
+// Native runtime component replacing the python BGZF/record-scan path of
+// uvc_tpu/io/bam.py (same ReadBatch columnar layout; the python decoder
+// remains as the portable fallback). Exposed via a C ABI for ctypes.
+//
+//   bgzf_decompress: whole-file BGZF -> heap buffer (block-by-block raw
+//     inflate driven by the BC/BSIZE extra field)
+//   bam_scan: record boundaries + total sizes
+//   bam_fill: fixed fields + flattened qname/cigar/seq/qual arrays
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <zlib.h>
+
+extern "C" {
+
+// Returns decompressed size (>=0) or negative error; *out is malloc'd.
+int64_t bgzf_decompress(const char *path, uint8_t **out) {
+    FILE *f = fopen(path, "rb");
+    if (!f) return -1;
+    fseek(f, 0, SEEK_END);
+    long fsize = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    uint8_t *raw = (uint8_t *)malloc(fsize);
+    if (!raw) { fclose(f); return -2; }
+    if ((long)fread(raw, 1, fsize, f) != fsize) { free(raw); fclose(f); return -3; }
+    fclose(f);
+
+    size_t cap = (size_t)fsize * 4 + (1 << 16);
+    uint8_t *dst = (uint8_t *)malloc(cap);
+    size_t dlen = 0;
+    long p = 0;
+    while (p + 18 <= fsize) {
+        if (raw[p] != 0x1f || raw[p + 1] != 0x8b) break;
+        uint16_t xlen = (uint16_t)(raw[p + 10] | (raw[p + 11] << 8));
+        long xfield = p + 12;
+        int bsize = -1;
+        long xend = xfield + xlen;
+        while (xfield + 4 <= xend) {
+            uint8_t si1 = raw[xfield], si2 = raw[xfield + 1];
+            uint16_t slen = (uint16_t)(raw[xfield + 2] | (raw[xfield + 3] << 8));
+            if (si1 == 'B' && si2 == 'C' && slen == 2)
+                bsize = (raw[xfield + 4] | (raw[xfield + 5] << 8)) + 1;
+            xfield += 4 + slen;
+        }
+        if (bsize < 0) { free(raw); free(dst); return -4; }
+        long cdata = p + 12 + xlen;
+        long cdata_len = bsize - 12 - xlen - 8;
+        uint32_t isize;
+        memcpy(&isize, raw + p + bsize - 4, 4);
+        if (dlen + isize > cap) {
+            cap = (dlen + isize) * 2 + (1 << 16);
+            dst = (uint8_t *)realloc(dst, cap);
+        }
+        if (isize > 0) {
+            z_stream zs;
+            memset(&zs, 0, sizeof(zs));
+            inflateInit2(&zs, -15);
+            zs.next_in = raw + cdata;
+            zs.avail_in = (uInt)cdata_len;
+            zs.next_out = dst + dlen;
+            zs.avail_out = (uInt)(cap - dlen);
+            int ret = inflate(&zs, Z_FINISH);
+            inflateEnd(&zs);
+            if (ret != Z_STREAM_END) { free(raw); free(dst); return -5; }
+            dlen += isize;
+        }
+        p += bsize;
+    }
+    free(raw);
+    *out = dst;
+    return (int64_t)dlen;
+}
+
+void bamdec_free(void *p) { free(p); }
+
+static inline int32_t rd_i32(const uint8_t *b) {
+    int32_t v;
+    memcpy(&v, b, 4);
+    return v;
+}
+static inline uint16_t rd_u16(const uint8_t *b) {
+    uint16_t v;
+    memcpy(&v, b, 2);
+    return v;
+}
+
+// Counts records and accumulates total variable-field sizes.
+// Returns n_records or negative on truncation.
+int64_t bam_scan(const uint8_t *buf, int64_t len, int64_t start,
+                 int64_t *total_qname, int64_t *total_cigar,
+                 int64_t *total_seq) {
+    int64_t n = 0, tq = 0, tc = 0, ts = 0;
+    int64_t p = start;
+    while (p + 4 <= len) {
+        int32_t bs = rd_i32(buf + p);
+        if (p + 4 + bs > len) return -1;
+        const uint8_t *r = buf + p + 4;
+        uint8_t l_read_name = r[8];
+        uint16_t n_cigar = rd_u16(r + 12);
+        int32_t l_seq = rd_i32(buf + p + 4 + 16);
+        tq += l_read_name - 1;
+        tc += n_cigar;
+        ts += l_seq;
+        n++;
+        p += 4 + bs;
+    }
+    *total_qname = tq;
+    *total_cigar = tc;
+    *total_seq = ts;
+    return n;
+}
+
+static const int8_t NT16_TO_SYM[16] = {4, 0, 1, 4, 2, 4, 4, 4,
+                                       3, 4, 4, 4, 4, 4, 4, 4};
+
+int bam_fill(const uint8_t *buf, int64_t len, int64_t start,
+             int32_t *tid, int32_t *pos, uint8_t *mapq, uint16_t *flag,
+             int32_t *mtid, int32_t *mpos, int32_t *isize,
+             uint8_t *qname_data, int64_t *qname_off,
+             uint8_t *cigar_op, int32_t *cigar_len, int64_t *cigar_off,
+             int8_t *seq_sym, uint8_t *qual, int64_t *seq_off) {
+    int64_t i = 0, qo = 0, co = 0, so = 0;
+    int64_t p = start;
+    qname_off[0] = cigar_off[0] = seq_off[0] = 0;
+    while (p + 4 <= len) {
+        int32_t bs = rd_i32(buf + p);
+        if (p + 4 + bs > len) return -1;
+        const uint8_t *r = buf + p + 4;
+        tid[i] = rd_i32(r);
+        pos[i] = rd_i32(r + 4);
+        uint8_t lrn = r[8];
+        mapq[i] = r[9];
+        uint16_t nc = rd_u16(r + 12);
+        flag[i] = rd_u16(r + 14);
+        int32_t ls = rd_i32(r + 16);
+        mtid[i] = rd_i32(r + 20);
+        mpos[i] = rd_i32(r + 24);
+        isize[i] = rd_i32(r + 28);
+        const uint8_t *q = r + 32;
+        memcpy(qname_data + qo, q, lrn - 1);
+        qo += lrn - 1;
+        const uint8_t *cg = q + lrn;
+        for (int k = 0; k < nc; k++) {
+            uint32_t w;
+            memcpy(&w, cg + 4 * k, 4);
+            cigar_op[co + k] = (uint8_t)(w & 0xF);
+            cigar_len[co + k] = (int32_t)(w >> 4);
+        }
+        co += nc;
+        const uint8_t *sq = cg + 4 * (int64_t)nc;
+        for (int32_t k = 0; k < ls; k++) {
+            uint8_t nib = (k & 1) ? (sq[k >> 1] & 0xF) : (sq[k >> 1] >> 4);
+            seq_sym[so + k] = NT16_TO_SYM[nib];
+        }
+        const uint8_t *ql = sq + (ls + 1) / 2;
+        memcpy(qual + so, ql, ls);
+        so += ls;
+        i++;
+        qname_off[i] = qo;
+        cigar_off[i] = co;
+        seq_off[i] = so;
+        p += 4 + bs;
+    }
+    return 0;
+}
+
+}  // extern "C"

@@ -111,3 +111,23 @@ def test_simulator_produces_sorted_consistent_bam(tmp_path):
                 n_alt += 1
     assert n_cov > 20
     assert 0.1 < n_alt / n_cov < 0.55
+
+
+def test_native_decoder_parity(tmp_path):
+    """The C++ decoder must produce a byte-identical ReadBatch."""
+    from uvc_tpu.io import native
+    if not native.available():
+        import pytest
+        pytest.skip("native bamdec.so not built")
+    fa, bam_path, ref, variants, n = simulate.build_test_dataset(
+        str(tmp_path), seed=91)
+    h1, b1 = bam.read_bam(bam_path)
+    h2, b2 = native.read_bam_native(bam_path)
+    assert h1.ref_names == h2.ref_names and h1.text == h2.text
+    assert b1.n == b2.n
+    for f in ("tid", "pos", "mapq", "flag", "mtid", "mpos", "isize",
+              "cigar_op", "cigar_len", "cigar_off", "seq", "qual",
+              "seq_off", "qname_off"):
+        assert np.array_equal(np.asarray(getattr(b1, f)),
+                              np.asarray(getattr(b2, f))), f
+    assert b1.qname_data == b2.qname_data

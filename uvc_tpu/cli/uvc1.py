@@ -116,7 +116,8 @@ def run(argv=None):
     check_file_exist(cfg.fasta_ref_fname, "FASTA")
 
     fa = FastaFile(cfg.fasta_ref_fname)
-    header, batch = bam_mod.read_bam(cfg.bam_input_fname)
+    from ..io import native as native_io
+    header, batch = native_io.read_bam_native(cfg.bam_input_fname)
 
     if cfg.sequencing_platform in (SequencingPlatform.AUTO,
                                    SequencingPlatform.OTHER):
