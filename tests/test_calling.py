@@ -109,3 +109,32 @@ def test_tumor_normal_join(tmp_path):
     for r in recs:
         assert "SOMATIC" in r[7]
         assert len(r) == 11      # normal + appended tumor column
+
+
+def test_thread_count_determinism(tmp_path):
+    """Identical VCF output across worker counts (the reference's N-version
+    invariant, README.md:51-61)."""
+    from uvc_tpu.io.fasta import write_fasta
+    from uvc_tpu.io import bgzf
+    from uvc_tpu.cli import uvc1 as cli
+
+    r1 = simulate.random_ref(2500, 11)
+    r2 = simulate.random_ref(2000, 12)
+    write_fasta(str(tmp_path / "ref.fa"), [("c1", r1), ("c2", r2)])
+    v1 = [simulate.Variant(900, f"{r1[900]}>" + ("A" if r1[900] != "A" else "C"), 0.4)]
+    reads1 = simulate.simulate_reads(r1, depth=80, variants=v1, seed=3)
+    reads2 = simulate.simulate_reads(r2, depth=80, variants=[], seed=4)
+    recs = [(q, f, 0, p, 60, c, 0, m, i, s, qu)
+            for (q, f, p, c, s, qu, m, i) in sorted(reads1, key=lambda r: r[2])]
+    recs += [(q + "b", f, 1, p, 60, c, 1, m, i, s, qu)
+             for (q, f, p, c, s, qu, m, i) in sorted(reads2, key=lambda r: r[2])]
+    bam.write_bam(str(tmp_path / "two.bam"), "@HD\tVN:1.6\tSO:coordinate\n",
+                  [("c1", 2500), ("c2", 2000)], recs)
+    outs = []
+    for t in (1, 2):
+        out = str(tmp_path / f"o{t}.vcf.gz")
+        cli.run([str(tmp_path / "two.bam"), "-f", str(tmp_path / "ref.fa"),
+                 "-o", out, "-t", str(t)])
+        outs.append([l for l in bgzf.read_file(out).decode().splitlines()
+                     if not l.startswith("##")])
+    assert outs[0] == outs[1]

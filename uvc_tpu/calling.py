@@ -200,6 +200,26 @@ def call_variants(batch, ref_syms, refstring, region_offset, chrom, cfg,
     else:
         work = [(p, s, tkis[0]) for (p, s), tkis in sorted(rescued.items())]
 
+    # consensus-allele ranking per (pos, symboltype) (main.cpp:959-1015)
+    rank = {}
+    vac = {}
+    for p, s, _ in work:
+        st = 0 if s < 6 else 1
+        ref_here = (s == F["ref_syms"][p]) if st == 0 else (s == int(Symbol.LINK_M))
+        if ref_here:
+            continue
+        cv1 = int(F["cVQ1"][p, s])
+        cv2 = int(F["cVQ2"][p, s])
+        gk = F["gapSa"].get((p, s))
+        gs = gk.decode() if isinstance(gk, bytes) else ""
+        rank.setdefault((p, st), []).append((max(cv1, cv2), cv1, cv2, s, gs))
+        het3al = (cfg.germ_phred_het3al_snp if st == 0
+                  else cfg.germ_phred_het3al_indel)
+        if max(cv1, cv2) >= het3al:
+            vac[(p, st)] = vac.get((p, st), 0) + 1
+    for k in rank:
+        rank[k].sort(reverse=True)
+
     for p, s, tki in work:
         st = 0 if s < 6 else 1
         stq = germ[st]
@@ -337,6 +357,13 @@ def call_variants(batch, ref_syms, refstring, region_offset, chrom, cfg,
             "FTS": "|".join(nm for nm, (flag, _) in F["FTS"].items()
                             if flag[p, s]) or "PASS",
         }
+        ranked = rank.get((p, st), [])
+        fmt["cVQ1M"] = ranked[0][1] if ranked else -999
+        fmt["cVQ2M"] = ranked[0][2] if ranked else -999
+        fmt["cVQAM"] = SYMBOL_TO_DESC[ranked[0][3]] if ranked else SYMBOL_TO_DESC[NS]
+        fmt["cVQSM"] = ranked[0][4] if ranked else ""
+        fmt["vAC"] = f"{vac.get((p, 0), 0)},{vac.get((p, 1), 0)}"
+        fmt["vNLODQ"] = f"{int(germ[0]['nlodq'][p])},{int(germ[1]['nlodq'][p])}"
         records.append(VariantRecord(
             pos=p, symbol=s, vcfpos=vcfpos + region_offset, ref=ref_a,
             alt=alt_a, qual=round(q, 4), filter=filt, info=info, fmt=fmt,

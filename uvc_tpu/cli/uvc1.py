@@ -9,6 +9,7 @@ VCF; see bin/uvcTN.sh-equivalent in cli/uvctn.py for tumor-normal pairs.
 
 import argparse
 import dataclasses
+import os
 import sys
 import time
 
@@ -99,6 +100,44 @@ def _line_pos(line):
     return int(line.split("\t", 2)[1])
 
 
+_WORK_CTX = None
+
+
+def _process_region_idx(i):
+    """Process one region plan; returns (n_records, rendered_text)."""
+    from ..vcfout import aux_records
+    ctx = _WORK_CTX
+    batch, header, fa, cfg = ctx["batch"], ctx["header"], ctx["fa"], ctx["cfg"]
+    plan = ctx["plans"][i]
+    sub = regions_mod.slice_batch(batch, plan)
+    chrom = header.ref_names[plan.tid]
+    refstring = fa.fetch(chrom, plan.ext_beg, plan.ext_end)
+    ref_syms = CHAR_TO_SYMBOL[np.frombuffer(refstring, dtype=np.uint8) & 0x7F]
+    tki_map = None
+    if ctx["is_normal_run"]:
+        tki_map = {k: v for k, v in ctx["tki_all"].items()
+                   if k[0] == plan.tid and plan.ext_beg <= k[1] < plan.ext_end}
+    recs, res, F = calling.call_variants(
+        sub, ref_syms, refstring, plan.ext_beg, chrom, cfg,
+        is_tumor_only=not ctx["is_normal_run"], tki_map=tki_map)
+    rbeg = plan.beg - plan.ext_beg
+    rend = min(plan.end - plan.ext_beg, F["P"])
+    lines = []
+    if not ctx["is_normal_run"]:
+        lines += [(_line_pos(l), 0, l) for l in aux_records.emit_mgvcf(
+            F, res, cfg, chrom, refstring, plan.ext_beg, rbeg, rend)]
+        lines += [(_line_pos(l), 1, l) for l in
+                  aux_records.emit_indel_candidates(
+                      F, res, cfg, chrom, refstring, plan.ext_beg, rbeg, rend)]
+        lines += [(_line_pos(l), 2, l) for l in aux_records.emit_germline(
+            F, F["_germ"], F["_cand"], cfg, chrom, refstring,
+            plan.ext_beg, rbeg, rend)]
+    lines += [(rec.vcfpos, 3, vcf_writer.render_record(chrom, rec))
+              for rec in recs]
+    lines.sort(key=lambda t: (t[0], t[1]))
+    return len(recs), "".join(l + "\n" for _, _, l in lines)
+
+
 def check_file_exist(fname, ftype):
     """CmdLineArgs.cpp:138-145: clean exit on missing inputs."""
     import os
@@ -130,6 +169,17 @@ def run(argv=None):
     ref_lens = {i: ln for i, ln in enumerate(header.ref_lens)}
     plans = regions_mod.plan(batch, ref_lens, cfg.mem_per_thread)
 
+    # region-schedule persistence (--bed-out-fname / --bed-in-fname;
+    # main.cpp:1405-1439, CmdLineArgs.cpp:1028-1030)
+    if is_provided(cfg.bed_in_fname):
+        plans = regions_mod.restrict_to_bed(plans, cfg.bed_in_fname,
+                                            header.name2tid(), ref_lens)
+    if is_provided(cfg.bed_out_fname):
+        with open(cfg.bed_out_fname, "w") as bf:
+            for p in plans:
+                bf.write(f"{header.ref_names[p.tid]}\t{p.beg}\t{p.end}\t"
+                         f"NumberOfReadsInThisInterval\t{p.read_end - p.read_beg}\t+\n")
+
     is_normal_run = is_provided(cfg.vcf_tumor_fname)
     tki_all = None
     if is_normal_run:
@@ -144,42 +194,31 @@ def run(argv=None):
         cfg.sample_name,
         tumor_sample="TUMOR" if is_normal_run else None))
 
+    work_ctx = dict(batch=batch, header=header, fa=fa, cfg=cfg,
+                    plans=plans, is_normal_run=is_normal_run,
+                    tki_all=tki_all)
+    n_workers = min(cfg.max_cpu_num, os.cpu_count() or 1, len(plans)) \
+        if len(plans) > 1 else 1
     n_records = 0
-    n_reads = 0
-    for plan in plans:
-        sub = regions_mod.slice_batch(batch, plan)
-        chrom = header.ref_names[plan.tid]
-        refstring = fa.fetch(chrom, plan.ext_beg, plan.ext_end)
-        ref_syms = CHAR_TO_SYMBOL[
-            np.frombuffer(refstring, dtype=np.uint8) & 0x7F]
-        tki_map = None
-        if is_normal_run:
-            tki_map = {k: v for k, v in tki_all.items()
-                       if k[0] == plan.tid and plan.ext_beg <= k[1] < plan.ext_end}
-        recs, res, F = calling.call_variants(
-            sub, ref_syms, refstring, plan.ext_beg, chrom, cfg,
-            is_tumor_only=not is_normal_run, tki_map=tki_map)
-        # auxiliary emissions: MGVCF blocks, indel candidates, germline lines
-        from ..vcfout import aux_records
-        rbeg = plan.beg - plan.ext_beg
-        rend = min(plan.end - plan.ext_beg, F["P"])
-        lines = []
-        if is_tumor_only := not is_normal_run:
-            lines += [(_line_pos(l), 0, l) for l in aux_records.emit_mgvcf(
-                F, res, cfg, chrom, refstring, plan.ext_beg, rbeg, rend)]
-            lines += [(_line_pos(l), 1, l) for l in
-                      aux_records.emit_indel_candidates(
-                          F, res, cfg, chrom, refstring, plan.ext_beg, rbeg, rend)]
-            lines += [(_line_pos(l), 2, l) for l in aux_records.emit_germline(
-                F, F["_germ"], F["_cand"], cfg, chrom, refstring,
-                plan.ext_beg, rbeg, rend)]
-        lines += [(rec.vcfpos, 3, vcf_writer.render_record(chrom, rec))
-                  for rec in recs]
-        lines.sort(key=lambda t: (t[0], t[1]))
-        for _, _, l in lines:
-            out.write(l + "\n")
-        n_records += len(recs)
-        n_reads += sub.n
+    n_reads = sum(p.read_end - p.read_beg for p in plans)
+    if n_workers > 1:
+        # data-parallel region processing with ordered serial output,
+        # mirroring the reference's dynamic thread pool + serial concat
+        # (main.cpp:1478-1551); fork shares the batch copy-on-write
+        import multiprocessing as mp
+        global _WORK_CTX
+        _WORK_CTX = work_ctx
+        ctx = mp.get_context("fork")
+        with ctx.Pool(n_workers) as pool:
+            for nrec, text in pool.imap(_process_region_idx, range(len(plans))):
+                out.write(text)
+                n_records += nrec
+    else:
+        _WORK_CTX = work_ctx
+        for i in range(len(plans)):
+            nrec, text = _process_region_idx(i)
+            out.write(text)
+            n_records += nrec
     out.close()
     dt = time.time() - t0
     print(f"uvc_tpu: {n_reads} reads, {len(plans)} regions, "

@@ -31,8 +31,10 @@ def run(argv=None):
     tumor_vcf = args.outpref + ".tumor.vcf.gz"
     normal_vcf = args.outpref + ".normal.vcf.gz"
 
+    sched_bed = args.outpref + ".tumor.bed"
     t_args = [args.tumor_bam, "-f", args.fasta, "-o", tumor_vcf,
-              "-s", tsample, "--tn-is-paired", "1"]
+              "-s", tsample, "--tn-is-paired", "1",
+              "--bed-out-fname", sched_bed]
     if args.tumor_params:
         t_args += args.tumor_params.split()
     print(f"uvc_tpu-tn: tumor call -> {tumor_vcf}", file=sys.stderr)
@@ -40,9 +42,11 @@ def run(argv=None):
     if rc:
         return rc
 
+    # the normal run replays the tumor's region schedule (uvcTN.sh
+    # --bed-in-fname semantics)
     n_args = [args.normal_bam, "-f", args.fasta, "-o", normal_vcf,
               "-s", nsample, "--tn-is-paired", "1",
-              "--tumor-vcf", tumor_vcf]
+              "--tumor-vcf", tumor_vcf, "--bed-in-fname", sched_bed]
     if args.normal_params:
         n_args += args.normal_params.split()
     print(f"uvc_tpu-tn: normal call -> {normal_vcf}", file=sys.stderr)

@@ -98,3 +98,29 @@ def slice_batch(batch, plan: RegionPlan):
         cigar_off=batch.cigar_off[i0:i1 + 1] - c0,
         seq=batch.seq[s0:s1], qual=batch.qual[s0:s1],
         seq_off=batch.seq_off[i0:i1 + 1] - s0)
+
+
+def restrict_to_bed(plans, bed_path, name2tid, ref_lens):
+    """Replay a region schedule from a BED file (--bed-in-fname,
+    CmdLineArgs.cpp:1028-1030): keep/clip plans to the BED intervals."""
+    intervals = []
+    with open(bed_path) as fh:
+        for line in fh:
+            if not line.strip() or line.startswith(("#", "track")):
+                continue
+            cols = line.split("\t")
+            tid = name2tid.get(cols[0])
+            if tid is None:
+                continue
+            intervals.append((tid, int(cols[1]), int(cols[2])))
+    out = []
+    for p in plans:
+        for (tid, b, e) in intervals:
+            if p.tid == tid and p.beg < e and b < p.end:
+                q = RegionPlan(tid=p.tid, beg=max(p.beg, b), end=min(p.end, e),
+                               read_beg=p.read_beg, read_end=p.read_end)
+                q.ext_beg = max(0, q.beg - MAX_STR_N_BASES)
+                q.ext_end = min(ref_lens[q.tid], q.end + MAX_STR_N_BASES)
+                out.append(q)
+                break
+    return out

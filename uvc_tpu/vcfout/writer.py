@@ -102,6 +102,12 @@ FORMAT_DEFS = [
     ("CDP1x", 1, "Integer", "Effective de-duplicated depth of all alleles x100 (passing-filter reduced)"),
     ("cDP2x", "P", "Integer", "Effective SSCS depth of the ALT allele x100 (passing-filter reduced)"),
     ("CDP2x", 1, "Integer", "Effective SSCS depth of all alleles x100 (passing-filter reduced)"),
+    ("cVQ1M", "P", "Integer", "cVQ1 of the top-ranked consensus ALT allele at this position"),
+    ("cVQ2M", "P", "Integer", "cVQ2 of the top-ranked consensus ALT allele at this position"),
+    ("cVQAM", "P", "String", "Symbol description of the top-ranked consensus ALT allele"),
+    ("cVQSM", "P", "String", "Indel string of the top-ranked consensus ALT allele"),
+    ("vAC", 2, "Integer", "Number of SNV and InDel alleles at this position passing the triallelic quality"),
+    ("vNLODQ", 2, "Integer", "Phred likelihood of germline origin for SNVs and InDels at this position"),
 ]
 
 
@@ -153,7 +159,8 @@ def render_record(chrom, rec, ref_fmt=None):
     keys = ["GT", "VTI", "VTD", "FTS", "DP", "AD", "bDP", "bAD",
             "bDPf", "bDPr", "BDPb", "cVQ1", "cVQ2", "cPCQ1", "cPCQ2",
             "gVQ1", "CONTQ", "bIAQ", "cPLQ1", "bMQQ", "aBQQ", "bNMQ",
-            "cDP1v", "CDP1v", "cDP1x", "CDP1x", "cDP2x", "CDP2x", "vHGQ"]
+            "cDP1v", "CDP1v", "cDP1x", "CDP1x", "cDP2x", "CDP2x", "vHGQ",
+            "cVQ1M", "cVQ2M", "cVQAM", "cVQSM", "vAC", "vNLODQ"]
     fmt_names = ":".join(keys)
     vals = []
     for k in keys:
