@@ -76,6 +76,23 @@ def tumor_only_tlodq(F, cfg):
     return tlodq, b4, c4
 
 
+def _phase_string(mutforms, p, s, region_offset, pseudocount=1):
+    """FORMAT bHap/cHap/c2Hap (mutform2count4map_to_phase,
+    main.hpp:5380-5404): the multi-variant haplotype signatures containing
+    this variant, with strand counts."""
+    out = []
+    for sig, cnts in mutforms.items():
+        if (p, s) not in sig:
+            continue
+        if cnts[0] + cnts[1] <= pseudocount:
+            continue
+        inner = "".join(
+            f"({pos + region_offset + (1 if sym < 6 else 0)}&{SYMBOL_TO_DESC[sym]})"
+            for pos, sym in sig)
+        out.append(f"({inner}&{cnts[0]}&{cnts[1]})")
+    return "".join(out)
+
+
 def tn_join_quals(tki, nfm_vals, cfg, is_indel, gap_len):
     """calc_binom_powlaw_syserr_normv_quals for one rescued variant
     (main.hpp:5982-6009, 6137-6185). nfm_vals: dict of the normal sample's
@@ -357,6 +374,9 @@ def call_variants(batch, ref_syms, refstring, region_offset, chrom, cfg,
             "FTS": "|".join(nm for nm, (flag, _) in F["FTS"].items()
                             if flag[p, s]) or "PASS",
         }
+        fmt["bHap"] = _phase_string(res.bq.mutforms, p, s, region_offset)
+        fmt["cHap"] = _phase_string(res.fq.mutforms_fq, p, s, region_offset)
+        fmt["c2Hap"] = _phase_string(res.fq.mutforms_f2q, p, s, region_offset)
         ranked = rank.get((p, st), [])
         fmt["cVQ1M"] = ranked[0][1] if ranked else -999
         fmt["cVQ2M"] = ranked[0][2] if ranked else -999

@@ -120,6 +120,15 @@ def _process_region_idx(i):
     recs, res, F = calling.call_variants(
         sub, ref_syms, refstring, plan.ext_beg, chrom, cfg,
         is_tumor_only=not ctx["is_normal_run"], tki_map=tki_map)
+    if cfg.fam_consensus_out_fastq:
+        from ..family import consensus_fastq
+        from ..pileup import events as ev_mod
+        table = ev_mod.expand(sub)
+        payloads = consensus_fastq.generate(
+            res.frag_cons, res.famgrp, sub, table, F["P"], cfg,
+            plan.ext_beg, plan.tid)
+        consensus_fastq.write_files(
+            f"{cfg.fam_consensus_out_fastq}.region{i}", payloads)
     rbeg = plan.beg - plan.ext_beg
     rend = min(plan.end - plan.ext_beg, F["P"])
     lines = []

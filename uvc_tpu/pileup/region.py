@@ -28,6 +28,7 @@ class RegionResult:
     ref_syms: np.ndarray
     region_offset: int
     assay_type: AssayType
+    frag_cons: object = None
 
 
 def infer_assay(batch, cfg) -> AssayType:
@@ -100,6 +101,7 @@ def call_region(batch, ref_syms, region_offset, cfg,
     fq_res = engine_fq.run_fq(frag_gc, gap_info, famgrp, ref_syms,
                               sscs_table, thres, baq, baq2, table, batch, P,
                               cfg, is_normal)
-    return RegionResult(bq=bq_res, fq=fq_res, tracks=tracks, baq=baq,
+    return RegionResult(bq=bq_res, fq=fq_res, frag_cons=frag_gc,
+                        tracks=tracks, baq=baq,
                         baq2=baq2, famgrp=famgrp, ref_syms=ref_syms,
                         region_offset=region_offset, assay_type=assay)

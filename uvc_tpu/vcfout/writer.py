@@ -108,6 +108,9 @@ FORMAT_DEFS = [
     ("cVQSM", "P", "String", "Indel string of the top-ranked consensus ALT allele"),
     ("vAC", 2, "Integer", "Number of SNV and InDel alleles at this position passing the triallelic quality"),
     ("vNLODQ", 2, "Integer", "Phred likelihood of germline origin for SNVs and InDels at this position"),
+    ("bHap", 1, "String", "Duped haplotype phase signatures overlapping this variant with forward and reverse strand counts"),
+    ("cHap", 1, "String", "Deduped haplotype phase signatures overlapping this variant with strand counts"),
+    ("c2Hap", 1, "String", "SSCS haplotype phase signatures overlapping this variant with strand counts"),
 ]
 
 
@@ -160,7 +163,8 @@ def render_record(chrom, rec, ref_fmt=None):
             "bDPf", "bDPr", "BDPb", "cVQ1", "cVQ2", "cPCQ1", "cPCQ2",
             "gVQ1", "CONTQ", "bIAQ", "cPLQ1", "bMQQ", "aBQQ", "bNMQ",
             "cDP1v", "CDP1v", "cDP1x", "CDP1x", "cDP2x", "CDP2x", "vHGQ",
-            "cVQ1M", "cVQ2M", "cVQAM", "cVQSM", "vAC", "vNLODQ"]
+            "cVQ1M", "cVQ2M", "cVQAM", "cVQSM", "vAC", "vNLODQ",
+            "bHap", "cHap", "c2Hap"]
     fmt_names = ":".join(keys)
     vals = []
     for k in keys:
