@@ -1,0 +1,490 @@
+// rowpile: fused native kernels for the per-event row machinery.
+//
+// pass_c_kernel re-expresses uvc_tpu/pileup/engine_bq.pass_c_scatter
+// (dealwith_segbias, main.hpp:1360-1595) as one scalar loop over events,
+// replacing ~80 vectorized numpy passes over the 10M+-row event table.
+// The python implementation remains the behavioral reference; parity is
+// enforced by tests/test_native_rowpile.py.
+//
+// radix_argsort_u64 provides the LSD radix permutation used by the
+// consensus sort paths.
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+
+void radix_argsort_u64(const uint64_t *keys, int64_t n, int64_t *order) {
+    // LSD radix over (key, index) pairs moved together for locality;
+    // 16-bit digits, passes skipped when all keys share the digit.
+    struct KV { uint64_t k; int64_t v; };
+    std::vector<KV> a(n), b(n);
+    uint64_t ormask = 0;
+    for (int64_t i = 0; i < n; i++) {
+        a[i].k = keys[i];
+        a[i].v = i;
+        ormask |= keys[i];
+    }
+    std::vector<int64_t> cnt(1 << 16);
+    KV *src = a.data(), *dst = b.data();
+    for (int pass = 0; pass < 4; pass++) {
+        int shift = pass * 16;
+        if (((ormask >> shift) & 0xFFFF) == 0 && pass > 0) continue;
+        std::fill(cnt.begin(), cnt.end(), 0);
+        for (int64_t i = 0; i < n; i++) cnt[(src[i].k >> shift) & 0xFFFF]++;
+        if (n > 0 && cnt[(src[0].k >> shift) & 0xFFFF] == n) continue;
+        int64_t sum = 0;
+        for (int d = 0; d < (1 << 16); d++) {
+            int64_t c = cnt[d];
+            cnt[d] = sum;
+            sum += c;
+        }
+        for (int64_t i = 0; i < n; i++)
+            dst[cnt[(src[i].k >> shift) & 0xFFFF]++] = src[i];
+        KV *t = src;
+        src = dst;
+        dst = t;
+    }
+    for (int64_t i = 0; i < n; i++) order[i] = src[i].v;
+}
+
+// ---------------------------------------------------------------------------
+// pass_c: counter plane order (must match uvc_tpu/ops PASS_C_PLANES)
+
+enum {
+    O_a2XM2, O_a2BM2, O_aPF1, O_aPF2, O_aBQ2, O_aMQs, O_aP1, O_aP2, O_aP3,
+    O_aNC, O_aDPff, O_aDPfr, O_aDPrf, O_aDPrr, O_aLP1, O_aLP2, O_aLPL,
+    O_aRP1, O_aRP2, O_aRPL, O_aLB1, O_aLB2, O_aLBL, O_aRB1, O_aRB2, O_aRBL,
+    O_aLI1, O_aLI2, O_aRI1, O_aRI2, O_aRIf, O_aLIr, O_aLIT, O_aRIT,
+    O_bg, O_a1BQf, O_a1BQr, O_a2BQf, O_a2BQr,
+    N_PLANES
+};
+
+// per-read field order (int64 [n_reads, N_RF])
+enum {
+    RF_pos, RF_rend, RF_isrc, RF_strand, RF_isize, RF_paired, RF_flag,
+    RF_mapq, RF_clipcnt, RF_fragL, RF_fragR, RF_xm1500, RF_amplicon, RF_umi,
+    N_RF
+};
+
+// thres field order (int64 [P, N_TH])
+enum {
+    TH_aLPxT, TH_aRPxT, TH_aLP1t, TH_aLP2t, TH_aRP1t, TH_aRP2t,
+    TH_aLI1t, TH_aLI1T, TH_aLI2t, TH_aLI2T,
+    TH_aRI1t, TH_aRI1T, TH_aRI2t, TH_aRI2T,
+    N_TH
+};
+
+// config scalar order (int64 [N_CFG])
+enum {
+    CF_interfering_indel, CF_primerlen2, CF_is_high_readlen, CF_baq_mul_1024,
+    CF_highBAQ, CF_highBQ, CF_PFBQ1, CF_PFBQ2, CF_BAQ1, CF_BAQ2,
+    CF_nobias_indel_maxlen, CF_max_insert, CF_norm_primer, N_CFG
+};
+
+static inline int64_t imin(int64_t a, int64_t b) { return a < b ? a : b; }
+static inline int64_t imax(int64_t a, int64_t b) { return a > b ? a : b; }
+static inline int64_t iclip(int64_t v, int64_t lo, int64_t hi) {
+    return v < lo ? lo : (v > hi ? hi : v);
+}
+
+int pass_c_kernel(
+    int64_t n_events,
+    const int64_t *e_pos, const int64_t *e_sym, const int64_t *e_val,
+    const int64_t *e_read, const uint8_t *e_isgap, const int64_t *e_cigar_op,
+    const int64_t *e_indel_len, const int64_t *e_dist,
+    const int64_t *reads,   // [n_reads, N_RF]
+    const int64_t *thres,   // [P, N_TH]
+    const int64_t *baq, const int64_t *baq2,  // [>= P]
+    const int64_t *cfg,     // [N_CFG]
+    int64_t P,
+    int64_t *out            // [N_PLANES, P, 14] zeroed by caller
+) {
+    const int64_t NS = 14;
+    const int64_t plane = P * NS;
+    for (int64_t e = 0; e < n_events; e++) {
+        const int64_t pos = e_pos[e];
+        const int64_t sym = e_sym[e];
+        const int64_t bq = e_val[e];
+        const int64_t *r = reads + e_read[e] * N_RF;
+        const bool isgap = e_isgap[e];
+        const int64_t cigar_op = e_cigar_op[e];
+        const int64_t indel_len = e_indel_len[e];
+        const int64_t dist = e_dist[e];
+        const int64_t idx = pos * NS + sym;
+        const int64_t rpos_abs = pos;  // caller passes region-relative pos;
+                                       // read coords are region-relative too
+        const bool isrc = r[RF_isrc] != 0;
+        const bool strand = r[RF_strand] != 0;
+        const int64_t isize = r[RF_isize];
+        const bool paired = r[RF_paired] != 0;
+        const int64_t flag = r[RF_flag];
+        const int64_t *th = thres + pos * N_TH;
+
+        out[O_bg * plane + idx] += bq;
+        out[(isrc ? O_a1BQr : O_a1BQf) * plane + idx] += bq;
+        out[(isrc ? O_a2BQr : O_a2BQf) * plane + idx] += bq * bq / 32;
+        out[O_aMQs * plane + idx] += r[RF_mapq];
+        const int q = strand ? (isrc ? O_aDPrr : O_aDPrf)
+                             : (isrc ? O_aDPfr : O_aDPff);
+        out[q * plane + idx] += 1;
+
+        const int64_t seg_l_nbases = rpos_abs - r[RF_pos] + 1;
+        const int64_t seg_r_nbases = r[RF_rend] - rpos_abs;
+        if (imin(imin(dist, seg_l_nbases), seg_r_nbases)
+                >= cfg[CF_interfering_indel])
+            out[O_aP3 * plane + idx] += 1;
+        if (r[RF_clipcnt] == 0) out[O_aNC * plane + idx] += 1;
+
+        const int64_t MAXI = cfg[CF_max_insert];
+        const int64_t frag_l2 = (isize != 0)
+            ? imin(rpos_abs - r[RF_fragL] + 1, MAXI) : MAXI;
+        const int64_t frag_r2 = (isize != 0)
+            ? imin(r[RF_fragR] - rpos_abs, MAXI) : MAXI;
+        if (isrc && isize != 0) out[O_aLIT * plane + idx] += frag_l2;
+        if (!isrc && isize != 0) out[O_aRIT * plane + idx] += frag_r2;
+
+        const int64_t p_beg = iclip(r[RF_pos], 0, P - 1);
+        const int64_t p_end = iclip(r[RF_rend] - 1, 0, P - 1);
+        const int64_t seg_l_baq1 = baq[pos] - baq[p_beg] + 1;
+        const int64_t seg_r_baq_ = baq[p_end] - baq[pos] + 1;
+        const int64_t seg_r_baq1 = isgap
+            ? imin(seg_r_baq_, baq2[p_end] - baq2[pos] + 7) : seg_r_baq_;
+        int64_t seg_l_baq = seg_l_baq1, seg_r_baq = seg_r_baq1;
+        if (!cfg[CF_is_high_readlen]) {
+            seg_l_baq = imax(seg_l_baq1,
+                             seg_l_nbases * cfg[CF_baq_mul_1024] / 1024);
+            seg_r_baq = imax(seg_r_baq1,
+                             seg_r_nbases * cfg[CF_baq_mul_1024] / 1024);
+        }
+        const int64_t const_LPxT = isgap ? th[TH_aLPxT]
+                                         : imin(th[TH_aLPxT], th[TH_aRPxT]);
+        const int64_t const_RPxT = th[TH_aRPxT];
+        const int64_t ins_relax = (cigar_op == 1)
+            ? imax(indel_len - cfg[CF_nobias_indel_maxlen], 0) : 0;
+        const bool is_far = (seg_l_nbases + ins_relax >= const_LPxT)
+                            && (seg_r_nbases >= const_RPxT);
+        const int64_t thr_baq = cfg[CF_highBAQ] + (isgap ? 0 : 3);
+        const bool is_unaff = (seg_l_baq >= thr_baq) && (seg_r_baq >= thr_baq);
+
+        const bool is_amp = r[RF_amplicon] != 0;
+        const bool is_umi = r[RF_umi] != 0;
+        const int64_t min_d2i = paired ? imin(frag_l2, frag_r2)
+                                       : (isrc ? seg_r_nbases : seg_l_nbases);
+        if (is_far && is_unaff && (min_d2i > cfg[CF_primerlen2] || !is_amp))
+            out[O_aP1 * plane + idx] += 1;
+        if (is_umi || !is_amp) out[O_aP2 * plane + idx] += 1;
+
+        const int64_t t1 = cfg[CF_PFBQ1], t2 = cfg[CF_PFBQ2];
+        const int64_t pf1 = (bq < t1) ? 100 * bq * bq / (t1 * t1) : 100;
+        const int64_t pf2 = (bq < t2) ? 100 * bq * bq / (t2 * t2) : 100;
+        out[O_aPF1 * plane + idx] += isgap ? imin((int64_t)100, pf1) : pf1;
+        out[O_aPF2 * plane + idx] += isgap ? imin((int64_t)100, pf2) : pf2;
+        if (!isgap) {
+            const int64_t xm = r[RF_xm1500];
+            out[O_a2XM2 * plane + idx] +=
+                (xm > 20) ? 100 * 400 / imax(xm * xm, (int64_t)1) : 100;
+            out[O_a2BM2 * plane + idx] += 100;  // bm1500 per-symbol == 0
+        }
+
+        const bool gate = isgap ? (dist >= cfg[CF_interfering_indel])
+                                : (bq >= cfg[CF_highBQ]);
+        const bool tier2 = isgap || (bq >= cfg[CF_highBQ]);
+        if (gate) {
+            if (is_far) {
+                if (seg_l_nbases + indel_len >= th[TH_aLP1t])
+                    out[O_aLP1 * plane + idx] += 1;
+                if (seg_l_nbases + indel_len >= th[TH_aLP2t] && tier2)
+                    out[O_aLP2 * plane + idx] += 1;
+                if (seg_r_nbases >= th[TH_aRP1t])
+                    out[O_aRP1 * plane + idx] += 1;
+                if (seg_r_nbases >= th[TH_aRP2t] && tier2)
+                    out[O_aRP2 * plane + idx] += 1;
+                out[O_aLPL * plane + idx] += seg_l_nbases;
+                out[O_aRPL * plane + idx] += seg_r_nbases;
+            }
+            if (is_unaff) {
+                if (seg_l_baq >= cfg[CF_BAQ1]) out[O_aLB1 * plane + idx] += 1;
+                if (seg_l_baq >= cfg[CF_BAQ2] && tier2)
+                    out[O_aLB2 * plane + idx] += 1;
+                if (seg_r_baq >= cfg[CF_BAQ1]) out[O_aRB1 * plane + idx] += 1;
+                if (seg_r_baq >= cfg[CF_BAQ2] && tier2)
+                    out[O_aRB2 * plane + idx] += 1;
+                out[O_aLBL * plane + idx] += seg_l_baq;
+                out[O_aRBL * plane + idx] += seg_r_baq;
+            }
+            out[O_aBQ2 * plane + idx] += 1;
+        }
+
+        const bool mate_ok = ((flag & 0x8) == 0) || ((flag & 0x1) == 0);
+        const bool l_nonb = mate_ok && (seg_l_nbases > seg_r_nbases);
+        const bool r_nonb = mate_ok && (seg_l_nbases < seg_r_nbases);
+        const bool is_norm = (isize != 0) || !paired;
+        const bool pos_good = (!is_amp) || (cfg[CF_norm_primer] == 0)
+                              || (is_far && is_unaff);
+        // reference condition: (!amp) || (!is_norm_primer) || (far&&unaff);
+        // with norm_primer==0 the python path reduces to (!amp)||(far&&unaff)
+        const bool pos_good2 = (!is_amp) || (is_far && is_unaff);
+        if (isrc) {
+            const int64_t d2 = frag_l2;
+            if (d2 >= th[TH_aLI1t] && (d2 <= th[TH_aLI1T] || isgap)
+                    && (is_norm || (isgap && l_nonb)))
+                out[O_aLI1 * plane + idx] += 1;
+            if (d2 >= th[TH_aLI2t] && (d2 <= th[TH_aLI2T] || isgap)
+                    && (is_norm || (isgap && l_nonb)) && pos_good2)
+                out[O_aLI2 * plane + idx] += 1;
+            if (pos_good2) out[O_aLIr * plane + idx] += 1;
+        } else {
+            const int64_t d2 = frag_r2;
+            if (d2 >= th[TH_aRI1t] && (d2 <= th[TH_aRI1T] || isgap)
+                    && (is_norm || (isgap && r_nonb)))
+                out[O_aRI1 * plane + idx] += 1;
+            if (d2 >= th[TH_aRI2t] && (d2 <= th[TH_aRI2T] || isgap)
+                    && (is_norm || (isgap && r_nonb)) && pos_good2)
+                out[O_aRI2 * plane + idx] += 1;
+            if (pos_good2) out[O_aRIf * plane + idx] += 1;
+        }
+        (void)pos_good;
+    }
+    return 0;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// pass_d: consensus-row scatter (engine_bq.pass_d_fragments core).
+// Rows MUST be sorted by (frag, pos, st) (consensus_by_group order).
+// Outputs: bdp/bta/btb [P*14*2], vq_bMQ [P*14], hist [P*14*16],
+// is_mut [n] flags (for the python phase-signature pass).
+int pass_d_kernel(
+    int64_t n_rows,
+    const int64_t *g_frag, const int64_t *g_pos, const int64_t *g_st,
+    const int64_t *con_sym, const int64_t *con_cnt, const int64_t *tot,
+    const int64_t *bg,        // [P*14]
+    const int64_t *aDP4,      // [P*14]
+    const int64_t *ref_syms,  // [P] (int64)
+    const int64_t *frag_strand,  // [F]
+    const int64_t *normMQ,       // [F]
+    int64_t P, int64_t n_frags,
+    int64_t highbq_thres, int64_t mut_window,
+    int64_t *bdp, int64_t *bta, int64_t *btb,  // [P*14*2]
+    int64_t *vq_bMQ,                            // [P*14]
+    int64_t *hist,                              // [P*14*16]
+    uint8_t *is_mut_out                         // [n_rows]
+) {
+    const int64_t NS = 14;
+    const int NBUCKETS = 16;
+    std::vector<int64_t> cov_pos;
+    std::vector<int64_t> mut_pos;
+    int64_t i = 0;
+    while (i < n_rows) {
+        const int64_t fr = g_frag[i];
+        int64_t j = i;
+        while (j < n_rows && g_frag[j] == fr) j++;
+        const int64_t strand = frag_strand[fr];
+        const int64_t mq2 = normMQ[fr] * normMQ[fr] / 32;
+        cov_pos.clear();
+        mut_pos.clear();
+        // first sweep: per-row scatters + mutation flags + coverage set
+        for (int64_t k = i; k < j; k++) {
+            const int64_t pos = g_pos[k];
+            const int64_t sym = con_sym[k];
+            const int64_t idx = pos * NS + sym;
+            const int64_t cq = con_cnt[k] * 2 - tot[k];
+            const int64_t maxq = 8 + bg[idx] / imax(aDP4[idx], (int64_t)1);
+            const int64_t phredlike = imin(cq, maxq);
+            int64_t pb = maxq - phredlike;
+            if (pb < 0) pb = 0;
+            if (pb < NBUCKETS) hist[idx * NBUCKETS + pb] += 1;
+            bdp[idx * 2 + strand] += 1;
+            vq_bMQ[idx] += mq2;
+            bool mut;
+            if (g_st[k] == 0) {
+                const int64_t rs = ref_syms[pos];
+                mut = (rs != sym) && (rs < 4) && (sym < 4)
+                      && (cq >= highbq_thres);
+            } else {
+                mut = (sym != 6) && (sym != 13);  // != LINK_M, != LINK_NN
+            }
+            is_mut_out[k] = mut ? 1 : 0;
+            if (cov_pos.empty() || cov_pos.back() != pos) cov_pos.push_back(pos);
+            if (mut && (mut_pos.empty() || mut_pos.back() != pos))
+                mut_pos.push_back(pos);
+        }
+        // near-mut count over covered positions
+        int64_t n_cov = (int64_t)cov_pos.size();
+        int64_t n_near = 0;
+        if (!mut_pos.empty()) {
+            size_t mi = 0;
+            for (int64_t p : cov_pos) {
+                while (mi + 1 < mut_pos.size() && mut_pos[mi] < p - mut_window)
+                    mi++;
+                bool near = false;
+                for (size_t m2 = mi; m2 < mut_pos.size()
+                         && mut_pos[m2] <= p + mut_window; m2++) {
+                    if (mut_pos[m2] >= p - mut_window) { near = true; break; }
+                }
+                if (near) n_near++;
+            }
+        }
+        // second sweep: bTA/bTB scatters
+        for (int64_t k = i; k < j; k++) {
+            const int64_t idx = g_pos[k] * NS + con_sym[k];
+            bta[idx * 2 + strand] += n_cov;
+            btb[idx * 2 + strand] += n_near;
+        }
+        i = j;
+    }
+    return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fused segmented reduce (max/sum) + fillConsensusCounts
+// (uvc_tpu/pileup/consensus.py; main.hpp:374-417).
+//
+// Protocol: rc_run() sorts + reduces + computes consensus into static
+// buffers and returns n_unique; rc_n_groups() gives the consensus row
+// count; rc_fetch_* copy out.  Single-threaded per process by design
+// (the region pool forks workers).
+
+namespace rc {
+struct KV { uint64_t k; int64_t v; };
+static std::vector<int64_t> ug, uv;            // unique keys (packed), vals
+static std::vector<int64_t> cg, cp_, cst, ccs, ccc, ctot;
+static int64_t g_P = 0;
+
+static void sort_kv(std::vector<KV> &a) {
+    const int64_t n = (int64_t)a.size();
+    std::vector<KV> b(n);
+    uint64_t ormask = 0;
+    for (int64_t i = 0; i < n; i++) ormask |= a[i].k;
+    std::vector<int64_t> cnt(1 << 16);
+    KV *src = a.data(), *dst = b.data();
+    int swaps = 0;
+    for (int pass = 0; pass < 4; pass++) {
+        int shift = pass * 16;
+        if (((ormask >> shift) & 0xFFFF) == 0 && pass > 0) continue;
+        std::fill(cnt.begin(), cnt.end(), 0);
+        for (int64_t i = 0; i < n; i++) cnt[(src[i].k >> shift) & 0xFFFF]++;
+        if (n > 0 && cnt[(src[0].k >> shift) & 0xFFFF] == n) continue;
+        int64_t sum = 0;
+        for (int d = 0; d < (1 << 16); d++) {
+            int64_t c = cnt[d];
+            cnt[d] = sum;
+            sum += c;
+        }
+        for (int64_t i = 0; i < n; i++)
+            dst[cnt[(src[i].k >> shift) & 0xFFFF]++] = src[i];
+        KV *t = src; src = dst; dst = t;
+        swaps++;
+    }
+    if (swaps % 2 == 1) a.swap(b);
+}
+}  // namespace rc
+
+extern "C" {
+
+int64_t rc_run(int64_t n, const int64_t *group, const int64_t *pos,
+               const int64_t *sym, const int64_t *val,
+               int64_t P, int64_t mode /*0=max,1=sum*/,
+               int64_t link_m_overridden) {
+    const int64_t NS = 14;
+    rc::g_P = P;
+    std::vector<rc::KV> rows(n);
+    for (int64_t i = 0; i < n; i++) {
+        rows[i].k = (uint64_t)((group[i] * P + pos[i]) * NS + sym[i]);
+        rows[i].v = val[i];
+    }
+    rc::sort_kv(rows);
+    rc::ug.clear(); rc::uv.clear();
+    rc::ug.reserve(n); rc::uv.reserve(n);
+    for (int64_t i = 0; i < n;) {
+        const uint64_t k = rows[i].k;
+        int64_t acc = rows[i].v;
+        int64_t j = i + 1;
+        if (mode == 0) {
+            for (; j < n && rows[j].k == k; j++)
+                if (rows[j].v > acc) acc = rows[j].v;
+        } else {
+            for (; j < n && rows[j].k == k; j++) acc += rows[j].v;
+        }
+        rc::ug.push_back((int64_t)k);
+        rc::uv.push_back(acc);
+        i = j;
+    }
+    // consensus over unique rows with val > 0, grouped by (group,pos,st)
+    rc::cg.clear(); rc::cp_.clear(); rc::cst.clear();
+    rc::ccs.clear(); rc::ccc.clear(); rc::ctot.clear();
+    const int64_t nu = (int64_t)rc::ug.size();
+    for (int64_t i = 0; i < nu;) {
+        const int64_t key = rc::ug[i];
+        const int64_t gp = key / NS;       // group*P + pos
+        const int64_t sym0 = key % NS;
+        const int64_t st = sym0 >= 6 ? 1 : 0;
+        // segment: same gp and same st
+        int64_t j = i;
+        int64_t tot = 0;
+        int64_t best_v = -1, best_s = -1;   // non-LINK_M winner (or all)
+        int64_t lm_v = 0;                    // LINK_M count (override mode)
+        const bool ovr = link_m_overridden && st == 1;
+        for (; j < nu; j++) {
+            const int64_t k2 = rc::ug[j];
+            if (k2 / NS != gp) break;
+            const int64_t s2 = k2 % NS;
+            if ((s2 >= 6 ? 1 : 0) != st) break;
+            const int64_t v2 = rc::uv[j];
+            if (v2 <= 0) continue;
+            tot += v2;
+            if (ovr && s2 == 6) { lm_v = v2; continue; }  // LINK_M deferred
+            if (v2 > best_v) { best_v = v2; best_s = s2; }
+        }
+        if (tot > 0) {
+            int64_t cs, cc;
+            if (best_s < 0) { cs = 6; cc = lm_v; }   // only LINK_M present
+            else { cs = best_s; cc = best_v; }
+            rc::cg.push_back(gp / P);
+            rc::cp_.push_back(gp % P);
+            rc::cst.push_back(st);
+            rc::ccs.push_back(cs);
+            rc::ccc.push_back(cc);
+            rc::ctot.push_back(ovr ? cc : tot);
+        }
+        i = j;
+    }
+    return nu;
+}
+
+int64_t rc_n_groups() { return (int64_t)rc::cg.size(); }
+
+void rc_fetch_unique(int64_t *ugroup, int64_t *upos, int64_t *usym,
+                     int64_t *uval) {
+    const int64_t NS = 14, P = rc::g_P;
+    const int64_t n = (int64_t)rc::ug.size();
+    for (int64_t i = 0; i < n; i++) {
+        const int64_t k = rc::ug[i];
+        ugroup[i] = k / (NS * P);
+        upos[i] = (k / NS) % P;
+        usym[i] = k % NS;
+        uval[i] = rc::uv[i];
+    }
+}
+
+void rc_fetch_consensus(int64_t *g, int64_t *p, int64_t *st, int64_t *cs,
+                        int64_t *cc, int64_t *tot) {
+    const int64_t n = (int64_t)rc::cg.size();
+    std::memcpy(g, rc::cg.data(), n * 8);
+    std::memcpy(p, rc::cp_.data(), n * 8);
+    std::memcpy(st, rc::cst.data(), n * 8);
+    std::memcpy(cs, rc::ccs.data(), n * 8);
+    std::memcpy(cc, rc::ccc.data(), n * 8);
+    std::memcpy(tot, rc::ctot.data(), n * 8);
+}
+
+}  // extern "C"

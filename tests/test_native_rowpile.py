@@ -1,0 +1,130 @@
+"""Parity test: the fused native pass-C kernel must reproduce the python
+reference implementation exactly."""
+
+import numpy as np
+import pytest
+
+from uvc_tpu.config import UVCConfig
+from uvc_tpu.constants import CHAR_TO_SYMBOL, SequencingPlatform
+from uvc_tpu.io import bam, simulate
+from uvc_tpu.ops import native_rowpile
+from uvc_tpu.pileup import engine_bq, events, strscan, region
+from uvc_tpu.family import dedup
+
+
+@pytest.mark.skipif(not native_rowpile.available(),
+                    reason="native rowpile.so not built")
+def test_pass_c_parity(tmp_path):
+    fa, bam_path, ref, variants, n = simulate.build_test_dataset(
+        str(tmp_path), seed=71)
+    hdr, batch = bam.read_bam(bam_path)
+    cfg = UVCConfig()
+    cfg.central_readlen = 100
+    cfg.self_update_by_platform(SequencingPlatform.ILLUMINA)
+    ref_syms = CHAR_TO_SYMBOL[np.frombuffer(ref.encode(), np.uint8)]
+    P = len(ref_syms)
+    table = events.expand(batch)
+    famgrp = dedup.group_families(batch, table, cfg)
+    dflag = famgrp.frag_dflag[famgrp.frag_of_read]
+    tracks = strscan.scan_repeats(ref_syms)
+    baq = strscan.baq_offsets(tracks, use_anyTR=True)
+    baq2 = strscan.baq_offsets(tracks, use_anyTR=False)
+    prep = engine_bq.pass_a_prep(table, batch, ref_syms, tracks, baq, 0, P,
+                                 cfg, dflag)
+    thres = engine_bq.pass_b_thres(prep, tracks, cfg, False)
+    allev, gi = engine_bq.compute_event_values(
+        table, batch, ref_syms, tracks, baq, baq2, prep, thres, 0, P, cfg,
+        dflag)
+    i_py, bg_py, a1_py, a2_py = engine_bq.pass_c_scatter(
+        allev, table, baq, baq2, thres, 0, P, cfg, dflag, use_native=False)
+    i_nat, bg_nat, a1_nat, a2_nat = engine_bq.pass_c_scatter(
+        allev, table, baq, baq2, thres, 0, P, cfg, dflag, use_native=True)
+    assert np.array_equal(bg_py, bg_nat)
+    assert np.array_equal(a1_py, a1_nat)
+    assert np.array_equal(a2_py, a2_nat)
+    for nm in engine_bq.SegInfo.names:
+        assert np.array_equal(getattr(i_py, nm), getattr(i_nat, nm)), nm
+
+
+@pytest.mark.skipif(not native_rowpile.available(),
+                    reason="native rowpile.so not built")
+def test_pass_d_parity(tmp_path):
+    fa, bam_path, ref, variants, n = simulate.build_test_dataset(
+        str(tmp_path), seed=72)
+    hdr, batch = bam.read_bam(bam_path)
+    cfg = UVCConfig()
+    cfg.central_readlen = 100
+    cfg.self_update_by_platform(SequencingPlatform.ILLUMINA)
+    ref_syms = CHAR_TO_SYMBOL[np.frombuffer(ref.encode(), np.uint8)]
+    P = len(ref_syms)
+    table = events.expand(batch)
+    famgrp = dedup.group_families(batch, table, cfg)
+    dflag = famgrp.frag_dflag[famgrp.frag_of_read]
+    frag_of_read = famgrp.frag_of_read
+    nf = int(frag_of_read.max()) + 1
+    frag_strand = np.zeros(nf, dtype=np.int64)
+    frag_strand[frag_of_read] = table.reads.strand
+    tracks = strscan.scan_repeats(ref_syms)
+    baq = strscan.baq_offsets(tracks, use_anyTR=True)
+    baq2 = strscan.baq_offsets(tracks, use_anyTR=False)
+    prep = engine_bq.pass_a_prep(table, batch, ref_syms, tracks, baq, 0, P,
+                                 cfg, dflag)
+    thres = engine_bq.pass_b_thres(prep, tracks, cfg, False)
+    allev, gi = engine_bq.compute_event_values(
+        table, batch, ref_syms, tracks, baq, baq2, prep, thres, 0, P, cfg,
+        dflag)
+    info, bg, a1, a2 = engine_bq.pass_c_scatter(
+        allev, table, baq, baq2, thres, 0, P, cfg, dflag)
+    out_py = engine_bq.pass_d_fragments(
+        allev, gi, table, ref_syms, frag_of_read, frag_strand, P, cfg,
+        info, bg, batch=batch, use_native=False)
+    out_nat = engine_bq.pass_d_fragments(
+        allev, gi, table, ref_syms, frag_of_read, frag_strand, P, cfg,
+        info, bg, batch=batch, use_native=True)
+    names = ("bdp", "bta", "btb", "hist", "vq_bMQ")
+    for nm, a, b in zip(names, out_py[:5], out_nat[:5]):
+        assert np.array_equal(a, b), nm
+    assert out_py[5] == out_nat[5]  # frag_indel
+    assert out_py[6] == out_nat[6]  # mutforms
+
+
+@pytest.mark.skipif(not native_rowpile.available()
+                    or not native_rowpile.has_reduce_consensus(),
+                    reason="native rowpile.so not built")
+@pytest.mark.parametrize("mode", ["max", "sum"])
+@pytest.mark.parametrize("link_ovr", [False, True])
+def test_reduce_consensus_parity(mode, link_ovr):
+    from uvc_tpu.pileup import consensus as cns
+    rng = np.random.default_rng(3)
+    n, P = 50000, 500
+    group = rng.integers(0, 800, n).astype(np.int64)
+    pos = rng.integers(0, P, n).astype(np.int64)
+    sym = rng.integers(0, 14, n).astype(np.int64)
+    val = rng.integers(0, 60, n).astype(np.int64)  # includes zeros
+    if mode == "max":
+        uniq_py = cns.segment_reduce_max(group, pos, sym, val, P)
+    else:
+        uniq_py = cns.segment_reduce_sum(group, pos, sym, val, P)
+    gc_py = cns.consensus_by_group(*uniq_py, P, link_m_overridden=link_ovr)
+    uniq_nat, c = native_rowpile.reduce_consensus(
+        group, pos, sym, val, P, 0 if mode == "max" else 1, link_ovr)
+    for a, b in zip(uniq_py, uniq_nat):
+        assert np.array_equal(a, b)
+    gc_nat = cns.GroupConsensus(*c)
+    for nm in ("group", "pos", "st", "con_sym", "con_cnt", "tot"):
+        assert np.array_equal(getattr(gc_py, nm), getattr(gc_nat, nm)), nm
+
+
+@pytest.mark.skipif(not native_rowpile.available(),
+                    reason="native rowpile.so not built")
+def test_radix_argsort():
+    rng = np.random.default_rng(0)
+    keys = rng.integers(0, 1 << 60, 100000).astype(np.int64)
+    order = native_rowpile.radix_argsort(keys)
+    assert np.array_equal(keys[order], np.sort(keys))
+    # stability: equal keys preserve original order
+    keys2 = np.repeat(np.arange(100, dtype=np.int64), 50)
+    rng.shuffle(keys2)
+    o2 = native_rowpile.radix_argsort(keys2)
+    np_o = np.argsort(keys2, kind="stable")
+    assert np.array_equal(o2, np_o)

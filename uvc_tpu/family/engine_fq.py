@@ -73,16 +73,17 @@ def run_fq(frag_cons, frag_gap_info, famgrp, ref_syms, sscs_table, thres,
     pass_filt = (adj > 0) & ((fc.st == 1) | (adj >= cfg.fam_thres_highBQ_snv))
     fam_of_row = fam_of_frag[fc.group]
     # family fragment-count coverage (famcov)
-    fg, fp, fs, fcnt = cns.segment_reduce_sum(
+    (fg, fp, fs, fcnt), s1 = cns.reduce_and_consensus(
         fam_of_row[pass_filt], fc.pos[pass_filt], fc.con_sym[pass_filt],
-        np.ones(int(pass_filt.sum()), dtype=np.int64), P)
+        np.ones(int(pass_filt.sum()), dtype=np.int64), P, "sum",
+        link_m_overridden=False)
     # family BQ-weighted coverage (fammmm)
     mm = adj > 0
-    mg, mp, ms, msum = cns.segment_reduce_sum(
-        fam_of_row[mm], fc.pos[mm], fc.con_sym[mm], adj[mm], P)
+    (mg, mp, ms, msum), s2 = cns.reduce_and_consensus(
+        fam_of_row[mm], fc.pos[mm], fc.con_sym[mm], adj[mm], P, "sum",
+        link_m_overridden=False)
 
     # ---- sweep 1: famcov consensus
-    s1 = cns.consensus_by_group(fg, fp, fs, fcnt, P, link_m_overridden=False)
     strand1 = fam_strand[s1.group]
     z3 = lambda: np.zeros((P, NS, 2), dtype=np.int64)  # noqa: E731
     cdp1, cdp12, cdp2, cdp3, cdp21 = z3(), z3(), z3(), z3(), z3()
@@ -124,7 +125,6 @@ def run_fq(frag_cons, frag_gap_info, famgrp, ref_syms, sscs_table, thres,
                                famgrp.frag_of_read, batch)
 
     # ---- sweep 2: fammmm consensus -> cDP1 + confam quality buckets
-    s2 = cns.consensus_by_group(mg, mp, ms, msum, P, link_m_overridden=False)
     strand2 = fam_strand[s2.group]
     fast_add_at(cdp1, (s2.pos, s2.con_sym, strand2), 1)
 
@@ -372,10 +372,10 @@ def _duplex(ddp1, ddp2, cdpD, s1, famgrp, P, cfg):
     strand = famgrp.fam_strand[s1.group]
     dm = (mol >= 0) & is_dscs_mol[np.maximum(mol, 0)]
     if dm.any():
-        mg, mp, ms, cnt = cns.segment_reduce_sum(
+        _, dc = cns.reduce_and_consensus(
             mol[dm], s1.pos[dm], s1.con_sym[dm],
-            np.ones(int(dm.sum()), dtype=np.int64), P)
-        dc = cns.consensus_by_group(mg, mp, ms, cnt, P, link_m_overridden=False)
+            np.ones(int(dm.sum()), dtype=np.int64), P, "sum",
+            link_m_overridden=False)
         fast_add_at(ddp1, (dc.pos, dc.con_sym), 1)
         two = dc.tot > 1
         fast_add_at(ddp2, (dc.pos[two], dc.con_sym[two]), 1)

@@ -1,0 +1,193 @@
+"""ctypes bindings for the fused native row kernels (native/rowpile.cpp).
+
+pass_c_native is the drop-in accelerated path for
+engine_bq.pass_c_scatter; the python implementation stays as the
+behavioral reference (parity-tested)."""
+
+import ctypes
+import os
+
+import numpy as np
+
+from ..constants import MAX_INSERT_SIZE
+
+_LIB = None
+_TRIED = False
+
+PLANES = ("a2XM2 a2BM2 aPF1 aPF2 aBQ2 aMQs aP1 aP2 aP3 aNC "
+          "aDPff aDPfr aDPrf aDPrr aLP1 aLP2 aLPL aRP1 aRP2 aRPL "
+          "aLB1 aLB2 aLBL aRB1 aRB2 aRBL aLI1 aLI2 aRI1 aRI2 "
+          "aRIf aLIr aLIT aRIT bg a1BQf a1BQr a2BQf a2BQr").split()
+N_RF = 14
+N_TH = 14
+N_CFG = 13
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "bin", "rowpile.so")
+    if not os.path.exists(path):
+        return None
+    lib = ctypes.CDLL(path)
+    lib.pass_c_kernel.restype = ctypes.c_int
+    lib.radix_argsort_u64.restype = None
+    try:
+        lib.pass_d_kernel.restype = ctypes.c_int
+        lib.rc_run.restype = ctypes.c_int64
+        lib.rc_n_groups.restype = ctypes.c_int64
+        lib.rc_fetch_unique.restype = None
+        lib.rc_fetch_consensus.restype = None
+    except AttributeError:
+        pass
+    _LIB = lib
+    return lib
+
+
+def available():
+    return _load() is not None
+
+
+def radix_argsort(keys: np.ndarray) -> np.ndarray:
+    """Permutation sorting uint64/int64 keys ascending (stable)."""
+    lib = _load()
+    keys = np.ascontiguousarray(keys.view(np.uint64)
+                                if keys.dtype == np.int64 else keys)
+    order = np.empty(len(keys), dtype=np.int64)
+    lib.radix_argsort_u64(keys.ctypes.data_as(ctypes.c_void_p),
+                          ctypes.c_int64(len(keys)),
+                          order.ctypes.data_as(ctypes.c_void_p))
+    return order
+
+
+def reduce_consensus(group, pos, sym, val, P, mode, link_m_overridden):
+    """Fused segmented reduce (mode 0=max, 1=sum) + consensus.
+
+    Returns ((ugroup, upos, usym, uval), (cgroup, cpos, cst, con_sym,
+    con_cnt, tot)); rows sorted by key, matching the python
+    segment_reduce_* / consensus_by_group output order exactly."""
+    lib = _load()
+
+    def cp(a):
+        return np.ascontiguousarray(a, dtype=np.int64).ctypes.data_as(
+            ctypes.c_void_p)
+
+    nu = lib.rc_run(ctypes.c_int64(len(group)), cp(group), cp(pos), cp(sym),
+                    cp(val), ctypes.c_int64(P), ctypes.c_int64(mode),
+                    ctypes.c_int64(1 if link_m_overridden else 0))
+    ng = lib.rc_n_groups()
+    uniq = tuple(np.empty(nu, dtype=np.int64) for _ in range(4))
+    lib.rc_fetch_unique(*(a.ctypes.data_as(ctypes.c_void_p) for a in uniq))
+    cons = tuple(np.empty(ng, dtype=np.int64) for _ in range(6))
+    lib.rc_fetch_consensus(*(a.ctypes.data_as(ctypes.c_void_p) for a in cons))
+    return uniq, cons
+
+
+def has_reduce_consensus():
+    lib = _load()
+    return lib is not None and hasattr(lib, "rc_run")
+
+
+def pass_d_native(gc, bg, aDP4, ref_syms, frag_strand, normMQ, P, n_frags,
+                  highbq_thres, mut_window):
+    """Runs the fused pass-D consensus scatter (rows sorted by frag,pos,st).
+
+    Returns (bdp [P,14,2], bta, btb, hist [P,14,16], vq_bMQ [P,14],
+    is_mut [n] bool)."""
+    lib = _load()
+    n = len(gc.group)
+    bdp = np.zeros((P, 14, 2), dtype=np.int64)
+    bta = np.zeros((P, 14, 2), dtype=np.int64)
+    btb = np.zeros((P, 14, 2), dtype=np.int64)
+    vq_bmq = np.zeros((P, 14), dtype=np.int64)
+    hist = np.zeros((P, 14, 16), dtype=np.int64)
+    is_mut = np.zeros(n, dtype=np.uint8)
+
+    def cp(a, dt=np.int64):
+        return np.ascontiguousarray(a, dtype=dt).ctypes.data_as(
+            ctypes.c_void_p)
+
+    rc = lib.pass_d_kernel(
+        ctypes.c_int64(n), cp(gc.group), cp(gc.pos), cp(gc.st),
+        cp(gc.con_sym), cp(gc.con_cnt), cp(gc.tot),
+        cp(bg), cp(aDP4), cp(ref_syms), cp(frag_strand), cp(normMQ),
+        ctypes.c_int64(P), ctypes.c_int64(n_frags),
+        ctypes.c_int64(highbq_thres), ctypes.c_int64(mut_window),
+        bdp.ctypes.data_as(ctypes.c_void_p),
+        bta.ctypes.data_as(ctypes.c_void_p),
+        btb.ctypes.data_as(ctypes.c_void_p),
+        vq_bmq.ctypes.data_as(ctypes.c_void_p),
+        hist.ctypes.data_as(ctypes.c_void_p),
+        is_mut.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        raise RuntimeError("pass_d_kernel failed")
+    return bdp, bta, btb, hist, vq_bmq, is_mut.astype(bool)
+
+
+def pass_c_native(allev, table, baq, baq2, thres, off, P, cfg, dflag):
+    """Runs the fused kernel; returns (planes dict of [P,14] int64)."""
+    lib = _load()
+    e = allev
+    n = len(e.pos)
+    r = table.reads
+    n_reads = len(r.pos)
+    reads = np.zeros((n_reads, N_RF), dtype=np.int64)
+    reads[:, 0] = r.pos - off
+    reads[:, 1] = r.rend - off
+    reads[:, 2] = r.isrc
+    reads[:, 3] = r.strand
+    reads[:, 4] = r.isize
+    reads[:, 5] = r.is_paired
+    reads[:, 6] = r.flag
+    reads[:, 7] = r.mapq
+    reads[:, 8] = r.clip_cnt
+    reads[:, 9] = r.frag_pos_L - off
+    reads[:, 10] = r.frag_pos_R - off
+    reads[:, 11] = r.xm1500
+    is_amp = ((dflag & 0x4) != 0) | ((cfg.primerlen > 0)
+                                     and not (0x2 & cfg.primer_flag))
+    reads[:, 12] = is_amp
+    reads[:, 13] = (dflag & 0x1) != 0
+
+    th = np.zeros((P, N_TH), dtype=np.int64)
+    for i, nm in enumerate(("aLPxT", "aRPxT", "aLP1t", "aLP2t", "aRP1t",
+                            "aRP2t", "aLI1t", "aLI1T", "aLI2t", "aLI2T",
+                            "aRI1t", "aRI1T", "aRI2t", "aRI2T")):
+        th[:, i] = getattr(thres, nm)
+
+    cfgv = np.array([
+        cfg.bias_thres_interfering_indel, cfg.primerlen2,
+        int(cfg.central_readlen >= cfg.microadjust_median_readlen_thres),
+        cfg.microadjust_BAQ_per_base_x1024, cfg.bias_thres_highBAQ,
+        cfg.bias_thres_highBQ, cfg.bias_thres_PFBQ1, cfg.bias_thres_PFBQ2,
+        cfg.bias_thres_BAQ1, cfg.bias_thres_BAQ2,
+        cfg.microadjust_nobias_pos_indel_maxlen, MAX_INSERT_SIZE, 0],
+        dtype=np.int64)
+
+    out = np.zeros((len(PLANES), P, 14), dtype=np.int64)
+
+    def cp(a):
+        return np.ascontiguousarray(a).ctypes.data_as(ctypes.c_void_p)
+
+    e_pos = np.ascontiguousarray(e.pos, dtype=np.int64)
+    e_sym = np.ascontiguousarray(e.sym, dtype=np.int64)
+    e_val = np.ascontiguousarray(e.val, dtype=np.int64)
+    e_read = np.ascontiguousarray(e.read, dtype=np.int64)
+    e_isgap = np.ascontiguousarray(e.is_gap, dtype=np.uint8)
+    e_cop = np.ascontiguousarray(e.cigar_op, dtype=np.int64)
+    e_il = np.ascontiguousarray(e.indel_len, dtype=np.int64)
+    e_dist = np.ascontiguousarray(e.dist, dtype=np.int64)
+    baq64 = np.ascontiguousarray(baq, dtype=np.int64)
+    baq264 = np.ascontiguousarray(baq2, dtype=np.int64)
+
+    rc = lib.pass_c_kernel(
+        ctypes.c_int64(n), cp(e_pos), cp(e_sym), cp(e_val), cp(e_read),
+        cp(e_isgap), cp(e_cop), cp(e_il), cp(e_dist), cp(reads), cp(th),
+        cp(baq64), cp(baq264), cfgv.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(P), out.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        raise RuntimeError("pass_c_kernel failed")
+    return {nm: out[i] for i, nm in enumerate(PLANES)}

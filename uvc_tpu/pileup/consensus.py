@@ -20,6 +20,14 @@ import numpy as np
 
 from uvc_tpu.ops.scatter import fast_add_at
 
+
+def _argsort64(keys):
+    """Native radix argsort for int64 keys when built, else numpy."""
+    from ..ops import native_rowpile
+    if native_rowpile.available() and keys.dtype == np.int64 and len(keys) > 4096:
+        return native_rowpile.radix_argsort(keys)
+    return np.argsort(keys, kind="stable")
+
 from ..constants import Symbol, NUM_SYMBOLS
 
 NS = NUM_SYMBOLS
@@ -41,7 +49,7 @@ def segment_reduce_max(group, pos, sym, val, P):
     """Collapse duplicate (group,pos,sym) rows by max(val).
     Returns (ugroup, upos, usym, maxval)."""
     key = (group * P + pos) * NS + sym
-    order = np.argsort(key, kind="stable")
+    order = _argsort64(key)
     sk = key[order]
     sv = val[order]
     if len(sk) == 0:
@@ -59,7 +67,7 @@ def segment_reduce_max(group, pos, sym, val, P):
 def segment_reduce_sum(group, pos, sym, val, P):
     """Collapse duplicate (group,pos,sym) rows by sum(val)."""
     key = (group * P + pos) * NS + sym
-    order = np.argsort(key, kind="stable")
+    order = _argsort64(key)
     sk = key[order]
     sv = val[order]
     if len(sk) == 0:
@@ -99,7 +107,7 @@ def consensus_by_group(ugroup, upos, usym, uval, P,
     if len(gkey) and int(gkey.max()) < (1 << 37):
         packed = (((gkey << 1) | link_cls) << (VAL_BITS + 4)) \
             | ((VAL_MAX - np.minimum(uval, VAL_MAX)) << 4) | usym
-        order = np.argsort(packed, kind="stable")
+        order = _argsort64(packed)
     else:  # key would overflow int64: fall back to lexsort
         order = np.lexsort((usym, -uval, link_cls, gkey))
     g2 = gkey[order]
@@ -115,6 +123,25 @@ def consensus_by_group(ugroup, upos, usym, uval, P,
         tot = np.where(st_g == 1, con_cnt, tot)
     return GroupConsensus(group=ugroup[first_idx], pos=upos[first_idx],
                           st=st_g, con_sym=con_sym, con_cnt=con_cnt, tot=tot)
+
+
+def reduce_and_consensus(group, pos, sym, val, P, mode: str,
+                         link_m_overridden: bool):
+    """Fused segmented reduce + consensus: returns ((ugroup, upos, usym,
+    uval), GroupConsensus).  mode is "max" or "sum".  Uses the native
+    kernel when built (exact parity with the python pair below)."""
+    from ..ops import native_rowpile as nr
+    if nr.available() and nr.has_reduce_consensus() and len(group) > 4096:
+        uniq, c = nr.reduce_consensus(
+            group, pos, sym, val, P, 0 if mode == "max" else 1,
+            link_m_overridden)
+        return uniq, GroupConsensus(*c)
+    if mode == "max":
+        uniq = segment_reduce_max(group, pos, sym, val, P)
+    else:
+        uniq = segment_reduce_sum(group, pos, sym, val, P)
+    return uniq, consensus_by_group(*uniq, P,
+                                    link_m_overridden=link_m_overridden)
 
 
 def sum_by_symboltype(arr):

@@ -726,11 +726,26 @@ def compute_event_values(table, batch, ref_syms, tracks, baq, baq2,
 
 
 def pass_c_scatter(allev: EventValues, table, baq, baq2, thres: SegThres,
-                   off, P, cfg, dflag) -> tuple:
+                   off, P, cfg, dflag, use_native=True) -> tuple:
     """dealwith_segbias (main.hpp:1360-1595) vectorized over all events.
 
-    Returns (seginfo, bg_bqsum, vq_a1BQ, vq_a2BQ).
+    Returns (seginfo, bg_bqsum, vq_a1BQ, vq_a2BQ). When the fused native
+    kernel (native/rowpile.cpp) is built it runs instead of the ~80
+    vectorized numpy passes; parity is enforced by tests.
     """
+    if use_native:
+        from ..ops import native_rowpile
+        if native_rowpile.available():
+            planes = native_rowpile.pass_c_native(
+                allev, table, baq, baq2, thres, off, P, cfg, dflag)
+            info = SegInfo.__new__(SegInfo)
+            info.P = P
+            for nm in SegInfo.names:
+                setattr(info, nm, planes[nm])
+            bg = planes["bg"]
+            a1 = np.stack([planes["a1BQf"], planes["a1BQr"]], axis=-1)
+            a2 = np.stack([planes["a2BQf"], planes["a2BQr"]], axis=-1)
+            return info, bg, a1, a2
     info = SegInfo(P)
     bg = np.zeros((P, NUM_SYMBOLS), dtype=np.int64)
     a1 = np.zeros((P, NUM_SYMBOLS, 2), dtype=np.int64)
@@ -895,57 +910,10 @@ def pass_c_scatter(allev: EventValues, table, baq, baq2, thres: SegThres,
 # pass D: fragment consensus -> FRAG_bDP / buckets / bTA / bTB
 
 
-def pass_d_fragments(allev: EventValues, gap_info, table, ref_syms,
-                     frag_of_read, frag_strand, P, cfg, info: SegInfo,
-                     bg: np.ndarray, frag_gc=None, batch=None):
-    """R1R2 MAX-merge per fragment and consensus scatter
-    (main.hpp:2620-2798). frag_gc: precomputed GroupConsensus to share with
-    the family engine."""
-    e = allev
-    n_frags = int(frag_of_read.max()) + 1 if len(frag_of_read) else 0
-    frag = frag_of_read[e.read]
-    NS = NUM_SYMBOLS
-
-    if len(e.pos) == 0:
-        z3 = np.zeros((P, NS, 2), dtype=np.int64)
-        return (z3, z3.copy(), z3.copy(),
-                np.zeros((P, NS, NUM_BUCKETS), dtype=np.int64),
-                np.zeros((P, NS), dtype=np.int64), {}, {})
-
-    # segment max over (frag, pos, sym), then consensus per (frag, pos, st)
-    from . import consensus as cns
-    if frag_gc is None:
-        ufrag, upos, usym, maxv = cns.segment_reduce_max(frag, e.pos, e.sym,
-                                                         e.val, P)
-        frag_gc = cns.consensus_by_group(ufrag, upos, usym, maxv, P,
-                                         link_m_overridden=True)
-    gc = frag_gc
-    con_sym, con_cnt, tot = gc.con_sym, gc.con_cnt, gc.tot
-    g_pos, g_frag, g_st = gc.pos, gc.group, gc.st
-
-    # normMQ per fragment
-    normMQ = np.zeros(n_frags, dtype=np.int64)
-    np.maximum.at(normMQ, frag_of_read, table.reads.mapq)
-
-    aDP4 = info.aDPff + info.aDPfr + info.aDPrf + info.aDPrr
-    avgBQ = bg[g_pos, con_sym] // np.maximum(1, aDP4[g_pos, con_sym])
-    max_qual = 8 + avgBQ
-    con_qual = con_cnt * 2 - tot
-    phredlike = np.minimum(con_qual, max_qual)
-    pbucket = np.clip(max_qual - phredlike, 0, None)
-
-    hist = np.zeros((P, NS, NUM_BUCKETS), dtype=np.int64)
-    hm = pbucket < NUM_BUCKETS
-    fast_add_at(hist, (g_pos[hm], con_sym[hm], pbucket[hm]), 1)
-
-    bdp = np.zeros((P, NS, 2), dtype=np.int64)
-    strand_g = frag_strand[g_frag].astype(np.int64)
-    fast_add_at(bdp, (g_pos, con_sym, strand_g), 1)
-    vq_bMQ = np.zeros((P, NS), dtype=np.int64)
-    fast_add_at(vq_bMQ, (g_pos, con_sym), normMQ[g_frag] ** 2 // SQR_QUAL_DIV)
-
-    # exact indel consensus per fragment (simplified majority: first max-val
-    # gap event of the fragment matching (pos, winner sym))
+def _pass_d_frag_indel(gap_info, frag_of_read, g_frag, g_pos, g_st,
+                       con_sym, batch):
+    """Exact indel consensus per fragment (first max-val gap event of the
+    fragment matching the winning (pos, sym))."""
     frag_indel = {}
     gk_read, gk_pos, gsym, gk_len, gk_del, gk_qpos, g_val = gap_info
     if len(gk_read):
@@ -955,7 +923,6 @@ def pass_d_fragments(allev: EventValues, gap_info, table, ref_syms,
         win_key = dict()
         for i in np.flatnonzero(win_ins | win_del):
             win_key[(int(g_frag[i]), int(g_pos[i]), int(con_sym[i]))] = None
-        # build (iseq or dlen) per gap event lazily
         for j in range(len(gk_read)):
             k = (int(gfrag[j]), int(gk_pos[j]), int(gsym[j]))
             if k in win_key and win_key[k] is None:
@@ -973,6 +940,98 @@ def pass_d_fragments(allev: EventValues, gap_info, table, ref_syms,
                 ik = ("ins", int(gk_read[j]), int(gk_qpos[j]), int(gk_len[j]))
             d = frag_indel.setdefault((p_, s_), {})
             d[ik] = d.get(ik, 0) + 1
+    return frag_indel
+
+
+def _pass_d_mutforms(g_frag, g_pos, g_st, con_sym, is_mut, frag_strand):
+    """Phase signatures of multi-mutation fragments; rows must be sorted by
+    (frag, pos, st) — the consensus_by_group output order."""
+    mutforms = {}
+    mut_frags = np.unique(g_frag[is_mut])
+    if not len(mut_frags):
+        return mutforms
+    starts = np.searchsorted(g_frag, mut_frags)
+    ends = np.searchsorted(g_frag, mut_frags + 1)
+    for fr, s0, s1 in zip(mut_frags.tolist(), starts.tolist(), ends.tolist()):
+        muts = is_mut[s0:s1]
+        if muts.sum() > 1:
+            poss = g_pos[s0:s1]
+            sts = g_st[s0:s1]
+            osel = np.lexsort((1 - sts[muts], poss[muts]))
+            sig = tuple(zip(poss[muts][osel].tolist(),
+                            con_sym[s0:s1][muts][osel].tolist()))
+            cnts = mutforms.setdefault(sig, [0, 0])
+            cnts[int(frag_strand[fr])] += 1
+    return mutforms
+
+
+def pass_d_fragments(allev: EventValues, gap_info, table, ref_syms,
+                     frag_of_read, frag_strand, P, cfg, info: SegInfo,
+                     bg: np.ndarray, frag_gc=None, batch=None,
+                     use_native=True):
+    """R1R2 MAX-merge per fragment and consensus scatter
+    (main.hpp:2620-2798). frag_gc: precomputed GroupConsensus to share with
+    the family engine."""
+    e = allev
+    n_frags = int(frag_of_read.max()) + 1 if len(frag_of_read) else 0
+    frag = frag_of_read[e.read]
+    NS = NUM_SYMBOLS
+
+    if len(e.pos) == 0:
+        z3 = np.zeros((P, NS, 2), dtype=np.int64)
+        return (z3, z3.copy(), z3.copy(),
+                np.zeros((P, NS, NUM_BUCKETS), dtype=np.int64),
+                np.zeros((P, NS), dtype=np.int64), {}, {})
+
+    # segment max over (frag, pos, sym), then consensus per (frag, pos, st)
+    from . import consensus as cns
+    if frag_gc is None:
+        _, frag_gc = cns.reduce_and_consensus(frag, e.pos, e.sym, e.val, P,
+                                              "max", link_m_overridden=True)
+    gc = frag_gc
+    con_sym, con_cnt, tot = gc.con_sym, gc.con_cnt, gc.tot
+    g_pos, g_frag, g_st = gc.pos, gc.group, gc.st
+
+    # normMQ per fragment
+    normMQ = np.zeros(n_frags, dtype=np.int64)
+    np.maximum.at(normMQ, frag_of_read, table.reads.mapq)
+
+    aDP4 = info.aDPff + info.aDPfr + info.aDPrf + info.aDPrr
+
+    from ..ops import native_rowpile
+    use_native = use_native and native_rowpile.available() and hasattr(
+        native_rowpile._load(), "pass_d_kernel")
+    if use_native:
+        gkey2 = (g_frag * P + g_pos) * 2 + g_st
+        use_native = bool(np.all(gkey2[1:] >= gkey2[:-1]))
+    if use_native:
+        bdp, bta, btb, hist, vq_bMQ, is_mut = native_rowpile.pass_d_native(
+            gc, bg, aDP4, ref_syms, frag_strand, normMQ, P, n_frags,
+            cfg.bias_thres_highBQ, cfg.syserr_mut_region_n_bases)
+        frag_indel = _pass_d_frag_indel(gap_info, frag_of_read, g_frag,
+                                        g_pos, g_st, con_sym, batch)
+        mutforms = _pass_d_mutforms(g_frag, g_pos, g_st, con_sym, is_mut,
+                                    frag_strand)
+        return bdp, bta, btb, hist, vq_bMQ, frag_indel, mutforms
+
+    avgBQ = bg[g_pos, con_sym] // np.maximum(1, aDP4[g_pos, con_sym])
+    max_qual = 8 + avgBQ
+    con_qual = con_cnt * 2 - tot
+    phredlike = np.minimum(con_qual, max_qual)
+    pbucket = np.clip(max_qual - phredlike, 0, None)
+
+    hist = np.zeros((P, NS, NUM_BUCKETS), dtype=np.int64)
+    hm = pbucket < NUM_BUCKETS
+    fast_add_at(hist, (g_pos[hm], con_sym[hm], pbucket[hm]), 1)
+
+    bdp = np.zeros((P, NS, 2), dtype=np.int64)
+    strand_g = frag_strand[g_frag].astype(np.int64)
+    fast_add_at(bdp, (g_pos, con_sym, strand_g), 1)
+    vq_bMQ = np.zeros((P, NS), dtype=np.int64)
+    fast_add_at(vq_bMQ, (g_pos, con_sym), normMQ[g_frag] ** 2 // SQR_QUAL_DIV)
+
+    frag_indel = _pass_d_frag_indel(gap_info, frag_of_read, g_frag, g_pos,
+                                    g_st, con_sym, batch)
 
     # mutation-proximity sweep (bTA/bTB) + phase strings
     refsym_at = ref_syms  # [P]

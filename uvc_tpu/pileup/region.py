@@ -80,10 +80,9 @@ def call_region(batch, ref_syms, region_offset, cfg,
 
     # shared fragment consensus
     frag = famgrp.frag_of_read[allev.read]
-    ufrag, upos, usym, maxv = cns.segment_reduce_max(
-        frag, allev.pos, allev.sym, allev.val, P)
-    frag_gc = cns.consensus_by_group(ufrag, upos, usym, maxv, P,
-                                     link_m_overridden=True)
+    _, frag_gc = cns.reduce_and_consensus(frag, allev.pos, allev.sym,
+                                          allev.val, P, "max",
+                                          link_m_overridden=True)
 
     bdp, bta, btb, hist, vq_bMQ, frag_indel, mutforms = \
         engine_bq.pass_d_fragments(allev, gap_info, table, ref_syms,
