@@ -53,18 +53,23 @@ def bench_device_model():
     B, P = 8, 16384
     counts = jnp.asarray(device.synthetic_counts(B=B, P=P, seed=2))
 
-    @jax.jit
-    def step(c):
-        out = device.quality_model(c)
-        return out["cVQ1"], out["TLODQ"]
-
-    r = step(counts)
-    jax.block_until_ready(r)
     n_iter = 20
+
+    @jax.jit
+    def steps(c):
+        # n_iter model evaluations chained on-device; the scalar readback
+        # at the end forces true completion (block_until_ready does not
+        # reliably block through the device tunnel, so we time a tiny
+        # host readback instead). The +acc*1e-30 data dependence keeps
+        # XLA from dead-code-eliminating or deduplicating iterations.
+        def body(i, acc):
+            out = device.quality_model(c + acc * 1e-30)
+            return acc + jnp.sum(out["cVQ1"]) + jnp.sum(out["TLODQ"])
+        return jax.lax.fori_loop(0, n_iter, body, jnp.float32(0.0))
+
+    float(steps(counts))  # compile + warm
     t0 = time.time()
-    for _ in range(n_iter):
-        r = step(counts)
-    jax.block_until_ready(r)
+    float(steps(counts))  # scalar device_get = true completion
     dt = (time.time() - t0) / n_iter
     cols_per_s = B * P / dt
     return cols_per_s, dt

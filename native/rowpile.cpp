@@ -359,14 +359,43 @@ struct KV { uint64_t k; int64_t v; };
 static std::vector<int64_t> ug, uv;            // unique keys (packed), vals
 static std::vector<int64_t> cg, cp_, cst, ccs, ccc, ctot;
 static int64_t g_P = 0;
+// grow-only scratch buffers: kept across calls so repeated large regions
+// do not re-fault hundreds of MB of freshly mmapped pages every call
+static std::vector<KV> kv_a, kv_b;
+static std::vector<uint64_t> u_a, u_b;
 
-static void sort_kv(std::vector<KV> &a) {
-    const int64_t n = (int64_t)a.size();
-    std::vector<KV> b(n);
+// single-u64 LSD radix (packed key<<VAL_BITS | val fast path)
+static void sort_u64(uint64_t *a, uint64_t *b, int64_t n) {
+    uint64_t ormask = 0;
+    for (int64_t i = 0; i < n; i++) ormask |= a[i];
+    std::vector<int64_t> cnt(1 << 16);
+    uint64_t *src = a, *dst = b;
+    int swaps = 0;
+    for (int pass = 0; pass < 4; pass++) {
+        int shift = pass * 16;
+        if (((ormask >> shift) & 0xFFFF) == 0 && pass > 0) continue;
+        std::fill(cnt.begin(), cnt.end(), 0);
+        for (int64_t i = 0; i < n; i++) cnt[(src[i] >> shift) & 0xFFFF]++;
+        if (n > 0 && cnt[(src[0] >> shift) & 0xFFFF] == n) continue;
+        int64_t sum = 0;
+        for (int d = 0; d < (1 << 16); d++) {
+            int64_t c = cnt[d];
+            cnt[d] = sum;
+            sum += c;
+        }
+        for (int64_t i = 0; i < n; i++)
+            dst[cnt[(src[i] >> shift) & 0xFFFF]++] = src[i];
+        uint64_t *t = src; src = dst; dst = t;
+        swaps++;
+    }
+    if (swaps % 2 == 1) std::memcpy(a, b, n * 8);
+}
+
+static void sort_kv(KV *a, KV *b, int64_t n) {
     uint64_t ormask = 0;
     for (int64_t i = 0; i < n; i++) ormask |= a[i].k;
     std::vector<int64_t> cnt(1 << 16);
-    KV *src = a.data(), *dst = b.data();
+    KV *src = a, *dst = b;
     int swaps = 0;
     for (int pass = 0; pass < 4; pass++) {
         int shift = pass * 16;
@@ -385,7 +414,7 @@ static void sort_kv(std::vector<KV> &a) {
         KV *t = src; src = dst; dst = t;
         swaps++;
     }
-    if (swaps % 2 == 1) a.swap(b);
+    if (swaps % 2 == 1) std::memcpy(a, b, n * sizeof(KV));
 }
 }  // namespace rc
 
@@ -396,28 +425,67 @@ int64_t rc_run(int64_t n, const int64_t *group, const int64_t *pos,
                int64_t P, int64_t mode /*0=max,1=sum*/,
                int64_t link_m_overridden) {
     const int64_t NS = 14;
+    const int VAL_BITS = 20;
+    const int64_t VAL_MAX = ((int64_t)1 << VAL_BITS) - 1;
     rc::g_P = P;
-    std::vector<rc::KV> rows(n);
+    // packed fast path: (key << 20) | val in one u64 when the bits fit
+    int64_t max_g = 0, max_v = 0, min_v = 0;
     for (int64_t i = 0; i < n; i++) {
-        rows[i].k = (uint64_t)((group[i] * P + pos[i]) * NS + sym[i]);
-        rows[i].v = val[i];
+        if (group[i] > max_g) max_g = group[i];
+        if (val[i] > max_v) max_v = val[i];
+        if (val[i] < min_v) min_v = val[i];
     }
-    rc::sort_kv(rows);
+    const int64_t max_key = ((max_g + 1) * P) * NS;
+    const bool packed = n > 0 && min_v >= 0 && max_v <= VAL_MAX
+        && max_key < ((int64_t)1 << (63 - VAL_BITS));
     rc::ug.clear(); rc::uv.clear();
     rc::ug.reserve(n); rc::uv.reserve(n);
-    for (int64_t i = 0; i < n;) {
-        const uint64_t k = rows[i].k;
-        int64_t acc = rows[i].v;
-        int64_t j = i + 1;
-        if (mode == 0) {
-            for (; j < n && rows[j].k == k; j++)
-                if (rows[j].v > acc) acc = rows[j].v;
-        } else {
-            for (; j < n && rows[j].k == k; j++) acc += rows[j].v;
+    if (packed) {
+        if ((int64_t)rc::u_a.size() < n) rc::u_a.resize(n);
+        if ((int64_t)rc::u_b.size() < n) rc::u_b.resize(n);
+        uint64_t *rows = rc::u_a.data();
+        for (int64_t i = 0; i < n; i++)
+            rows[i] = ((uint64_t)((group[i] * P + pos[i]) * NS + sym[i])
+                       << VAL_BITS) | (uint64_t)val[i];
+        rc::sort_u64(rows, rc::u_b.data(), n);
+        for (int64_t i = 0; i < n;) {
+            const uint64_t k = rows[i] >> VAL_BITS;
+            int64_t acc = (int64_t)(rows[i] & VAL_MAX);
+            int64_t j = i + 1;
+            if (mode == 0) {   // sorted asc by (key,val): max = last of run
+                for (; j < n && (rows[j] >> VAL_BITS) == k; j++) {}
+                acc = (int64_t)(rows[j - 1] & VAL_MAX);
+            } else {
+                for (; j < n && (rows[j] >> VAL_BITS) == k; j++)
+                    acc += (int64_t)(rows[j] & VAL_MAX);
+            }
+            rc::ug.push_back((int64_t)k);
+            rc::uv.push_back(acc);
+            i = j;
         }
-        rc::ug.push_back((int64_t)k);
-        rc::uv.push_back(acc);
-        i = j;
+    } else {
+        if ((int64_t)rc::kv_a.size() < n) rc::kv_a.resize(n);
+        if ((int64_t)rc::kv_b.size() < n) rc::kv_b.resize(n);
+        rc::KV *rows = rc::kv_a.data();
+        for (int64_t i = 0; i < n; i++) {
+            rows[i].k = (uint64_t)((group[i] * P + pos[i]) * NS + sym[i]);
+            rows[i].v = val[i];
+        }
+        rc::sort_kv(rows, rc::kv_b.data(), n);
+        for (int64_t i = 0; i < n;) {
+            const uint64_t k = rows[i].k;
+            int64_t acc = rows[i].v;
+            int64_t j = i + 1;
+            if (mode == 0) {
+                for (; j < n && rows[j].k == k; j++)
+                    if (rows[j].v > acc) acc = rows[j].v;
+            } else {
+                for (; j < n && rows[j].k == k; j++) acc += rows[j].v;
+            }
+            rc::ug.push_back((int64_t)k);
+            rc::uv.push_back(acc);
+            i = j;
+        }
     }
     // consensus over unique rows with val > 0, grouped by (group,pos,st)
     rc::cg.clear(); rc::cp_.clear(); rc::cst.clear();
