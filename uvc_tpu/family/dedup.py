@@ -36,6 +36,8 @@ class FamilyGrouping:
     n_fams: int
     umi_of_fam: list           # umi string per family ("" if none)
     duplex_pair: np.ndarray    # int64 [n_fams] molecule id shared across strands
+    pcrpassed: int = 0         # fragments flagged amplicon (grouping.cpp:851)
+    frag_amplicon: np.ndarray = None  # bool [n_frags]
 
 
 def parse_umis(qnames):
@@ -85,6 +87,78 @@ def snap_positions(pos: np.ndarray, counts_window: int = 3,
     return snapped
 
 
+def detect_amplicon(frag_beg, frag_end, lane, cfg):
+    """Per-fragment amplicon detection from border-vs-insert coverage
+    (grouping.cpp:780-860).
+
+    Per (isrc, isr2) lane: histogram fragment begin/end positions, snap
+    each to its centroid, and compare border-peak coverage against the
+    average insert coverage between the (snapped) borders.  Returns
+    (is_assay_amplicon, is_beg_amplicon, is_end_amplicon,
+    is_beg_strong, is_end_strong, beg2count, end2count) per fragment.
+    The reference computes this per alignment; both mates share the
+    fragment borders so a per-fragment computation is equivalent up to
+    the lane of the mate (we use the fragment's lane)."""
+    nf = len(frag_beg)
+    z = np.zeros(nf, dtype=bool)
+    zi = np.zeros(nf, dtype=np.int64)
+    if nf == 0:
+        return z, z.copy(), z.copy(), z.copy(), z.copy(), zi, zi.copy()
+    lo = int(min(frag_beg.min(), frag_end.min()))
+    hi = int(max(frag_beg.max(), frag_end.max())) + 8
+    span = hi - lo + 1
+    beg2 = np.empty(nf, dtype=np.int64)
+    end2 = np.empty(nf, dtype=np.int64)
+    beg2count = np.zeros(nf, dtype=np.int64)
+    end2count = np.zeros(nf, dtype=np.int64)
+    tot_ins = np.zeros(nf, dtype=np.int64)
+    width = np.zeros(nf, dtype=np.int64)
+    for ln in range(4):
+        m = lane == ln
+        if not m.any():
+            continue
+        fb = frag_beg[m] - lo
+        fe = frag_end[m] - lo
+        beg_hist = np.bincount(fb, minlength=span)
+        end_hist = np.bincount(fe, minlength=span)
+        b2 = snap_positions(fb, center_mult=cfg.dedup_center_mult)
+        e2 = snap_positions(fe, center_mult=cfg.dedup_center_mult)
+        # border_count_prefixsum[i+1] = sum(beg+end counts up to i)
+        prefix = np.concatenate([[0], np.cumsum(beg_hist + end_hist)])
+        L = np.minimum(b2 + 6, e2)
+        R = np.maximum(b2, np.maximum(e2 - 6, 0))
+        beg2[m] = b2
+        end2[m] = e2
+        beg2count[m] = beg_hist[b2]
+        end2count[m] = end_hist[e2]
+        tot_ins[m] = prefix[R] - prefix[L]
+        width[m] = R - L
+    begratio = (beg2count * width + 1.0) / (tot_ins + width + 1.0)
+    endratio = (end2count * width + 1.0) / (tot_ins + width + 1.0)
+
+    def _amp(ratio, cnt, avg_thr, min_dp, tot_thr):
+        return ((ratio > avg_thr) & (cnt >= min_dp) & (cnt >= tot_ins * tot_thr))
+
+    beg_w = _amp(begratio, beg2count,
+                 cfg.dedup_amplicon_border_to_insert_cov_weak_avgDP_ratio,
+                 cfg.dedup_amplicon_border_weak_minDP,
+                 cfg.dedup_amplicon_border_to_insert_cov_weak_totDP_ratio)
+    end_w = _amp(endratio, end2count,
+                 cfg.dedup_amplicon_border_to_insert_cov_weak_avgDP_ratio,
+                 cfg.dedup_amplicon_border_weak_minDP,
+                 cfg.dedup_amplicon_border_to_insert_cov_weak_totDP_ratio)
+    beg_s = _amp(begratio, beg2count,
+                 cfg.dedup_amplicon_border_to_insert_cov_strong_avgDP_ratio,
+                 cfg.dedup_amplicon_border_strong_minDP,
+                 cfg.dedup_amplicon_border_to_insert_cov_strong_totDP_ratio)
+    end_s = _amp(endratio, end2count,
+                 cfg.dedup_amplicon_border_to_insert_cov_strong_avgDP_ratio,
+                 cfg.dedup_amplicon_border_strong_minDP,
+                 cfg.dedup_amplicon_border_to_insert_cov_strong_totDP_ratio)
+    is_amp = beg_s | end_s | (beg_w & end_w)
+    return is_amp, beg_w, end_w, beg_s, end_s, beg2count, end2count
+
+
 def group_families(batch, table, cfg,
                    assay_type=AssayType.CAPTURE,
                    platform=SequencingPlatform.ILLUMINA) -> FamilyGrouping:
@@ -127,18 +201,47 @@ def group_families(batch, table, cfg,
                         else (MoleculeTag.BARCODING if has_umi
                               else MoleculeTag.NONE))
 
-    # dedup key selection (grouping.cpp:854-895, SURVEY.md A.2)
-    if cfg.dedup_flag != 0:
-        idflag = cfg.dedup_flag
-    elif platform == SequencingPlatform.IONTORRENT:
-        idflag = 0x9 if has_umi else (0x7 if assay_type == AssayType.AMPLICON else 0x3)
+    # per-fragment amplicon detection (grouping.cpp:780-860); an explicit
+    # --assay-type overrides the detection wholesale
+    isrc64 = r.isrc.astype(np.int64)
+    isr2_64 = isrc64 ^ r.strand.astype(np.int64)
+    lane_of_read = isrc64 * 2 + isr2_64
+    frag_lane = lane_of_read[first_read]
+    if assay_type == AssayType.AMPLICON:
+        is_amp = np.ones(n_frags, dtype=bool)
+        beg_w = end_w = beg_strong = end_strong = is_amp
+        beg2c = end2c = np.ones(n_frags, dtype=np.int64)
+    elif assay_type == AssayType.CAPTURE:
+        is_amp = np.zeros(n_frags, dtype=bool)
+        beg_w = end_w = beg_strong = end_strong = is_amp
+        beg2c = end2c = np.zeros(n_frags, dtype=np.int64)
     else:
-        if has_umi:
-            idflag = 0xB
-        elif assay_type == AssayType.AMPLICON:
-            idflag = 0x7
-        else:
-            idflag = 0x3
+        (is_amp, beg_w, end_w, beg_strong, end_strong,
+         beg2c, end2c) = detect_amplicon(frag_beg, frag_end, frag_lane, cfg)
+
+    # per-fragment dedup key selection (grouping.cpp:863-895, SURVEY.md A.2)
+    e2e = cfg.dedup_amplicon_end2end_ratio
+    idflag_of_frag = np.empty(n_frags, dtype=np.int64)
+    if cfg.dedup_flag != 0:
+        idflag_of_frag[:] = cfg.dedup_flag
+    elif platform == SequencingPlatform.IONTORRENT:
+        for j in range(n_frags):
+            if len(umis[j]):
+                idflag_of_frag[j] = 0x9
+            else:
+                idflag_of_frag[j] = 0x7 if is_amp[j] else 0x3
+    else:
+        for j in range(n_frags):
+            if len(umis[j]):
+                if (beg_strong[j] and end_w[j] and beg2c[j] > end2c[j] * e2e):
+                    idflag_of_frag[j] = 0x9   # one-sided PCR, begin anchored
+                elif (end_strong[j] and beg_w[j]
+                      and end2c[j] > beg2c[j] * e2e):
+                    idflag_of_frag[j] = 0xA   # one-sided PCR, end anchored
+                else:
+                    idflag_of_frag[j] = 0xB
+            else:
+                idflag_of_frag[j] = 0x7 if is_amp[j] else 0x3
 
     beg_s = snap_positions(frag_beg, center_mult=cfg.dedup_center_mult)
     end_s = snap_positions(frag_end, center_mult=cfg.dedup_center_mult)
@@ -160,7 +263,10 @@ def group_families(batch, table, cfg,
             dflag |= 0x2 | 0x1
         elif len(umi):
             dflag |= 0x1
+        if is_amp[j]:
+            dflag |= 0x4
         frag_dflag[j] = dflag
+        idflag = int(idflag_of_frag[j])
         key = (int(frag_strand[j]),
                int(beg_s[j]) if idflag & 0x1 else -1,
                int(end_s[j]) if idflag & 0x2 else -1,
@@ -185,4 +291,5 @@ def group_families(batch, table, cfg,
         fam_dflag=np.asarray(fam_dflag_l, np.int64), frag_dflag=frag_dflag,
         n_frags=n_frags, n_fams=len(fam_strand_l),
         umi_of_fam=fam_umi_l,
-        duplex_pair=np.asarray(duplex_pair_l, np.int64))
+        duplex_pair=np.asarray(duplex_pair_l, np.int64),
+        pcrpassed=int(is_amp.sum()), frag_amplicon=is_amp)

@@ -549,6 +549,43 @@ def compute_event_values(table, batch, ref_syms, tracks, baq, baq2,
     # ---- base events
     b_pos = (b.rpos - off).astype(np.int64)
     b_val = b.bq.astype(np.int64) + add_misma
+    if is_proton:
+        # IonTorrent: bases flanking a gap op take the min of their own BQ
+        # and the neighbor-away-from-the-gap BQ, with the indel phred-add
+        # when the adjacent gap is short (main.hpp:1952-1974)
+        op_all, ln_all, coff = batch.cigar_op, batch.cigar_len, batch.cigar_off
+        opidx = b.op_index
+        i2 = b.i2
+        oplen_own = ln_all[opidx].astype(np.int64)
+        first = i2 == 0
+        last = i2 == oplen_own - 1
+        has_prev_op = opidx > coff[b.read]
+        has_next_op = (opidx + 1) < coff[b.read + 1]
+        M_SET = (0, 7, 8)
+        prev_op = op_all[np.maximum(opidx - 1, 0)]
+        next_op = op_all[np.minimum(opidx + 1, len(op_all) - 1)]
+        prev_is_gap = first & (~has_prev_op | ~np.isin(prev_op, M_SET))
+        next_is_gap = last & (~has_next_op | ~np.isin(next_op, M_SET))
+        boundary = (first | last) & (prev_is_gap | next_is_gap)
+        adj = np.full(len(b_pos), 100, dtype=np.int64)
+        nl = np.where(has_next_op, ln_all[np.minimum(opidx + 1,
+                                                     len(op_all) - 1)], 100)
+        adj = np.where(next_is_gap, np.minimum(adj, nl), adj)
+        pl = np.where(has_prev_op, ln_all[np.maximum(opidx - 1, 0)], 100)
+        adj = np.where(prev_is_gap, np.minimum(adj, pl), adj)
+        qual_flat_ = batch.qual
+        soff_ = batch.seq_off
+        lq_b = r.l_qseq[b.read]
+        isrc2 = i2 != 0
+        nb_q = np.where(isrc2, b.qpos.astype(np.int64) + 1,
+                        b.qpos.astype(np.int64) - 1)
+        nb_ok = np.where(isrc2, nb_q < lq_b, nb_q >= 0)
+        nb_bq = np.where(nb_ok, qual_flat_[np.clip(
+            soff_[b.read] + nb_q, 0, len(qual_flat_) - 1)].astype(np.int64), 1)
+        add_b = np.where(adj < 3, min(add_misma, add_indel), add_misma)
+        b_val = np.where(boundary,
+                         np.minimum(b.bq.astype(np.int64), nb_bq) + add_b,
+                         b_val)
     prev, nxt = _searchsorted_per_read(iv, ioffs, b.read, b.rpos, n)
     b_dist = np.where(r.nge_cnt[b.read] > 0,
                       _dist_to_interfering(table, tracks, thres, prev, nxt,
@@ -564,7 +601,16 @@ def compute_event_values(table, batch, ref_syms, tracks, baq, baq2,
     im = b.interior
     noindel = np.minimum(tracks.indelphred[np.maximum(b_pos[im] - 1, 0)],
                          tracks.indelphred[b_pos[im]])
-    qfromBQ2_m = 80  # non-proton
+    if is_proton:
+        # qfromBQ2 = min(BQ[qpos-1], BQ[qpos]) (main.hpp:1922)
+        q_im = b.qpos[im].astype(np.int64)
+        rd_im = b.read[im]
+        bq_here = b.bq[im].astype(np.int64)
+        bq_prev_im = batch.qual[np.clip(batch.seq_off[rd_im] + q_im - 1, 0,
+                                        len(batch.qual) - 1)].astype(np.int64)
+        qfromBQ2_m = np.minimum(bq_here, bq_prev_im)
+    else:
+        qfromBQ2_m = 80
     lm_val = np.maximum(np.minimum(qfromBQ2_m, noindel)
                         - micro_nogap_penal[b.read[im]], 0) + 1
     link_ev = EventValues(pos=b_pos[im],
@@ -584,7 +630,7 @@ def compute_event_values(table, batch, ref_syms, tracks, baq, baq2,
     gk_del = g.is_del[keep]
     gk_qpos = g.qpos[keep]
 
-    phredvalue, _, _, _ = strscan.ref_to_phredvalue(
+    phredvalue, _, ctx_rnum, ctx_rsize = strscan.ref_to_phredvalue(
         tracks, gk_pos, gk_len, gk_del, cfg.indel_BQ_max,
         cfg.indel_polymerase_slip_rate, cfg.indel_del_to_ins_err_ratio)
     a_dp = prep.a_dp[gk_pos].astype(np.float64)
@@ -624,8 +670,34 @@ def compute_event_values(table, batch, ref_syms, tracks, baq, baq2,
                               len(qual_flat) - 1)].astype(np.int64)
     bq_prev = qual_flat[np.clip(soff[gk_read] + np.maximum(gk_qpos - 1, 0), 0,
                                 len(qual_flat) - 1)].astype(np.int64)
-    qfromBQ1 = np.where(gk_del, np.minimum(bq_at, bq_prev),
-                        np.minimum(anc, insmin))
+    # IonTorrent homopolymer minq: min BQ over the run of identical bases
+    # starting at qpos, up to max_repeatnum+2 bases (main.hpp:2059-2066,
+    # 2153-2160); applies to 1bp indels in 1bp-unit repeat context
+    hp_minq = np.full(len(gk_read), 80, dtype=np.int64)
+    if is_proton and len(gk_read):
+        hp = (gk_len == 1) & (ctx_rsize == 1) & (ctx_rnum > 1)
+        hp_idx = np.flatnonzero(hp)
+        if len(hp_idx):
+            cnt = np.minimum(ctx_rnum[hp_idx] + 2,
+                             lq[hp_idx] - gk_qpos[hp_idx])
+            cnt = np.maximum(cnt, 0)
+            owner_h, qinc = ev._flat_idx(np.zeros(len(hp_idx), np.int64), cnt)
+            rd_h = gk_read[hp_idx[owner_h]]
+            q_h = gk_qpos[hp_idx[owner_h]] + qinc
+            flat_h = soff[rd_h] + q_h
+            same = batch.seq[flat_h] == batch.seq[soff[rd_h]
+                                                  + gk_qpos[hp_idx[owner_h]]]
+            mq = np.full(len(hp_idx), 80, dtype=np.int64)
+            np.minimum.at(mq, owner_h[same],
+                          qual_flat[flat_h[same]].astype(np.int64))
+            hp_minq[hp_idx] = mq
+    if is_proton:
+        qfromBQ1 = np.where(gk_del,
+                            np.minimum(np.minimum(bq_at, bq_prev), hp_minq),
+                            np.minimum(anc, hp_minq))
+    else:
+        qfromBQ1 = np.where(gk_del, np.minimum(bq_at, bq_prev),
+                            np.minimum(anc, insmin))
     # qfromBQ2 (Illumina): gated pass-through of qfromBQ1 or 80
     near_edge_ins = ((gk_len == 1)
                      & ((r.xm1500[gk_read] >= cfg.microadjust_xm)
@@ -633,9 +705,20 @@ def compute_event_values(table, batch, ref_syms, tracks, baq, baq2,
                         | ((r.rclip[gk_read] + cfg.microadjust_cliplen >= r.rend[gk_read] - r.pos[gk_read]) & ~r.isrc[gk_read])))
     ins_biased = (thisdp * ratiothres <= neardp) | near_edge_ins
     del_biased = (thisdp * ratiothres <= neardp)
+    if is_proton:
+        # unbiased indels on IonTorrent get a homopolymer-length-scaled
+        # quality instead of the flat 80 (main.hpp:2072, 2163)
+        from ..ops.math import _PROTON_OPLEN2PHRED
+        p2p = np.asarray(_PROTON_OPLEN2PHRED, dtype=np.int64)[
+            np.minimum(gk_len, 12)]
+        unbiased_q = np.minimum(qfromBQ1 + p2p,
+                                np.maximum(3, qfromBQ1) * gk_len)
+    else:
+        unbiased_q = np.full(len(gk_read), 80, dtype=np.int64)
     qfromBQ2 = np.where(gk_del,
-                        np.where(del_biased, np.maximum(qfromBQ1 - 1, 0), 80),
-                        np.where(ins_biased, qfromBQ1, 80))
+                        np.where(del_biased, np.maximum(qfromBQ1 - 1, 0),
+                                 unbiased_q),
+                        np.where(ins_biased, qfromBQ1, unbiased_q))
 
     # deletion BAQ bound (main.hpp:2167-2187): python loop over del events
     qfromBAQ = np.full(len(gk_read), 10**9, dtype=np.int64)
@@ -1125,7 +1208,8 @@ def final_iid_qualities(bdp, bg, info: SegInfo, hist, P):
 
 
 def run_bq(batch, ref_syms, region_offset, cfg, dflag=None,
-           frag_of_read=None, frag_strand=None, is_normal=False) -> BQResult:
+           frag_of_read=None, frag_strand=None, is_normal=False,
+           is_proton=False) -> BQResult:
     """Full BQ-tier pipeline over one region."""
     P = len(ref_syms)
     n = batch.n
@@ -1162,7 +1246,8 @@ def run_bq(batch, ref_syms, region_offset, cfg, dflag=None,
     thres = pass_b_thres(prep, tracks, cfg, is_normal)
     allev, gap_info = compute_event_values(table, batch, ref_syms, tracks,
                                            baq, baq2, prep, thres,
-                                           region_offset, P, cfg, dflag)
+                                           region_offset, P, cfg, dflag,
+                                           is_proton=is_proton)
     info, bg, a1, a2 = pass_c_scatter(allev, table, baq, baq2, thres,
                                       region_offset, P, cfg, dflag)
     bdp, bta, btb, hist, vq_bMQ, frag_indel, mutforms = pass_d_fragments(

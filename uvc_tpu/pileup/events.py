@@ -82,6 +82,8 @@ class BaseEvents:
     sym: np.ndarray       # int8 base symbol 0..4
     bq: np.ndarray        # uint8 base quality
     interior: np.ndarray  # bool: i2>0 within its M run (link LINK_M site)
+    op_index: np.ndarray  # global cigar-op index of the owning M op
+    i2: np.ndarray        # offset within the M op
 
 
 @dataclass
@@ -198,7 +200,8 @@ def expand(batch) -> EventTable:
     interior = within > 0
 
     bases = BaseEvents(read=b_read, rpos=b_rpos, qpos=b_qpos.astype(np.int32),
-                       sym=b_sym, bq=b_bq, interior=interior)
+                       sym=b_sym, bq=b_bq, interior=interior,
+                       op_index=ev_op, i2=within)
 
     # ---- gap events
     g_idx = np.flatnonzero(is_gap)

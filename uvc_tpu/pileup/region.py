@@ -31,13 +31,15 @@ class RegionResult:
     frag_cons: object = None
 
 
-def infer_assay(batch, cfg) -> AssayType:
+def infer_assay(famgrp, cfg) -> AssayType:
     """Amplicon vs capture inference (main.cpp:510-511): amplicon when
-    pcrpassed * 2 > passed. The per-read amplicon flags come from border
-    coverage ratios (grouping.cpp:826-850); until those are implemented the
-    configured assay type (default capture when AUTO) is used."""
+    pcrpassed * 2 > passed. The per-fragment amplicon flags come from
+    border/insert coverage ratios (grouping.cpp:780-860, implemented in
+    family.dedup.detect_amplicon)."""
     if cfg.assay_type != AssayType.AUTO:
         return cfg.assay_type
+    if famgrp.pcrpassed * 2 > famgrp.n_frags:
+        return AssayType.AMPLICON
     return AssayType.CAPTURE
 
 
@@ -49,8 +51,8 @@ def call_region(batch, ref_syms, region_offset, cfg,
     platform = cfg.inferred_sequencing_platform
     if platform == SequencingPlatform.AUTO:
         platform = SequencingPlatform.ILLUMINA
-    assay = infer_assay(batch, cfg)
-    famgrp = dedup.group_families(batch, table, cfg, assay, platform)
+    famgrp = dedup.group_families(batch, table, cfg, cfg.assay_type, platform)
+    assay = infer_assay(famgrp, cfg)
 
     tracks = strscan.scan_repeats(
         ref_syms, cfg.indel_str_repeatsize_max, cfg.indel_vntr_repeatsize_max,
@@ -74,7 +76,8 @@ def call_region(batch, ref_syms, region_offset, cfg,
     thres = engine_bq.pass_b_thres(prep, tracks, cfg, is_normal)
     allev, gap_info = engine_bq.compute_event_values(
         table, batch, ref_syms, tracks, baq, baq2, prep, thres,
-        region_offset, P, cfg, dflag)
+        region_offset, P, cfg, dflag,
+        is_proton=(platform == SequencingPlatform.IONTORRENT))
     info, bg, a1, a2 = engine_bq.pass_c_scatter(
         allev, table, baq, baq2, thres, region_offset, P, cfg, dflag)
 
