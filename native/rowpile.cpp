@@ -556,3 +556,90 @@ void rc_fetch_consensus(int64_t *g, int64_t *p, int64_t *st, int64_t *cs,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Read-level BQ preprocessing (grouping.cpp:459-543,
+// apply_bq_err_correction3): global BQ cap/boost, 3'-tail homopolymer /
+// end-clip penalty, poly-G run damping.  seq holds symbol codes 0..4
+// (A,C,G,T,N); qual is mutated in place.
+int bq_corr_kernel(
+    int64_t n_reads, const int64_t *seq_off,
+    const uint8_t *seq, uint8_t *qual,
+    const int64_t *lclip, const int64_t *rclip, const uint8_t *isrc,
+    int64_t bq_inc, int64_t bq_max) {
+    const uint8_t G = 2;
+    for (int64_t rd = 0; rd < n_reads; rd++) {
+        const int64_t s0 = seq_off[rd], s1 = seq_off[rd + 1];
+        const int64_t lq = s1 - s0;
+        if (lq == 0) continue;
+        for (int64_t i = s0; i < s1; i++) {
+            int64_t q = qual[i] + bq_inc;
+            qual[i] = (uint8_t)(q < bq_max ? q : bq_max);
+        }
+        const bool rc = isrc[rd] != 0;
+        // aligned range [beg, end) and 3'-machine-end clip length
+        int64_t beg, end, step, end_clip_len = 0;
+        if (!rc) {
+            beg = lclip[rd];
+            end = lq - rclip[rd];
+            step = 1;
+            end_clip_len = rclip[rd];
+        } else {               // scan 3'->5' in machine order = descending
+            beg = lq - 1 - rclip[rd];
+            end = lclip[rd] - 1;
+            step = -1;
+            end_clip_len = lclip[rd];
+        }
+        // tail scan: walk from the 3' machine end towards 5' for the 2nd
+        // distinct base with q >= 20
+        int64_t termpos = end - step;
+        {
+            int prev_b = -1, distinct = 0;
+            for (; termpos != beg - step; termpos -= step) {
+                const uint8_t b = seq[s0 + termpos];
+                const uint8_t q = qual[s0 + termpos];
+                if ((int)b != prev_b && q >= 20) {
+                    prev_b = b;
+                    if (++distinct == 2) break;
+                }
+            }
+            const int64_t tracklen = (termpos - (end - step)) * (-step) >= 0
+                ? ((end - step) - termpos) * step
+                : 0;
+            const int64_t hp = tracklen < 0 ? -tracklen : tracklen;
+            int64_t tail_penal = (end_clip_len >= 20 ? 1 : 0)
+                + (hp >= 15 ? 2 : (hp >= 10 ? 1 : 0));
+            if (tail_penal > 0) {
+                for (int64_t p = end - step; p != beg - step && p != termpos;
+                     p -= step) {
+                    int64_t q = qual[s0 + p];
+                    qual[s0 + p] = (uint8_t)((q > tail_penal + 1
+                                              ? q : tail_penal + 1)
+                                             - tail_penal);
+                }
+            }
+        }
+        // poly-G damping (scan 5'->3' machine order)
+        {
+            int64_t run = 0;
+            int prev_b = -1;
+            for (int64_t p = beg; p != end; p += step) {
+                const uint8_t b = seq[s0 + p];
+                if ((int)b == prev_b) {
+                    run++;
+                    if (run >= 4 && b == G) {
+                        int64_t q = qual[s0 + p];
+                        qual[s0 + p] = (uint8_t)((q > 2 ? q : 2) - 1);
+                    }
+                } else {
+                    prev_b = b;
+                    run = 1;
+                }
+            }
+        }
+    }
+    return 0;
+}
+
+}  // extern "C"

@@ -128,3 +128,26 @@ def test_radix_argsort():
     o2 = native_rowpile.radix_argsort(keys2)
     np_o = np.argsort(keys2, kind="stable")
     assert np.array_equal(o2, np_o)
+
+
+@pytest.mark.skipif(not native_rowpile.available(),
+                    reason="native rowpile.so not built")
+def test_bq_corr_parity(tmp_path):
+    """Native bq_corr_kernel matches the python reference exactly and
+    dampens poly-G runs (grouping.cpp:459-543)."""
+    from uvc_tpu.pileup import bqcorr
+    from uvc_tpu.config import UVCConfig
+    # reference with a long G run so poly-G damping triggers
+    ref = simulate.random_ref(2000, 17)
+    ref = ref[:900] + "G" * 12 + ref[912:]
+    path = str(tmp_path / "g.bam")
+    simulate.build_bam(path, ref, depth=40, seed=18)
+    hdr, b1 = bam.read_bam(path)
+    hdr, b2 = bam.read_bam(path)
+    cfg = UVCConfig()
+    orig = b1.qual.copy()
+    bqcorr.apply_py(b1, cfg)
+    bqcorr.apply(b2, cfg)
+    assert np.array_equal(b1.qual, b2.qual)
+    assert (b1.qual < orig).any()  # poly-G damping fired somewhere
+    assert (b1.qual >= 1).all()

@@ -13,6 +13,7 @@ import numpy as np
 from ..family import dedup, engine_fq
 from ..model import sscs
 from ..constants import AssayType, SequencingPlatform
+from . import bqcorr
 from . import consensus as cns
 from . import engine_bq, events, strscan
 
@@ -46,6 +47,7 @@ def infer_assay(famgrp, cfg) -> AssayType:
 def call_region(batch, ref_syms, region_offset, cfg,
                 is_normal=False) -> RegionResult:
     P = len(ref_syms)
+    bqcorr.apply(batch, cfg)
     table = events.expand(batch)
 
     platform = cfg.inferred_sequencing_platform
