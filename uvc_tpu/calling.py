@@ -64,16 +64,17 @@ def tumor_only_tlodq(F, cfg):
             (np.square(np.log(np.maximum(bjp, 1.001)) / math.log(2.0))
              * cfg.tn_syserr_norm_devqual).astype(np.int64))))
         dec = np.maximum(dec, np.minimum(nVQ + 9, tn_dec_by_xm))
-        return np.minimum(cap, tVQ + inc) - dec
+        return binom, powl, dec, np.minimum(cap, tVQ + inc) - dec
 
-    b4 = q4(tAD1, tDP1, F["cVQ1"], F["cPCQ1"], 0.005, 0.01, 0, tn_dec)
+    b4c = q4(tAD1, tDP1, F["cVQ1"], F["cPCQ1"], 0.005, 0.01, 0, tn_dec)
     tAD2 = (F["cDP2x"] + 0.5) / 100.0
     tDP2 = (F["CDP2x"] + 1.0) / 100.0
-    c4 = q4(tAD2, tDP2, F["cVQ2"], F["cPCQ2"], 0.005, 0.01, 0,
-            np.maximum(tn_dec, 0))
+    c4c = q4(tAD2, tDP2, F["cVQ2"], F["cPCQ2"], 0.005, 0.01, 0,
+             np.maximum(tn_dec, 0))
+    b4, c4 = b4c[3], c4c[3]
     tlodq1 = np.maximum(b4, c4)
     tlodq = np.where(tlodq1 >= 10, tlodq1, tlodq1 * 3 - 20)
-    return tlodq, b4, c4
+    return tlodq, b4c, c4c
 
 
 def _phase_string(mutforms, p, s, region_offset, pseudocount=1):
@@ -190,7 +191,7 @@ def call_variants(batch, ref_syms, refstring, region_offset, chrom, cfg,
     germ = germline.germline_nlodq(F, cand, cfg, is_tumor_only)
     F["_germ"] = germ
     F["_cand"] = cand
-    tlodq, b4, c4 = tumor_only_tlodq(F, cfg)
+    tlodq, b4c, c4c = tumor_only_tlodq(F, cfg)
 
     # lowestVAQ (main.hpp:6196-6201)
     bDP_allele = F["bDPf"] + F["bDPr"]
@@ -249,6 +250,8 @@ def call_variants(batch, ref_syms, refstring, region_offset, chrom, cfg,
             tl = int(tlodq[p, s])
             nlodq_rec = nlodq_ss
             nlodv = SYMBOL_TO_DESC[NS]
+            tnbqf = tuple(int(a[p, s]) for a in b4c)
+            tncqf = tuple(int(a[p, s]) for a in c4c)
         else:
             # TN join (main.hpp:6137-6205 + main.cpp:1104-1147)
             ref_link = F["ref_syms"][p] if st == 0 else int(Symbol.LINK_M)
@@ -261,6 +264,7 @@ def call_variants(batch, ref_syms, refstring, region_offset, chrom, cfg,
                 "short_frag": bool(F["short_frag"][p, 0]),
             }
             b4t, c4t = tn_join_quals(tki, nfm_vals, cfg, is_indel, gap_len)
+            tnbqf, tncqf = tuple(b4t), tuple(c4t)
             tlodq1 = max(b4t[3], c4t[3])
             tl = tlodq1 if tlodq1 >= 10 else tlodq1 * 3 - 20
             # nlodq_inc over the normal's top-2 germline alts
@@ -342,18 +346,43 @@ def call_variants(batch, ref_syms, refstring, region_offset, chrom, cfg,
                 else "Q40" if q < 40 else "Q50" if q < 50
                 else "Q60" if q < 60 else "PASS")
         ref_link = F["ref_syms"][p] if st == 0 else int(Symbol.LINK_M)
+        # SSCS+duplex depths: CDPDb + DDP2 / cDPDb + dDP2
+        # (fill_conditional_tki, main.hpp:5944-5960)
+        cdpd_b = F["cDPDf"][p, :] + F["cDPDr"][p, :]
+        t2dp = int(F["CDPD"][p, s]) + int(F["DDP2"][p, s])
+        t2ad = (int(cdpd_b[ref_link]) + int(F["dDP2"][p, ref_link]),
+                int(cdpd_b[s]) + int(F["dDP2"][p, s]))
+        # repeat unit + flanking repeat tracks (main.hpp:6099-6104, 6232)
+        rulen = int(F["ctx_unitlen"][p])
+        ru = refstring[p:p + rulen].decode()
+        d_tl = cfg.indel_adj_tracklen_dist
+        tr = res.tracks
+        i1 = min(max(p - d_tl, 0), len(tr.begpos) - 1)
+        i2 = min(max(p + d_tl, 0),
+                 max(len(tr.begpos) - d_tl, 0), len(tr.begpos) - 1)
+        r3x2 = (0 if tr.tracklen[i1] == 0
+                else int(tr.begpos[i1]) + region_offset,
+                int(tr.tracklen[i1]), int(tr.unitlen[i1]),
+                0 if tr.tracklen[i2] == 0
+                else int(tr.begpos[i2]) + region_offset,
+                int(tr.tracklen[i2]), int(tr.unitlen[i2]))
         info = {
             ("SOMATIC" if not is_tumor_only else "ANY_VAR"): True,
             "SomaticQ": min(tl, nlodq_rec),
             "TLODQ": tl, "NLODQ": nlodq_rec, "NLODV": nlodv,
+            "TNBQF": tnbqf, "TNCQF": tncqf,
             "tbDP": (tki.BDP if tki else int(F["BDP"][p, s])),
             "tDP": (0 if tki else int(F["CDP1"][p, s])),
             "tAD": (int(F["AD"][p, ref_link]), int(F["AD"][p, s])),
-            "RU": "", "RC": int(F["ctx_repeatnum"][p]),
+            "t2DP": (0 if tki else t2dp),
+            "t2AD": ((0, 0) if tki else t2ad),
+            "RU": ru, "RC": int(F["ctx_repeatnum"][p]),
+            "R3X2": r3x2,
         }
         if not is_tumor_only:
             info["nDP"] = int(F["CDP1"][p, s])
             info["nAD"] = (int(F["AD"][p, ref_link]), int(F["AD"][p, s]))
+            info["n2AD"] = t2ad
         fmt = {
             "GT": "./1",
             "VTI": s, "VTD": SYMBOL_TO_DESC[s],
@@ -374,6 +403,46 @@ def call_variants(batch, ref_syms, refstring, region_offset, chrom, cfg,
             "FTS": "|".join(nm for nm, (flag, _) in F["FTS"].items()
                             if flag[p, s]) or "PASS",
         }
+        # bulk schema tags (bcf_formats_generator1.cpp order; writer.py
+        # holds the shared tag lists)
+        from .vcfout import writer as _w
+        for k in _w.SCALAR_TAGS:
+            fmt[k] = int(F[k][p, s])
+        for k, fk in _w.MAPPED_TAGS.items():
+            fmt[k] = int(F[fk][p, s])
+        for k, (lk, rk) in _w.PAIR_TAGS.items():
+            fmt[k] = f"{int(F[lk][p, s])},{int(F[rk][p, s])}"
+        for k in _w.NN_PAIR_TAGS:
+            v = int(F[k][p, s]) // 2
+            fmt[k] = f"{v},{v}"
+        for k in _w.ARRAY_TAGS:
+            fmt[k] = ",".join(str(int(x)) for x in np.atleast_1d(F[k][p]))
+        th = res.bq.thres
+        fmt["ALRPxT"] = f"{int(th.aLPxT[p])},{int(th.aRPxT[p])}"
+        fmt["ALRIT"] = ",".join(str(int(a[p])) for a in
+                                (th.aLI1T, th.aLI2T, th.aRI1T, th.aRI2T))
+        fmt["ALRIt"] = ",".join(str(int(a[p])) for a in
+                                (th.aLI1t, th.aLI2t, th.aRI1t, th.aRI2t))
+        fmt["ALRPt"] = ",".join(str(int(a[p])) for a in
+                                (th.aLP1t, th.aLP2t, th.aRP1t, th.aRP2t))
+        fmt["nPF"] = f"{int(F['nPF_P'][p, s])},{int(F['nPF_B'][p, s])}"
+        fmt["nNFA"] = ",".join(str(int(a[p, s])) for a in F["nNFA"])
+        fmt["GQ"] = max(0, nlodq_ss)
+        fmt["HQ"] = "0,0"
+        fmt["FT"] = "PASS"
+        fmt["c2DP"] = int(F["CDP2"][p, s])
+        fmt["c2AD"] = int(F["cDP2f"][p, s] + F["cDP2r"][p, s])
+        gk0 = F["gapSa"].get((p, s))
+        gseq = (gk0.decode() if isinstance(gk0, bytes)
+                else (str(gk0) if gk0 is not None else ""))
+        fmt["gapSeq"] = gseq
+        fmt["gapNf"] = 1 if gseq else 0
+        fmt["gapNr"] = 1 if gseq else 0
+        fmt["gapbAD1"] = int(F["bDPa"][p, s])
+        fmt["gapcAD1"] = int(F["cDP0a"][p, s])
+        fmt["gc2AD"] = 0   # SSCS-level exact-indel AD table not tracked
+        fmt["gc2dAD"] = 0  # duplex-level exact-indel AD table not tracked
+        fmt["note"] = ""
         fmt["bHap"] = _phase_string(res.bq.mutforms, p, s, region_offset)
         fmt["cHap"] = _phase_string(res.fq.mutforms_fq, p, s, region_offset)
         fmt["c2Hap"] = _phase_string(res.fq.mutforms_f2q, p, s, region_offset)

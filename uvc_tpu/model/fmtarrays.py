@@ -91,6 +91,16 @@ def build(res, cfg, minABQ_snv, minABQ_indel):
     F["DDP1"] = sum_by_symboltype(fq.ddp1)
     F["DDP2"] = sum_by_symboltype(fq.ddp2)
 
+    # per-strand capital sums for the bTA/bTB proximity counters
+    F["BTAf"] = sum_by_symboltype(F["bTAf"])
+    F["BTAr"] = sum_by_symboltype(F["bTAr"])
+    F["BTBf"] = sum_by_symboltype(F["bTBf"])
+    F["BTBr"] = sum_by_symboltype(F["bTBr"])
+    # padded-deletion-allele depths (fill_symboltype_nn_fmt quirk: the
+    # reference passes strand 0 twice, main.hpp:3745-3765)
+    F["BDPd"] = 2 * nn_broadcast(res.bq.bdp[:, :, 0])
+    F["CDP2d"] = 2 * nn_broadcast(fq.cdp2[:, :, 0])
+
     F["bIAQb"] = res.bq.vq_bIAQ
     F["bIADb"] = res.bq.vq_bIAD
     F["bIDQb"] = res.bq.vq_bIDQ

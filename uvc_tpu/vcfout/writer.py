@@ -113,6 +113,77 @@ FORMAT_DEFS = [
     ("c2Hap", 1, "String", "SSCS haplotype phase signatures overlapping this variant with strand counts"),
 ]
 
+# per-allele scalar tags gathered directly from the dense F arrays at
+# [pos, symbol] (bcf_formats_generator1.cpp:135-529; lowercase = ALT
+# allele, uppercase = per-symboltype sum).  Grouped as in the generator.
+SCALAR_TAGS = (
+    # _AQ/_ADP*: quality sums and strand-orientation quadrant depths
+    "aMQs AMQs a1BQf A1BQf a1BQr A1BQr "
+    "aDPff ADPff aDPfr ADPfr aDPrf ADPrf aDPrr ADPrr "
+    # _ALP/_ARP/_ALB/_ARB: tier-1/2 position- and BAQ-unbiased depths
+    "aLP1 ALP1 aLP2 ALP2 aLPL ALPL aRP1 ARP1 aRP2 ARP2 aRPL ARPL "
+    "aLB1 ALB1 aLB2 ALB2 aLBL ALBL aRB1 ARB1 aRB2 ARB2 aRBL ARBL "
+    # _ALI/_ARI: insert-end unbiased depths
+    "aLI1 ALI1 aLI2 ALI2 aLIr ALIr aRI1 ARI1 aRI2 ARI2 aRIf ARIf "
+    # _AX/_Ax: BQ-unbiased, PF-derated, eligibility counters
+    "aBQ2 ABQ2 aPF1 APF1 aPF2 APF2 aP1 AP1 aP2 AP2 aP3 aNC aLIT aRIT "
+    # _ea/_eb: systematic-error inputs
+    "aBQ a2BQf a2BQr a2XM2 a2BM2 bMQ aAaMQ bNMa bNMb "
+    # _eB/_eC/_eE: IID bucket qualities
+    "bIAQb bIADb bIDQb cIAQf cIADf cIDQf cIAQr cIADr cIDQr "
+    "cIAQ bTINQ cTINQ "
+    # _eQ2/_CDPxvx: SSCS quality + effective-depth tiers
+    "cPLQ2 cMmQ dVQinc cDP1w CDP1w cDP2v CDP2v cDP2w CDP2w "
+    # family-tier per-strand depths
+    "cDP1f cDP1r cDP12f cDP12r cDP2f cDP2r cDP3f cDP3r cDP21f cDP21r "
+    "cDPMf cDPMr cDPmf cDPmr cDPDf cDPDr dDP1 DDP1 dDP2 DDP2 "
+    # SSCS bias counters (c2*)
+    "c2BQ2 C2BQ2 c2LP0 C2LP0 c2RP0 C2RP0 c2LP1 c2LP2 C2LP2 "
+    "c2RP1 c2RP2 C2RP2 c2LPL C2LPL c2RPL C2RPL "
+    "c2LB1 c2LB2 C2LB2 c2RB1 c2RB2 C2RB2 c2LBL C2LBL c2RBL C2RBL "
+    # bTA/bTB per-strand
+    "bTAf BTAf bTAr BTAr bTBf BTBf bTBr BTBr "
+    # exact-indel majority depths
+    "bDPa cDP0a"
+).split()
+
+# Number=2 tags: pairs of per-strand capital sums (x,y per record)
+PAIR_TAGS = {
+    "CDP1b": ("CDP1b_l", "CDP1b_r"), "CDP12b": ("CDP12b_l", "CDP12b_r"),
+    "CDP2b": ("CDP2b_l", "CDP2b_r"), "CDP3b": ("CDP3b_l", "CDP3b_r"),
+    "CDP21b": ("CDP21b_l", "CDP21b_r"), "CDPMb": ("CDPMb_l", "CDPMb_r"),
+    "CDPmb": ("CDPmb_l", "CDPmb_r"), "CDPDb": ("CDPDb_l", "CDPDb_r"),
+    "BTAb": ("BTAf", "BTAr"), "BTBb": ("BTBf", "BTBr"),
+}
+
+# per-position array tags (comma-joined)
+ARRAY_TAGS = ("APDP", "APXM", "APLRID", "APLRI", "APLRP")
+
+# capital per-strand tags stored under _l/_r keys in F
+MAPPED_TAGS = {
+    "BDPf": "BDPb_l", "BDPr": "BDPb_r",
+    "CDP1f": "CDP1b_l", "CDP1r": "CDP1b_r",
+    "CDP12f": "CDP12b_l", "CDP12r": "CDP12b_r",
+    "CDP2f": "CDP2b_l", "CDP2r": "CDP2b_r",
+    "CDP3f": "CDP3b_l", "CDP3r": "CDP3b_r",
+    "CDP21f": "CDP21b_l", "CDP21r": "CDP21b_r",
+    "CDPMf": "CDPMb_l", "CDPMr": "CDPMb_r",
+    "CDPmf": "CDPmb_l", "CDPmr": "CDPmb_r",
+}
+
+# padded-deletion-allele depth pairs (stored as 2x the strand-0 value,
+# matching the reference's fill_symboltype_nn_fmt strand-0-twice quirk)
+NN_PAIR_TAGS = ("BDPd", "CDP1d", "CDP2d")
+
+# remaining non-scalar tags with bespoke fill in calling.py
+MISC_TAGS = ("GQ", "HQ", "FT", "c2DP", "c2AD", "ALRPxT", "ALRIT", "ALRIt",
+             "ALRPt", "nPF", "nNFA", "gapNf", "gapNr", "gapSeq",
+             "gapbAD1", "gapcAD1", "gc2AD", "gc2dAD", "note")
+
+EXTRA_FORMAT_KEYS = (list(SCALAR_TAGS) + list(MAPPED_TAGS)
+                     + list(PAIR_TAGS) + list(NN_PAIR_TAGS)
+                     + list(ARRAY_TAGS) + list(MISC_TAGS))
+
 
 def generate_header(cmdline, contigs, sample_name, cfg=None,
                     tumor_sample=None):
@@ -129,6 +200,30 @@ def generate_header(cmdline, contigs, sample_name, cfg=None,
     for fid, num, typ, desc in FORMAT_DEFS:
         n = 1 if num == "P" else num
         lines.append(f'##FORMAT=<ID={fid},Number={n},Type={typ},Description="{desc}">')
+    declared = {f[0] for f in FORMAT_DEFS}
+    for fid in EXTRA_FORMAT_KEYS:
+        if fid in declared:
+            continue
+        if fid in SCALAR_TAGS or fid in MAPPED_TAGS:
+            num, typ = 1, "Integer"
+        elif fid in PAIR_TAGS or fid in NN_PAIR_TAGS:
+            num, typ = 2, "Integer"
+        elif fid in ARRAY_TAGS or fid in ("nNFA",):
+            num, typ = ".", "Integer"
+        elif fid in ("GQ", "c2DP", "c2AD", "gapNf", "gapNr",
+                     "gapbAD1", "gapcAD1", "gc2AD", "gc2dAD"):
+            num, typ = 1, "Integer"
+        elif fid in ("ALRPxT",):
+            num, typ = 2, "Integer"
+        elif fid in ("ALRIT", "ALRIt", "ALRPt"):
+            num, typ = 4, "Integer"
+        elif fid in ("nPF", "HQ"):
+            num, typ = 2, "Integer"
+        else:
+            num, typ = 1, "String"
+        lines.append(f'##FORMAT=<ID={fid},Number={num},Type={typ},'
+                     f'Description="See the corresponding tag in the '
+                     f'reference uvc1 schema (bcf_formats_generator1.cpp)">')
     cols = "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t" + sample_name
     if tumor_sample:
         cols += "\t" + tumor_sample
@@ -145,18 +240,32 @@ def render_record(chrom, rec, ref_fmt=None):
         parts.append("SOMATIC")
     if info.get("ANY_VAR"):
         parts.append("ANY_VAR")
-    for k in ("SomaticQ", "TLODQ", "NLODQ", "NLODV", "tbDP", "tDP"):
+    for k in ("SomaticQ", "TLODQ", "NLODQ", "NLODV"):
+        if k in info:
+            parts.append(f"{k}={info[k]}")
+    for k in ("TNBQF", "TNCQF"):
+        if k in info:
+            parts.append(f"{k}=" + ",".join(str(x) for x in info[k]))
+    for k in ("tbDP", "tDP"):
         if k in info:
             parts.append(f"{k}={info[k]}")
     if "tAD" in info:
         parts.append("tAD=" + ",".join(str(x) for x in info["tAD"]))
+    if "t2DP" in info:
+        parts.append(f"t2DP={info['t2DP']}")
+    if "t2AD" in info:
+        parts.append("t2AD=" + ",".join(str(x) for x in info["t2AD"]))
     for k in ("nDP",):
         if k in info:
             parts.append(f"{k}={info[k]}")
     if "nAD" in info:
         parts.append("nAD=" + ",".join(str(x) for x in info["nAD"]))
+    if "n2AD" in info:
+        parts.append("n2AD=" + ",".join(str(x) for x in info["n2AD"]))
     parts.append(f"RU={info.get('RU', '')}")
     parts.append(f"RC={info.get('RC', 0)}")
+    if "R3X2" in info:
+        parts.append("R3X2=" + ",".join(str(x) for x in info["R3X2"]))
 
     f = rec.fmt
     keys = ["GT", "VTI", "VTD", "FTS", "DP", "AD", "bDP", "bAD",
@@ -165,6 +274,7 @@ def render_record(chrom, rec, ref_fmt=None):
             "cDP1v", "CDP1v", "cDP1x", "CDP1x", "cDP2x", "CDP2x", "vHGQ",
             "cVQ1M", "cVQ2M", "cVQAM", "cVQSM", "vAC", "vNLODQ",
             "bHap", "cHap", "c2Hap"]
+    keys += [k for k in EXTRA_FORMAT_KEYS if k in f]
     fmt_names = ":".join(keys)
     vals = []
     for k in keys:
