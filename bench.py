@@ -22,10 +22,11 @@ import numpy as np
 
 
 def bench_host_pipeline():
-    from uvc_tpu.io import simulate, bam
-    from uvc_tpu.config import UVCConfig
-    from uvc_tpu.constants import CHAR_TO_SYMBOL, SequencingPlatform
-    from uvc_tpu import calling
+    """End-to-end CLI throughput (BAM -> bgzipped VCF) with the worker
+    pool at the machine's core count, matching how the reference's
+    wall-clock baseline is measured (16-thread uvc1, BASELINE.md)."""
+    import subprocess
+    from uvc_tpu.io import simulate, bgzf
 
     d = tempfile.mkdtemp()
     ref = simulate.random_ref(30000, 5)
@@ -33,16 +34,24 @@ def bench_host_pipeline():
                 for p in range(2000, 28000, 2500)]
     path = d + "/bench.bam"
     simulate.build_bam(path, ref, depth=150, variants=variants, seed=6)
-    hdr, batch = bam.read_bam(path)
-    cfg = UVCConfig()
-    cfg.central_readlen = 100
-    cfg.self_update_by_platform(SequencingPlatform.ILLUMINA)
-    ref_syms = CHAR_TO_SYMBOL[np.frombuffer(ref.encode(), np.uint8)]
+    fa = d + "/ref.fa"
+    with open(fa, "w") as fh:
+        fh.write(">chr1\n" + ref + "\n")
+    out_vcf = d + "/bench.vcf.gz"
+    ncpu = os.cpu_count() or 1
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.abspath(__file__)))
     t0 = time.time()
-    recs, res, F = calling.call_variants(batch, ref_syms, ref.encode(), 0,
-                                         "chr1", cfg)
+    subprocess.run(
+        [sys.executable, "-m", "uvc_tpu.cli.uvc1", "-f", fa, "-o", out_vcf,
+         "-t", str(ncpu), path],
+        check=True, env=env, capture_output=True)
     dt = time.time() - t0
-    return batch.n, len(ref), len(recs), dt
+    body = bgzf.decompress(open(out_vcf, "rb").read()).decode()
+    n_recs = sum(1 for l in body.splitlines()
+                 if not l.startswith("#") and "ANY_VAR" in l)
+    from uvc_tpu.io import bam as bam_mod
+    hdr, batch = bam_mod.read_bam(path)
+    return batch.n, len(ref), n_recs, dt
 
 
 def bench_device_model():

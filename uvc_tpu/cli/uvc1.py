@@ -141,10 +141,12 @@ def _process_region_idx(i):
         lines += [(_line_pos(l), 2, l) for l in aux_records.emit_germline(
             F, F["_germ"], F["_cand"], cfg, chrom, refstring,
             plan.ext_beg, rbeg, rend)]
+    kept = [rec for rec in recs
+            if plan.emit_lo <= rec.vcfpos < plan.emit_hi]
     lines += [(rec.vcfpos, 3, vcf_writer.render_record(chrom, rec))
-              for rec in recs]
+              for rec in kept]
     lines.sort(key=lambda t: (t[0], t[1]))
-    return len(recs), "".join(l + "\n" for _, _, l in lines)
+    return len(kept), "".join(l + "\n" for _, _, l in lines)
 
 
 def check_file_exist(fname, ftype):
@@ -177,6 +179,11 @@ def run(argv=None):
 
     ref_lens = {i: ln for i, ln in enumerate(header.ref_lens)}
     plans = regions_mod.plan(batch, ref_lens, cfg.mem_per_thread)
+    # tier-2 work-unit chunking (main.cpp:1374-1400): split large regions
+    # into fixed-size work units the pool can balance; the unit size does
+    # not depend on -t, so output is thread-count invariant
+    if not is_provided(cfg.bed_in_fname) and not is_provided(cfg.bed_out_fname):
+        plans = regions_mod.split_plans_into_units(plans, batch, ref_lens)
 
     # region-schedule persistence (--bed-out-fname / --bed-in-fname;
     # main.cpp:1405-1439, CmdLineArgs.cpp:1028-1030)

@@ -204,9 +204,14 @@ def _gather_type_sum(kg, kp, ks, kv, qg, qp, qst, P):
     """sum of kv over symbols of the query symboltype at (qg,qp)."""
     kst = (ks >= 6).astype(np.int64)
     gk = (kg * P + kp) * 2 + kst
-    order = np.argsort(gk, kind="stable")
-    gs = gk[order]
-    vs = kv[order]
+    # rows from the segmented reduce are sorted by (g,p,sym), hence by
+    # (g,p,st) as well: skip the argsort in that (common) case
+    if len(gk) == 0 or bool(np.all(gk[1:] >= gk[:-1])):
+        gs, vs = gk, kv
+    else:
+        order = cns._argsort64(gk)
+        gs = gk[order]
+        vs = kv[order]
     if len(gs) == 0:
         return np.zeros(len(qg), dtype=np.int64)
     seg = np.concatenate([[True], gs[1:] != gs[:-1]])

@@ -29,6 +29,75 @@ class RegionPlan:
     read_end: int
     ext_beg: int = 0  # extended (with STR flanks) bounds, set by the caller
     ext_end: int = 0
+    # variant-emission window (1-based vcfpos, half-open); interior tier-2
+    # boundaries constrain which work unit claims each position
+    emit_lo: int = -1
+    emit_hi: int = 1 << 62
+
+
+UNIT_READS = 8192  # tier-2 work-unit size (reads per unit before split)
+
+
+def split_plans_into_units(plans, batch, ref_lens, unit_reads=UNIT_READS):
+    """Tier-2 work-unit chunking (main.cpp:1374-1400): subdivide large
+    regions by position into bounded work units so a thread pool can
+    balance one big region across workers.  The unit size is fixed (not
+    derived from the thread count) so output is identical for any -t.
+
+    Each child re-includes reads overlapping its boundary (the reference
+    refetches each unit's window +-MAX_INSERT_SIZE, grouping.cpp:664);
+    duplicate variant records are prevented by the emit_lo/emit_hi claim
+    windows.  The pad is the observed maximum fragment extent, capped at
+    MAX_INSERT_SIZE."""
+    from ..constants import MAX_INSERT_SIZE
+
+    pos = np.asarray(batch.pos, dtype=np.int64)
+    rend = np.asarray(batch.rend, dtype=np.int64)
+    isize = np.abs(np.asarray(batch.isize, dtype=np.int64))
+    span = rend - pos
+    pad = int(min(MAX_INSERT_SIZE,
+                  max(int(isize[isize < MAX_INSERT_SIZE].max(initial=0)),
+                      int(span.max(initial=0))))) + 1
+    out = []
+    stack = list(plans)[::-1]
+    while stack:
+        p = stack.pop()
+        nreads = p.read_end - p.read_beg
+        if nreads <= unit_reads or p.end - p.beg < 256:
+            out.append(p)
+            continue
+        mid = p.read_beg + nreads // 2
+        split_pos = int(pos[mid])
+        if split_pos <= p.beg or split_pos >= p.end:
+            out.append(p)
+            continue
+        ref_len = ref_lens[p.tid]
+        # child A: reads [read_beg, first pos >= split_pos), claims < split
+        a_end = int(np.searchsorted(pos[p.read_beg:p.read_end], split_pos)
+                    ) + p.read_beg
+        # child B: re-include boundary-overlapping reads
+        b_beg = int(np.searchsorted(pos[p.read_beg:p.read_end],
+                                    split_pos - pad)) + p.read_beg
+        a = RegionPlan(tid=p.tid, beg=p.beg, end=min(split_pos, ref_len),
+                       read_beg=p.read_beg, read_end=a_end,
+                       emit_lo=p.emit_lo,
+                       emit_hi=min(p.emit_hi, split_pos + 1))
+        b = RegionPlan(tid=p.tid, beg=split_pos, end=p.end,
+                       read_beg=b_beg, read_end=p.read_end,
+                       emit_lo=max(p.emit_lo, split_pos + 1),
+                       emit_hi=p.emit_hi)
+        for c in (a, b):
+            lo = int(pos[c.read_beg:c.read_end].min()) \
+                if c.read_end > c.read_beg else c.beg
+            hi = int(rend[c.read_beg:c.read_end].max()) \
+                if c.read_end > c.read_beg else c.end
+            c.ext_beg = max(0, min(c.beg, lo) - MAX_STR_N_BASES)
+            c.ext_end = min(ref_lens[c.tid],
+                            max(c.end, hi) + MAX_STR_N_BASES)
+        stack.append(b)
+        stack.append(a)
+    out.sort(key=lambda q: (q.tid, q.beg, q.emit_lo))
+    return out
 
 
 def plan(batch, ref_lens, mem_per_thread_mb=1536):
