@@ -216,7 +216,7 @@ def run(argv=None):
     n_workers = min(cfg.max_cpu_num, os.cpu_count() or 1, len(plans)) \
         if len(plans) > 1 else 1
     n_records = 0
-    n_reads = sum(p.read_end - p.read_beg for p in plans)
+    n_reads = batch.n  # pad reads shared between units counted once
     if n_workers > 1:
         # data-parallel region processing with ordered serial output,
         # mirroring the reference's dynamic thread pool + serial concat

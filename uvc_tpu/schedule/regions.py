@@ -35,7 +35,7 @@ class RegionPlan:
     emit_hi: int = 1 << 62
 
 
-UNIT_READS = 8192  # tier-2 work-unit size (reads per unit before split)
+UNIT_READS = 2048  # tier-2 work-unit size (reads per unit before split)
 
 
 def split_plans_into_units(plans, batch, ref_lens, unit_reads=UNIT_READS):
