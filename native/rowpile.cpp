@@ -643,3 +643,51 @@ int bq_corr_kernel(
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// STR/VNTR track winner assignment: the scalar skip-loop of
+// refstring2repeatvec (main.hpp:803-874; python reference
+// uvc_tpu/pileup/strscan.scan_repeats).  dec_arr is the precomputed
+// slippage phred per candidate start position.
+int str_track_kernel(
+    int64_t n,
+    const int64_t *str_unit, const int64_t *str_num, const int64_t *str_end,
+    const int64_t *any_unit, const int64_t *any_end,
+    const int64_t *dec_arr, int64_t str_max, int64_t bq_max,
+    int64_t *begpos, int64_t *tracklen, int64_t *unitlen,
+    int64_t *indelphred,  // caller-initialised to bq_max
+    int64_t *a_begpos, int64_t *a_tracklen, int64_t *a_unitlen) {
+    int64_t refpos = 0;
+    while (refpos < n) {
+        const int64_t rs = str_unit[refpos];
+        const int64_t rn = str_num[refpos];
+        const int64_t rep_end = imin(str_end[refpos], n);
+        const int64_t tl = rep_end - refpos;
+        const int64_t dec = dec_arr[refpos];
+        const int64_t ip = bq_max - imin(bq_max - 1, dec);
+        for (int64_t i = refpos; i < rep_end; i++) {
+            if (tl > tracklen[i]) {
+                begpos[i] = refpos;
+                unitlen[i] = rs;
+                indelphred[i] = ip;
+                tracklen[i] = tl;
+            }
+        }
+        const int64_t a_end = imin(any_end[refpos], n);
+        const int64_t atl = a_end - refpos;
+        const int64_t au = any_unit[refpos];
+        for (int64_t i = refpos; i < a_end; i++) {
+            if (atl > a_tracklen[i]) {
+                a_begpos[i] = refpos;
+                a_unitlen[i] = au;
+                a_tracklen[i] = atl;
+            }
+        }
+        const int64_t nb = str_max + rs;
+        refpos += imax(rs * rn, nb + 1) - nb;
+    }
+    return 0;
+}
+
+}  // extern "C"

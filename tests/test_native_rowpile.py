@@ -151,3 +151,26 @@ def test_bq_corr_parity(tmp_path):
     assert np.array_equal(b1.qual, b2.qual)
     assert (b1.qual < orig).any()  # poly-G damping fired somewhere
     assert (b1.qual >= 1).all()
+
+
+@pytest.mark.skipif(not native_rowpile.available(),
+                    reason="native rowpile.so not built")
+def test_str_track_parity(monkeypatch):
+    """Native str_track_kernel matches the python skip-loop exactly."""
+    from uvc_tpu.pileup import strscan
+    ref = simulate.random_ref(5000, 23)
+    # inject homopolymers and STRs
+    ref = ref[:500] + "A" * 15 + ref[515:1000] + "ACG" * 9 + ref[1027:]
+    syms = np.frombuffer(ref.encode(), np.uint8)
+    t_nat = strscan.scan_repeats(syms)
+    lib = native_rowpile._load()
+    monkeypatch.setattr(native_rowpile, "_LIB", None)
+    monkeypatch.setattr(native_rowpile, "_TRIED", True)
+    try:
+        t_py = strscan.scan_repeats(syms)
+    finally:
+        monkeypatch.setattr(native_rowpile, "_LIB", lib)
+    for nm in ("begpos", "tracklen", "unitlen", "indelphred",
+               "anyTR_begpos", "anyTR_tracklen", "anyTR_unitlen",
+               "ctx_repeatnum", "ctx_unitlen"):
+        assert np.array_equal(getattr(t_py, nm), getattr(t_nat, nm)), nm

@@ -134,40 +134,79 @@ def scan_repeats(ref_bytes, str_max: int = 6, vntr_max: int = 35,
     str_num, str_unit, str_end = best_repeat_context(ref, str_max)
     any_num, any_unit, any_end = best_repeat_context(ref, vntr_max)
 
-    begpos = np.zeros(n, dtype=np.int32)
-    tracklen = np.zeros(n, dtype=np.int32)
-    unitlen = np.zeros(n, dtype=np.int32)
-    indelphred = np.full(n, indel_BQ_max, dtype=np.int64)
-    a_begpos = np.zeros(n, dtype=np.int32)
-    a_tracklen = np.zeros(n, dtype=np.int32)
-    a_unitlen = np.zeros(n, dtype=np.int32)
+    # slippage phred per candidate start position, vectorized once
+    tl_vec = np.minimum(str_end, n) - np.arange(n, dtype=np.int64)
+    dec_vec = indel_phred(slip_rate * del_to_ins, np.maximum(str_unit, 1),
+                          tl_vec // np.maximum(str_unit, 1))
 
-    # precompute slippage phred for the (unit, tracklen) written per refpos
-    refpos = 0
-    while refpos < n:
-        rs = int(str_unit[refpos])
-        rn = int(str_num[refpos])
-        rep_end = min(int(str_end[refpos]), n)
-        tl = rep_end - refpos
-        dec = int(indel_phred(slip_rate * del_to_ins, rs, tl // rs))
-        sl = slice(refpos, rep_end)
-        win = tl > tracklen[sl]
-        begpos[sl] = np.where(win, refpos, begpos[sl])
-        unitlen[sl] = np.where(win, rs, unitlen[sl])
-        indelphred[sl] = np.where(
-            win, indel_BQ_max - min(indel_BQ_max - 1, dec), indelphred[sl])
-        tracklen[sl] = np.where(win, tl, tracklen[sl])
+    from ..ops import native_rowpile
+    lib = native_rowpile._load()
+    if lib is not None and hasattr(lib, "str_track_kernel"):
+        import ctypes
 
-        a_end = min(int(any_end[refpos]), n)
-        atl = a_end - refpos
-        sl2 = slice(refpos, a_end)
-        win2 = atl > a_tracklen[sl2]
-        a_begpos[sl2] = np.where(win2, refpos, a_begpos[sl2])
-        a_unitlen[sl2] = np.where(win2, int(any_unit[refpos]), a_unitlen[sl2])
-        a_tracklen[sl2] = np.where(win2, atl, a_tracklen[sl2])
+        def cp(a):
+            return np.ascontiguousarray(a, dtype=np.int64).ctypes.data_as(
+                ctypes.c_void_p)
 
-        nbases_to_next = str_max + rs
-        refpos += max(rs * rn, nbases_to_next + 1) - nbases_to_next
+        begpos64 = np.zeros(n, dtype=np.int64)
+        tracklen64 = np.zeros(n, dtype=np.int64)
+        unitlen64 = np.zeros(n, dtype=np.int64)
+        indelphred = np.full(n, indel_BQ_max, dtype=np.int64)
+        a_begpos64 = np.zeros(n, dtype=np.int64)
+        a_tracklen64 = np.zeros(n, dtype=np.int64)
+        a_unitlen64 = np.zeros(n, dtype=np.int64)
+        lib.str_track_kernel(
+            ctypes.c_int64(n), cp(str_unit), cp(str_num), cp(str_end),
+            cp(any_unit), cp(any_end), cp(dec_vec),
+            ctypes.c_int64(str_max), ctypes.c_int64(indel_BQ_max),
+            begpos64.ctypes.data_as(ctypes.c_void_p),
+            tracklen64.ctypes.data_as(ctypes.c_void_p),
+            unitlen64.ctypes.data_as(ctypes.c_void_p),
+            indelphred.ctypes.data_as(ctypes.c_void_p),
+            a_begpos64.ctypes.data_as(ctypes.c_void_p),
+            a_tracklen64.ctypes.data_as(ctypes.c_void_p),
+            a_unitlen64.ctypes.data_as(ctypes.c_void_p))
+        begpos = begpos64.astype(np.int32)
+        tracklen = tracklen64.astype(np.int32)
+        unitlen = unitlen64.astype(np.int32)
+        a_begpos = a_begpos64.astype(np.int32)
+        a_tracklen = a_tracklen64.astype(np.int32)
+        a_unitlen = a_unitlen64.astype(np.int32)
+    else:
+        begpos = np.zeros(n, dtype=np.int32)
+        tracklen = np.zeros(n, dtype=np.int32)
+        unitlen = np.zeros(n, dtype=np.int32)
+        indelphred = np.full(n, indel_BQ_max, dtype=np.int64)
+        a_begpos = np.zeros(n, dtype=np.int32)
+        a_tracklen = np.zeros(n, dtype=np.int32)
+        a_unitlen = np.zeros(n, dtype=np.int32)
+
+        refpos = 0
+        while refpos < n:
+            rs = int(str_unit[refpos])
+            rn = int(str_num[refpos])
+            rep_end = min(int(str_end[refpos]), n)
+            tl = rep_end - refpos
+            dec = int(dec_vec[refpos])
+            sl = slice(refpos, rep_end)
+            win = tl > tracklen[sl]
+            begpos[sl] = np.where(win, refpos, begpos[sl])
+            unitlen[sl] = np.where(win, rs, unitlen[sl])
+            indelphred[sl] = np.where(
+                win, indel_BQ_max - min(indel_BQ_max - 1, dec), indelphred[sl])
+            tracklen[sl] = np.where(win, tl, tracklen[sl])
+
+            a_end = min(int(any_end[refpos]), n)
+            atl = a_end - refpos
+            sl2 = slice(refpos, a_end)
+            win2 = atl > a_tracklen[sl2]
+            a_begpos[sl2] = np.where(win2, refpos, a_begpos[sl2])
+            a_unitlen[sl2] = np.where(win2, int(any_unit[refpos]),
+                                      a_unitlen[sl2])
+            a_tracklen[sl2] = np.where(win2, atl, a_tracklen[sl2])
+
+            nbases_to_next = str_max + rs
+            refpos += max(rs * rn, nbases_to_next + 1) - nbases_to_next
 
     # trailing sentinel element (reference pushes back LAST())
     def ext(a):
