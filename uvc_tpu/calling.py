@@ -34,6 +34,7 @@ class VariantRecord:
     info: dict
     fmt: dict         # FORMAT tag -> value(s)
     tumor_fmt: str = ""  # verbatim tumor column (normal mode)
+    ref_fmt: dict = None  # REF-allele values for Number=R tags
 
 
 def tumor_only_tlodq(F, cfg):
@@ -372,10 +373,11 @@ def call_variants(batch, ref_syms, refstring, region_offset, chrom, cfg,
             "TLODQ": tl, "NLODQ": nlodq_rec, "NLODV": nlodv,
             "TNBQF": tnbqf, "TNCQF": tncqf,
             "tbDP": (tki.BDP if tki else int(F["BDP"][p, s])),
-            "tDP": (0 if tki else int(F["CDP1"][p, s])),
-            "tAD": (int(F["AD"][p, ref_link]), int(F["AD"][p, s])),
-            "t2DP": (0 if tki else t2dp),
-            "t2AD": ((0, 0) if tki else t2ad),
+            "tDP": (tki.tDP if tki else int(F["CDP1"][p, s])),
+            "tAD": ((tki.tAD_ref, tki.tAD_alt) if tki
+                    else (int(F["AD"][p, ref_link]), int(F["AD"][p, s]))),
+            "t2DP": (tki.tDPC if tki else t2dp),
+            "t2AD": ((tki.tADC_ref, tki.tADC_alt) if tki else t2ad),
             "RU": ru, "RC": int(F["ctx_repeatnum"][p]),
             "R3X2": r3x2,
         }
@@ -456,6 +458,8 @@ def call_variants(batch, ref_syms, refstring, region_offset, chrom, cfg,
         records.append(VariantRecord(
             pos=p, symbol=s, vcfpos=vcfpos + region_offset, ref=ref_a,
             alt=alt_a, qual=round(q, 4), filter=filt, info=info, fmt=fmt,
-            tumor_fmt=(tki.tumor_format_text if tki else "")))
+            tumor_fmt=(tki.tumor_format_text if tki else ""),
+            ref_fmt={k: int(F[k][p, ref_link])
+                     for k in ("AD", "bAD", "bDPf", "bDPr")}))
     records.sort(key=lambda r: (r.vcfpos, r.symbol))
     return records, res, F

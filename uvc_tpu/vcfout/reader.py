@@ -31,6 +31,12 @@ class TumorKeyInfo:
     cPCQ2: int = 0
     bNMQ: int = 0
     vHGQ: int = 0
+    tDP: int = 0      # fmt.DP (fill_conditional_tki, main.hpp:5949)
+    tAD_ref: int = 0  # fmt.AD[0]
+    tAD_alt: int = 0
+    tDPC: int = 0     # CDPDb sum + DDP2 (SSCS+duplex depth)
+    tADC_ref: int = 0
+    tADC_alt: int = 0
     tumor_format_text: str = ""   # verbatim re-emission of the tumor column
 
 
@@ -83,6 +89,14 @@ def read_tumor_vcf(path, name2tid):
             CDP2x=_geti(d, "CDP2x", 0), cDP2x=_geti(d, "cDP2x"),
             cVQ2=_geti(d, "cVQ2"), cPCQ2=_geti(d, "cPCQ2"),
             bNMQ=_geti(d, "bNMQ"), vHGQ=_geti(d, "vHGQ"),
+            tDP=_geti(d, "DP"),
+            tAD_ref=_geti(d, "AD", 0), tAD_alt=_geti(d, "AD"),
+            tDPC=(_geti(d, "CDPDb", 0) + _geti(d, "CDPDb", 1)
+                  + _geti(d, "DDP2")),
+            tADC_ref=(_geti(d, "cDPDf", 0) + _geti(d, "cDPDr", 0)
+                      + _geti(d, "dDP2", 0)),
+            tADC_alt=(_geti(d, "cDPDf") + _geti(d, "cDPDr")
+                      + _geti(d, "dDP2")),
             tumor_format_text=cols[9])
         tkis.setdefault((tid, symbolpos, vti), []).append(tki)
     return tkis

@@ -277,6 +277,8 @@ def render_record(chrom, rec, ref_fmt=None):
     keys += [k for k in EXTRA_FORMAT_KEYS if k in f]
     fmt_names = ":".join(keys)
     vals = []
+    if ref_fmt is None:
+        ref_fmt = getattr(rec, "ref_fmt", None)
     for k in keys:
         v = f.get(k, ".")
         if k in ("AD", "bAD", "bDPf", "bDPr") and ref_fmt is not None:
