@@ -429,6 +429,8 @@ def call_variants(batch, ref_syms, refstring, region_offset, chrom, cfg,
                                 (th.aLP1t, th.aLP2t, th.aRP1t, th.aRP2t))
         fmt["nPF"] = f"{int(F['nPF_P'][p, s])},{int(F['nPF_B'][p, s])}"
         fmt["nNFA"] = ",".join(str(int(a[p, s])) for a in F["nNFA"])
+        fmt["nAFA"] = ",".join(str(int(a[p, s])) for a in F["nAFA"])
+        fmt["nBCFA"] = ",".join(str(int(a[p, s])) for a in F["nBCFA"])
         fmt["GQ"] = max(0, nlodq_ss)
         fmt["HQ"] = "0,0"
         fmt["FT"] = "PASS"

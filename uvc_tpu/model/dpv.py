@@ -522,10 +522,18 @@ def calc_dpv(F, cfg, is_tumor_only=True, tpfa=None):
         fts[name] = (biasFA < refFA * thresr,
                      np.round(100.0 * biasFA / refFA).astype(np.int64))
     F["FTS"] = fts
-    # nNFA/nAFA deciphred diagnostics
-    F["nNFA"] = [(-np.round(100.0 / math.log(10.0) * np.log(x)).astype(np.int64))
-                 for x in (counterbias_P_FA, counterbias_BQ_FA, aDPFA, bFA,
-                           cFA0, cFA2)]
+    # nNFA/nAFA/nBCFA deciphred diagnostics (bcf_formats_generator1.cpp:
+    # 482-486): allele fractions as -10*100*log10 values
+    def _deciphred(xs):
+        return [(-np.round(100.0 / math.log(10.0)
+                           * np.log(np.maximum(x, 1e-12))).astype(np.int64))
+                for x in xs]
+
+    F["nNFA"] = _deciphred((counterbias_P_FA, counterbias_BQ_FA, aDPFA, bFA,
+                            cFA0, cFA2))
+    F["nAFA"] = _deciphred((aDPFA, aLPFA2, aRPFA2, aLBFA2, aRBFA2,
+                            aLIFA2, aRIFA2, aSSFA2, aPFFA))
+    F["nBCFA"] = _deciphred((bFA, cFA0, cFA2, cFA3, cROFA1, cROFA2))
 
     aNCFA = np.where(
         is_tumor_only & short_frag & is_indel

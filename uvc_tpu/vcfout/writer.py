@@ -177,8 +177,8 @@ NN_PAIR_TAGS = ("BDPd", "CDP1d", "CDP2d")
 
 # remaining non-scalar tags with bespoke fill in calling.py
 MISC_TAGS = ("GQ", "HQ", "FT", "c2DP", "c2AD", "ALRPxT", "ALRIT", "ALRIt",
-             "ALRPt", "nPF", "nNFA", "gapNf", "gapNr", "gapSeq",
-             "gapbAD1", "gapcAD1", "gc2AD", "gc2dAD", "note")
+             "ALRPt", "nPF", "nNFA", "nAFA", "nBCFA", "gapNf", "gapNr",
+             "gapSeq", "gapbAD1", "gapcAD1", "gc2AD", "gc2dAD", "note")
 
 EXTRA_FORMAT_KEYS = (list(SCALAR_TAGS) + list(MAPPED_TAGS)
                      + list(PAIR_TAGS) + list(NN_PAIR_TAGS)
@@ -208,7 +208,7 @@ def generate_header(cmdline, contigs, sample_name, cfg=None,
             num, typ = 1, "Integer"
         elif fid in PAIR_TAGS or fid in NN_PAIR_TAGS:
             num, typ = 2, "Integer"
-        elif fid in ARRAY_TAGS or fid in ("nNFA",):
+        elif fid in ARRAY_TAGS or fid in ("nNFA", "nAFA", "nBCFA"):
             num, typ = ".", "Integer"
         elif fid in ("GQ", "c2DP", "c2AD", "gapNf", "gapNr",
                      "gapbAD1", "gapcAD1", "gc2AD", "gc2dAD"):
