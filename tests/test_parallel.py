@@ -64,3 +64,49 @@ def test_merge_vcf_shards(tmp_path):
 
 def test_allgather_bytes_single_host():
     assert dist.allgather_bytes(b"hello") == [b"hello"]
+
+
+def test_work_unit_split_preserves_calls(tmp_path, monkeypatch):
+    """Splitting a region into tier-2 work units must call the same
+    variants as the unsplit run, with no boundary duplicates
+    (schedule.regions.split_plans_into_units claim windows)."""
+    import numpy as np
+    from uvc_tpu.io import bam, simulate
+    from uvc_tpu.config import UVCConfig
+    from uvc_tpu.constants import CHAR_TO_SYMBOL, SequencingPlatform
+    from uvc_tpu import calling
+    from uvc_tpu.schedule import regions as regions_mod
+
+    ref = simulate.random_ref(8000, 55)
+    variants = [simulate.Variant(p, f"{ref[p]}>" + ("A" if ref[p] != "A" else "C"), 0.3)
+                for p in (1500, 3990, 4010, 6500)]  # two near a likely split
+    path = str(tmp_path / "u.bam")
+    simulate.build_bam(path, ref, depth=120, variants=variants, seed=66)
+    hdr, batch = bam.read_bam(path)
+    cfg = UVCConfig()
+    cfg.central_readlen = 100
+    cfg.self_update_by_platform(SequencingPlatform.ILLUMINA)
+    ref_lens = {0: len(ref)}
+    plans = regions_mod.plan(batch, ref_lens, cfg.mem_per_thread)
+    units = regions_mod.split_plans_into_units(plans, batch, ref_lens,
+                                               unit_reads=1024)
+    assert len(units) >= 4
+
+    def run(plan_list):
+        out = []
+        for p in plan_list:
+            sub = regions_mod.slice_batch(batch, p)
+            rs = ref[p.ext_beg:p.ext_end].encode()
+            syms = CHAR_TO_SYMBOL[np.frombuffer(rs, np.uint8) & 0x7F]
+            recs, _, _ = calling.call_variants(sub, syms, rs, p.ext_beg,
+                                               "chr1", cfg)
+            out += [(r.vcfpos, r.alt) for r in recs
+                    if p.emit_lo <= r.vcfpos < p.emit_hi]
+        return out
+
+    whole = run(plans)
+    split = run(units)
+    assert len(split) == len(set(split))  # no boundary duplicates
+    assert set(v[0] for v in whole) == set(v[0] for v in split)
+    for p in (1501, 3991, 4011, 6501):
+        assert p in {v[0] for v in split}
