@@ -691,3 +691,20 @@ int str_track_kernel(
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// scatter-add for int64 accumulators: out[idx[i]] += val[i]
+// (uvc_tpu/ops/scatter.fast_add_at fast path; avoids bincount's
+// full-plane allocation+scan when the row count is small)
+void scatter_add_i64(int64_t *out, const int64_t *idx, const int64_t *val,
+                     int64_t n) {
+    for (int64_t i = 0; i < n; i++) out[idx[i]] += val[i];
+}
+
+void scatter_add1_i64(int64_t *out, const int64_t *idx, int64_t n,
+                      int64_t val) {
+    for (int64_t i = 0; i < n; i++) out[idx[i]] += val;
+}
+
+}  // extern "C"
