@@ -364,27 +364,33 @@ static int64_t g_P = 0;
 static std::vector<KV> kv_a, kv_b;
 static std::vector<uint64_t> u_a, u_b;
 
-// single-u64 LSD radix (packed key<<VAL_BITS | val fast path)
+// single-u64 LSD radix (packed key<<VAL_BITS | val fast path);
+// digit width adapts to n so the histogram stays cache-resident
 static void sort_u64(uint64_t *a, uint64_t *b, int64_t n) {
+    const int BITS = n > (1 << 21) ? 16 : (n > (1 << 14) ? 11 : 8);
+    const int NB = 1 << BITS;
+    const uint64_t MASK = (uint64_t)NB - 1;
     uint64_t ormask = 0;
     for (int64_t i = 0; i < n; i++) ormask |= a[i];
-    std::vector<int64_t> cnt(1 << 16);
+    std::vector<int64_t> cnt(NB);
     uint64_t *src = a, *dst = b;
     int swaps = 0;
-    for (int pass = 0; pass < 4; pass++) {
-        int shift = pass * 16;
-        if (((ormask >> shift) & 0xFFFF) == 0 && pass > 0) continue;
+    const int npass = (64 + BITS - 1) / BITS;
+    for (int pass = 0; pass < npass; pass++) {
+        int shift = pass * BITS;
+        if (shift >= 64) break;
+        if (((ormask >> shift) & MASK) == 0 && pass > 0) continue;
         std::fill(cnt.begin(), cnt.end(), 0);
-        for (int64_t i = 0; i < n; i++) cnt[(src[i] >> shift) & 0xFFFF]++;
-        if (n > 0 && cnt[(src[0] >> shift) & 0xFFFF] == n) continue;
+        for (int64_t i = 0; i < n; i++) cnt[(src[i] >> shift) & MASK]++;
+        if (n > 0 && cnt[(src[0] >> shift) & MASK] == n) continue;
         int64_t sum = 0;
-        for (int d = 0; d < (1 << 16); d++) {
+        for (int d = 0; d < NB; d++) {
             int64_t c = cnt[d];
             cnt[d] = sum;
             sum += c;
         }
         for (int64_t i = 0; i < n; i++)
-            dst[cnt[(src[i] >> shift) & 0xFFFF]++] = src[i];
+            dst[cnt[(src[i] >> shift) & MASK]++] = src[i];
         uint64_t *t = src; src = dst; dst = t;
         swaps++;
     }
@@ -392,25 +398,30 @@ static void sort_u64(uint64_t *a, uint64_t *b, int64_t n) {
 }
 
 static void sort_kv(KV *a, KV *b, int64_t n) {
+    const int BITS = n > (1 << 21) ? 16 : (n > (1 << 14) ? 11 : 8);
+    const int NB = 1 << BITS;
+    const uint64_t MASK = (uint64_t)NB - 1;
     uint64_t ormask = 0;
     for (int64_t i = 0; i < n; i++) ormask |= a[i].k;
-    std::vector<int64_t> cnt(1 << 16);
+    std::vector<int64_t> cnt(NB);
     KV *src = a, *dst = b;
     int swaps = 0;
-    for (int pass = 0; pass < 4; pass++) {
-        int shift = pass * 16;
-        if (((ormask >> shift) & 0xFFFF) == 0 && pass > 0) continue;
+    const int npass = (64 + BITS - 1) / BITS;
+    for (int pass = 0; pass < npass; pass++) {
+        int shift = pass * BITS;
+        if (shift >= 64) break;
+        if (((ormask >> shift) & MASK) == 0 && pass > 0) continue;
         std::fill(cnt.begin(), cnt.end(), 0);
-        for (int64_t i = 0; i < n; i++) cnt[(src[i].k >> shift) & 0xFFFF]++;
-        if (n > 0 && cnt[(src[0].k >> shift) & 0xFFFF] == n) continue;
+        for (int64_t i = 0; i < n; i++) cnt[(src[i].k >> shift) & MASK]++;
+        if (n > 0 && cnt[(src[0].k >> shift) & MASK] == n) continue;
         int64_t sum = 0;
-        for (int d = 0; d < (1 << 16); d++) {
+        for (int d = 0; d < NB; d++) {
             int64_t c = cnt[d];
             cnt[d] = sum;
             sum += c;
         }
         for (int64_t i = 0; i < n; i++)
-            dst[cnt[(src[i].k >> shift) & 0xFFFF]++] = src[i];
+            dst[cnt[(src[i].k >> shift) & MASK]++] = src[i];
         KV *t = src; src = dst; dst = t;
         swaps++;
     }
