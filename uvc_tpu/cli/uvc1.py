@@ -236,6 +236,21 @@ def run(argv=None):
             out.write(text)
             n_records += nrec
     out.close()
+    if cfg.fam_consensus_out_fastq:
+        # concatenate the per-region gzip members into the final three
+        # files (gzip member concatenation is a valid gzip stream), in
+        # deterministic region order; mirrors the reference's single
+        # R1/R2/SE outputs (main.cpp:1186-1190)
+        from ..family.consensus_fastq import SUFFIXES
+        pref = cfg.fam_consensus_out_fastq
+        for suffix in SUFFIXES:
+            with open(f"{pref}.{suffix}", "wb") as dst:
+                for i in range(len(plans)):
+                    part = f"{pref}.region{i}.{suffix}"
+                    if os.path.exists(part):
+                        with open(part, "rb") as src:
+                            dst.write(src.read())
+                        os.remove(part)
     dt = time.time() - t0
     print(f"uvc_tpu: {n_reads} reads, {len(plans)} regions, "
           f"{n_records} records in {dt:.2f}s ({n_reads / max(dt, 1e-9):.0f} reads/s)",
