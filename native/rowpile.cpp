@@ -719,3 +719,19 @@ void scatter_add1_i64(int64_t *out, const int64_t *idx, int64_t n,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// sorted-merge lookup: out[i] = val_t[j] where key_t[j] == key_q[i], else 0.
+// Both key arrays must be non-decreasing (engine_fq._gather_* fast path).
+void merge_lookup_i64(const int64_t *key_t, const int64_t *val_t, int64_t nt,
+                      const int64_t *key_q, int64_t *out, int64_t nq) {
+    int64_t j = 0;
+    for (int64_t i = 0; i < nq; i++) {
+        const int64_t k = key_q[i];
+        while (j < nt && key_t[j] < k) j++;
+        out[i] = (j < nt && key_t[j] == k) ? val_t[j] : 0;
+    }
+}
+
+}  // extern "C"

@@ -188,16 +188,34 @@ def run_fq(frag_cons, frag_gap_info, famgrp, ref_syms, sscs_table, thres,
                     mutforms_f2q=mutforms_f2q)
 
 
+def _merge_lookup(key_t, kv, key_q):
+    """out[i] = kv[j] where key_t[j]==key_q[i] else 0; both keys sorted."""
+    from ..ops import native_rowpile
+    lib = native_rowpile._load()
+    if lib is not None and hasattr(lib, "merge_lookup_i64") and len(key_q) \
+            and bool(np.all(key_q[1:] >= key_q[:-1])):
+        import ctypes
+        out = np.empty(len(key_q), dtype=np.int64)
+        lib.merge_lookup_i64(
+            np.ascontiguousarray(key_t).ctypes.data_as(ctypes.c_void_p),
+            np.ascontiguousarray(kv).ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int64(len(key_t)),
+            np.ascontiguousarray(key_q).ctypes.data_as(ctypes.c_void_p),
+            out.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(len(key_q)))
+        return out
+    idx = np.searchsorted(key_t, key_q)
+    idx_c = np.clip(idx, 0, max(len(key_t) - 1, 0))
+    hit = key_t[idx_c] == key_q
+    return np.where(hit, kv[idx_c], 0)
+
+
 def _gather_triplet(kg, kp, ks, kv, qg, qp, qs, P):
     """value at (qg,qp,qs) in the unique table (kg,kp,ks)->kv, 0 if absent."""
     key_t = (kg * P + kp) * NS + ks
     key_q = (qg * P + qp) * NS + qs
-    idx = np.searchsorted(key_t, key_q)
-    idx_c = np.clip(idx, 0, max(len(key_t) - 1, 0))
     if len(key_t) == 0:
         return np.zeros(len(key_q), dtype=np.int64)
-    hit = key_t[idx_c] == key_q
-    return np.where(hit, kv[idx_c], 0)
+    return _merge_lookup(key_t, kv, key_q)
 
 
 def _gather_type_sum(kg, kp, ks, kv, qg, qp, qst, P):
@@ -220,10 +238,7 @@ def _gather_type_sum(kg, kp, ks, kv, qg, qp, qst, P):
     fast_add_at(sums, sid, vs)
     ukeys = gs[seg]
     qk = (qg * P + qp) * 2 + qst
-    idx = np.searchsorted(ukeys, qk)
-    idx_c = np.clip(idx, 0, len(ukeys) - 1)
-    hit = ukeys[idx_c] == qk
-    return np.where(hit, sums[idx_c], 0)
+    return _merge_lookup(ukeys, sums, qk)
 
 
 def _c2_bias(c2info, s1, fam_good, famgrp, fc, thres, baq, baq2, P, cfg):
