@@ -52,8 +52,10 @@ def type_sum(x):
                             jnp.repeat(link, 8, axis=-1)], axis=-1)
 
 
-@partial(jax.jit, static_argnames=("powlaw_exponent", "anyvar_base"))
-def quality_model(counts, powlaw_exponent=3.0, anyvar_base=90.0):
+@partial(jax.jit, static_argnames=("powlaw_exponent", "anyvar_base",
+                                   "use_pallas"))
+def quality_model(counts, powlaw_exponent=3.0, anyvar_base=90.0,
+                  use_pallas=False):
     """counts: [B, P, N_CHANNELS, 14] float32 -> dict of [B, P, 14] outputs.
 
     The core DPv + calc_qual math (main.hpp:4253-5343, principal terms):
@@ -93,22 +95,34 @@ def quality_model(counts, powlaw_exponent=3.0, anyvar_base=90.0):
 
     prior_pos = um.phred2nat(40.0)
 
-    def battery(a1, A2, a2, aL, AL, aB, AB):
-        pc, _ = um.dp4_to_pcFA(dedup_frac, a1, aDP,
-                               A2 + a1 - a2, ADP, pl, prior_pos,
-                               jnp.maximum(1.0, aL) / jnp.maximum(1.0, aB),
-                               jnp.maximum(1.0, AL) / jnp.maximum(1.0, AB),
-                               0.5, 1.0, bidirectional=False)
-        return pc
+    def battery_args(a1, A2, a2, aL, AL, aB, AB):
+        adkv = jnp.maximum(1.0, aL) / jnp.maximum(1.0, aB)
+        dpkv = jnp.maximum(1.0, AL) / jnp.maximum(1.0, AB)
+        return a1, A2 + a1 - a2, adkv, dpkv
 
-    aLPFA = battery(c["aLP1"], type_sum(c["aLP2"]), c["aLP2"],
-                    c["aLPL"], type_sum(c["aLPL"]), c["aBQ2"], type_sum(c["aBQ2"]))
-    aRPFA = battery(c["aRP1"], type_sum(c["aRP2"]), c["aRP2"],
-                    c["aRPL"], type_sum(c["aRPL"]), c["aBQ2"], type_sum(c["aBQ2"]))
-    aLBFA = battery(c["aLB1"], type_sum(c["aLB2"]), c["aLB2"],
-                    c["aLBL"], type_sum(c["aLBL"]), c["aBQ2"], type_sum(c["aBQ2"]))
-    aRBFA = battery(c["aRB1"], type_sum(c["aRB2"]), c["aRB2"],
-                    c["aRBL"], type_sum(c["aRBL"]), c["aBQ2"], type_sum(c["aBQ2"]))
+    batt = [
+        battery_args(c["aLP1"], type_sum(c["aLP2"]), c["aLP2"],
+                     c["aLPL"], type_sum(c["aLPL"]), c["aBQ2"],
+                     type_sum(c["aBQ2"])),
+        battery_args(c["aRP1"], type_sum(c["aRP2"]), c["aRP2"],
+                     c["aRPL"], type_sum(c["aRPL"]), c["aBQ2"],
+                     type_sum(c["aBQ2"])),
+        battery_args(c["aLB1"], type_sum(c["aLB2"]), c["aLB2"],
+                     c["aLBL"], type_sum(c["aLBL"]), c["aBQ2"],
+                     type_sum(c["aBQ2"])),
+        battery_args(c["aRB1"], type_sum(c["aRB2"]), c["aRB2"],
+                     c["aRBL"], type_sum(c["aRBL"]), c["aBQ2"],
+                     type_sum(c["aBQ2"])),
+    ]
+    if use_pallas:
+        from ..ops import pallas_kernels as pk
+        aLPFA, aRPFA, aLBFA, aRBFA = pk.dp4_battery4(
+            dedup_frac, aDP, ADP, batt, pl_exp=pl, n_nats=prior_pos)
+    else:
+        res = [um.dp4_to_pcFA(dedup_frac, a1, aDP, a2m, ADP, pl, prior_pos,
+                              adkv, dpkv, 0.5, 1.0, bidirectional=False)[0]
+               for a1, a2m, adkv, dpkv in batt]
+        aLPFA, aRPFA, aLBFA, aRBFA = res
 
     ADPxr = type_sum(c["aDPfr"] + c["aDPrr"])
     ALI2 = type_sum(c["aLI2"])
