@@ -162,6 +162,19 @@ def run(argv=None):
     t0 = time.time()
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
+    # magic positional sentinels (common.hpp:58-59, main.cpp:1229-1244)
+    if cfg.bam_input_fname == "/only-print-vcf-header/":
+        cmdline = " ".join(argv if argv is not None else sys.argv[1:])
+        sys.stdout.write(vcf_writer.generate_header(
+            cmdline, [], cfg.sample_name))
+        return 0
+    if cfg.bam_input_fname == "/only-print-debug-detail/":
+        from ..schedule.regions import (NUM_BYTES_PER_REF_POS,
+                                        NUM_BYTES_PER_READ)
+        print(f"NUM_BYTES_PER_REF_POS = {NUM_BYTES_PER_REF_POS}")
+        print(f"NUM_BYTES_PER_READ = {NUM_BYTES_PER_READ}")
+        print(f"mem_per_thread_MB = {cfg.mem_per_thread}")
+        return 0
     check_file_exist(cfg.bam_input_fname, "BAM")
     check_file_exist(cfg.fasta_ref_fname, "FASTA")
 
