@@ -735,3 +735,46 @@ void merge_lookup_i64(const int64_t *key_t, const int64_t *val_t, int64_t nt,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// run_fq sweep-1: famcov consensus scatters (engine_fq.run_fq,
+// main.hpp:3186-3352).  All-integer math; fam_good/t3/em flags returned
+// for the python SSCS-bias and duplex stages.
+int fq_sweep1_kernel(
+    int64_t n,
+    const int64_t *pos, const int64_t *sym, const int64_t *cnt,
+    const int64_t *tot, const int64_t *strand, const uint8_t *has_umi,
+    int64_t P,
+    int64_t dup1add, int64_t dup1perc, int64_t dup2add, int64_t dup2perc,
+    int64_t fam_flag,
+    int64_t emperr_snv, int64_t emperc_snv,
+    int64_t emperr_indel, int64_t emperc_indel,
+    int64_t *cdp12, int64_t *cdp21, int64_t *cdp2, int64_t *cdp3,
+    int64_t *cdpm, int64_t *cdpM,       // [P,14,2] zeroed by caller
+    uint8_t *fam_good_out) {
+    const int64_t NS = 14;
+    const bool flag2 = (fam_flag & 0x2) != 0;
+    for (int64_t i = 0; i < n; i++) {
+        const int64_t idx = (pos[i] * NS + sym[i]) * 2 + strand[i];
+        cdp12[idx] += 1;
+        if (tot[i] == 1) cdp21[idx] += 1;
+        const bool good = tot[i] >= dup1add
+            && cnt[i] * 100 >= tot[i] * dup1perc
+            && (has_umi[i] || flag2);
+        fam_good_out[i] = good ? 1 : 0;
+        if (good) cdp2[idx] += 1;
+        if (tot[i] >= dup2add && cnt[i] * 100 >= tot[i] * dup2perc)
+            cdp3[idx] += 1;
+        const bool is_base = sym[i] < 6;
+        const int64_t emperr = is_base ? emperr_snv : emperr_indel;
+        const int64_t emperc = is_base ? emperc_snv : emperc_indel;
+        if (tot[i] >= emperr && cnt[i] * 100 >= tot[i] * emperc) {
+            cdpm[idx] += tot[i] - cnt[i];
+            cdpM[idx] += tot[i] * (is_base ? 5 : 7);
+        }
+    }
+    return 0;
+}
+
+}  // extern "C"

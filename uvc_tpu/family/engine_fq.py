@@ -88,32 +88,65 @@ def run_fq(frag_cons, frag_gap_info, famgrp, ref_syms, sscs_table, thres,
     z3 = lambda: np.zeros((P, NS, 2), dtype=np.int64)  # noqa: E731
     cdp1, cdp12, cdp2, cdp3, cdp21 = z3(), z3(), z3(), z3(), z3()
     cdpM, cdpm, cdpD = z3(), z3(), z3()
-    fast_add_at(cdp12, (s1.pos, s1.con_sym, strand1), 1)
-    m1 = s1.tot == 1
-    fast_add_at(cdp21, (s1.pos[m1], s1.con_sym[m1], strand1[m1]), 1)
-
     has_umi = (fam_dflag[s1.group] & 0x1) != 0
-    fam_good = ((s1.tot >= cfg.fam_thres_dup1add)
-                & (s1.con_cnt * 100 >= s1.tot * cfg.fam_thres_dup1perc)
-                & (has_umi | ((cfg.fam_flag & 0x2) != 0)))
-    fast_add_at(cdp2, (s1.pos[fam_good], s1.con_sym[fam_good],
-                     strand1[fam_good]), 1)
-    t3 = ((s1.tot >= cfg.fam_thres_dup2add)
-          & (s1.con_cnt * 100 >= s1.tot * cfg.fam_thres_dup2perc))
-    fast_add_at(cdp3, (s1.pos[t3], s1.con_sym[t3], strand1[t3]), 1)
 
-    # cDPM/cDPm (main.hpp:3340-3352): per non-consensus symbol of the type,
-    # cDPm += that symbol's count, cDPM += tot (so tot x 5 or x 7)
-    emperr = np.where(s1.con_sym < 6, cfg.fam_thres_emperr_all_flat_snv,
-                      cfg.fam_thres_emperr_all_flat_indel)
-    emperc = np.where(s1.con_sym < 6, cfg.fam_thres_emperr_con_perc_snv,
-                      cfg.fam_thres_emperr_con_perc_indel)
-    em = (s1.tot >= emperr) & (s1.con_cnt * 100 >= s1.tot * emperc)
-    n_others = np.where(s1.st == 0, 5, 7)
-    fast_add_at(cdpm, (s1.pos[em], s1.con_sym[em], strand1[em]),
-              (s1.tot - s1.con_cnt)[em])
-    fast_add_at(cdpM, (s1.pos[em], s1.con_sym[em], strand1[em]),
-              (s1.tot * n_others)[em])
+    from ..ops import native_rowpile
+    _lib = native_rowpile._load()
+    if _lib is not None and hasattr(_lib, "fq_sweep1_kernel"):
+        import ctypes
+
+        def _cp(a, dt=np.int64):
+            return np.ascontiguousarray(a, dtype=dt).ctypes.data_as(
+                ctypes.c_void_p)
+
+        fam_good_u8 = np.zeros(len(s1.pos), dtype=np.uint8)
+        _lib.fq_sweep1_kernel(
+            ctypes.c_int64(len(s1.pos)), _cp(s1.pos), _cp(s1.con_sym),
+            _cp(s1.con_cnt), _cp(s1.tot), _cp(strand1),
+            _cp(has_umi, np.uint8), ctypes.c_int64(P),
+            ctypes.c_int64(cfg.fam_thres_dup1add),
+            ctypes.c_int64(cfg.fam_thres_dup1perc),
+            ctypes.c_int64(cfg.fam_thres_dup2add),
+            ctypes.c_int64(cfg.fam_thres_dup2perc),
+            ctypes.c_int64(cfg.fam_flag),
+            ctypes.c_int64(cfg.fam_thres_emperr_all_flat_snv),
+            ctypes.c_int64(cfg.fam_thres_emperr_con_perc_snv),
+            ctypes.c_int64(cfg.fam_thres_emperr_all_flat_indel),
+            ctypes.c_int64(cfg.fam_thres_emperr_con_perc_indel),
+            cdp12.ctypes.data_as(ctypes.c_void_p),
+            cdp21.ctypes.data_as(ctypes.c_void_p),
+            cdp2.ctypes.data_as(ctypes.c_void_p),
+            cdp3.ctypes.data_as(ctypes.c_void_p),
+            cdpm.ctypes.data_as(ctypes.c_void_p),
+            cdpM.ctypes.data_as(ctypes.c_void_p),
+            fam_good_u8.ctypes.data_as(ctypes.c_void_p))
+        fam_good = fam_good_u8.astype(bool)
+    else:
+        fast_add_at(cdp12, (s1.pos, s1.con_sym, strand1), 1)
+        m1 = s1.tot == 1
+        fast_add_at(cdp21, (s1.pos[m1], s1.con_sym[m1], strand1[m1]), 1)
+
+        fam_good = ((s1.tot >= cfg.fam_thres_dup1add)
+                    & (s1.con_cnt * 100 >= s1.tot * cfg.fam_thres_dup1perc)
+                    & (has_umi | ((cfg.fam_flag & 0x2) != 0)))
+        fast_add_at(cdp2, (s1.pos[fam_good], s1.con_sym[fam_good],
+                           strand1[fam_good]), 1)
+        t3 = ((s1.tot >= cfg.fam_thres_dup2add)
+              & (s1.con_cnt * 100 >= s1.tot * cfg.fam_thres_dup2perc))
+        fast_add_at(cdp3, (s1.pos[t3], s1.con_sym[t3], strand1[t3]), 1)
+
+        # cDPM/cDPm (main.hpp:3340-3352): per non-consensus symbol of the
+        # type, cDPm += that symbol's count, cDPM += tot (tot x 5 or x 7)
+        emperr = np.where(s1.con_sym < 6, cfg.fam_thres_emperr_all_flat_snv,
+                          cfg.fam_thres_emperr_all_flat_indel)
+        emperc = np.where(s1.con_sym < 6, cfg.fam_thres_emperr_con_perc_snv,
+                          cfg.fam_thres_emperr_con_perc_indel)
+        em = (s1.tot >= emperr) & (s1.con_cnt * 100 >= s1.tot * emperc)
+        n_others = np.where(s1.st == 0, 5, 7)
+        fast_add_at(cdpm, (s1.pos[em], s1.con_sym[em], strand1[em]),
+                    (s1.tot - s1.con_cnt)[em])
+        fast_add_at(cdpM, (s1.pos[em], s1.con_sym[em], strand1[em]),
+                    (s1.tot * n_others)[em])
 
     # SSCS bias counters for good families (c2*, main.hpp:3208-3319)
     c2info = {nm: np.zeros((P, NS), dtype=np.int64) for nm in C2_NAMES}
