@@ -131,3 +131,33 @@ def test_native_decoder_parity(tmp_path):
         assert np.array_equal(np.asarray(getattr(b1, f)),
                               np.asarray(getattr(b2, f))), f
     assert b1.qname_data == b2.qname_data
+
+
+def test_filter_batch_drops_nonprimary(tmp_path):
+    """Unmapped/secondary/supplementary/low-MAPQ reads are filtered out
+    (grouping.cpp:356-380) and the columnar arrays stay consistent."""
+    from uvc_tpu.config import UVCConfig
+    ref = simulate.random_ref(2000, 9)
+    path = str(tmp_path / "f.bam")
+    simulate.build_bam(path, ref, depth=20, seed=2)
+    hdr, batch = bam.read_bam(path)
+    n0 = batch.n
+    qn0 = batch.qnames()
+    # corrupt flags on a few reads
+    batch.flag = batch.flag.copy()
+    batch.mapq = batch.mapq.copy()
+    batch.flag[0] |= 0x4       # unmapped
+    batch.flag[1] |= 0x100     # secondary
+    batch.flag[2] |= 0x800     # supplementary
+    batch.mapq[3] = 0
+    cfg = UVCConfig()
+    cfg.kept_aln_min_mapqual = 10
+    out = bam.filter_batch(batch, cfg)
+    assert out.n == n0 - 4
+    # remaining reads keep their own qname/seq/cigar alignment
+    kept_qn = out.qnames()
+    assert kept_qn == qn0[4:]
+    i = 2
+    np.testing.assert_array_equal(out.read_seq_symbols(i),
+                                  batch.read_seq_symbols(i + 4))
+    assert out.cigar(i) == batch.cigar(i + 4)

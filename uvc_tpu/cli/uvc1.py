@@ -180,7 +180,9 @@ def run(argv=None):
 
     fa = FastaFile(cfg.fasta_ref_fname)
     from ..io import native as native_io
+    from ..io.bam import filter_batch
     header, batch = native_io.read_bam_native(cfg.bam_input_fname)
+    batch = filter_batch(batch, cfg)
 
     if cfg.sequencing_platform in (SequencingPlatform.AUTO,
                                    SequencingPlatform.OTHER):

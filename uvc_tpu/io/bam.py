@@ -95,6 +95,53 @@ class ReadBatch:
         return self.pos + ref_len.astype(np.int32)
 
 
+def subset_batch(batch: ReadBatch, keep: np.ndarray) -> ReadBatch:
+    """New ReadBatch with the reads at (sorted) indices `keep`."""
+    keep = np.asarray(keep, dtype=np.int64)
+    qoff = batch.qname_off
+    coff = batch.cigar_off
+    soff = batch.seq_off
+    qlens = (qoff[keep + 1] - qoff[keep]).astype(np.int64)
+    clens = (coff[keep + 1] - coff[keep]).astype(np.int64)
+    slens = (soff[keep + 1] - soff[keep]).astype(np.int64)
+    qidx = _flat_gather_idx(qoff[keep].astype(np.int64), qlens)
+    cidx = _flat_gather_idx(coff[keep].astype(np.int64), clens)
+    sidx = _flat_gather_idx(soff[keep].astype(np.int64), slens)
+    qd = np.frombuffer(batch.qname_data, dtype=np.uint8)[qidx].tobytes()
+    return ReadBatch(
+        n=len(keep), tid=batch.tid[keep], pos=batch.pos[keep],
+        mapq=batch.mapq[keep], flag=batch.flag[keep], mtid=batch.mtid[keep],
+        mpos=batch.mpos[keep], isize=batch.isize[keep],
+        qname_data=qd,
+        qname_off=np.concatenate([[0], np.cumsum(qlens)]),
+        cigar_op=batch.cigar_op[cidx], cigar_len=batch.cigar_len[cidx],
+        cigar_off=np.concatenate([[0], np.cumsum(clens)]),
+        seq=batch.seq[sidx], qual=batch.qual[sidx],
+        seq_off=np.concatenate([[0], np.cumsum(slens)]))
+
+
+def filter_batch(batch: ReadBatch, cfg) -> ReadBatch:
+    """Alignment filters of fill_isrc_isr2_beg_end_with_aln
+    (grouping.cpp:356-380): drop unmapped (0x4), non-primary (0x900),
+    low-MAPQ, short-alignment, and out-of-bounds-isize reads."""
+    flag = batch.flag.astype(np.int64)
+    keep = (flag & 0x4) == 0
+    keep &= (flag & 0x900) == 0
+    keep &= batch.mapq.astype(np.int64) >= cfg.kept_aln_min_mapqual
+    if cfg.kept_aln_min_aln_len > 0:
+        keep &= (batch.rend.astype(np.int64) - batch.pos
+                 >= cfg.kept_aln_min_aln_len)
+    isize = np.abs(batch.isize.astype(np.int64))
+    paired_nonzero = ((flag & 0x1) != 0) & (batch.isize != 0)
+    if cfg.kept_aln_is_zero_isize_discarded:
+        keep &= ~(((flag & 0x1) != 0) & (batch.isize == 0))
+    keep &= ~(paired_nonzero & ((isize < cfg.kept_aln_min_isize)
+                                | (isize > cfg.kept_aln_max_isize)))
+    if bool(keep.all()):
+        return batch
+    return subset_batch(batch, np.flatnonzero(keep))
+
+
 def _segment_sum(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     c = np.concatenate([[0], np.cumsum(values, dtype=np.int64)])
     return c[offsets[1:]] - c[offsets[:-1]]
