@@ -138,3 +138,44 @@ def test_thread_count_determinism(tmp_path):
         outs.append([l for l in bgzf.read_file(out).decode().splitlines()
                      if not l.startswith("##")])
     assert outs[0] == outs[1]
+
+
+def test_multi_contig_cli(tmp_path):
+    """Two contigs in one BAM: the scheduler cuts at tid changes and the
+    CLI emits per-contig records (grouping.cpp tier-1 tid cuts)."""
+    import subprocess, sys, os
+    from uvc_tpu.io import bam as bam_mod
+    from uvc_tpu.io import bgzf
+    ref1 = simulate.random_ref(3000, 4)
+    ref2 = simulate.random_ref(2500, 6)
+    v1 = [simulate.Variant(1000, f"{ref1[1000]}>" + ("T" if ref1[1000] != "T" else "A"), 0.35)]
+    v2 = [simulate.Variant(800, f"{ref2[800]}>" + ("C" if ref2[800] != "C" else "G"), 0.35)]
+    recs = []
+    for chrom, ref, vs, seed in (("chrA", ref1, v1, 5), ("chrB", ref2, v2, 7)):
+        tid = 0 if chrom == "chrA" else 1
+        for r in simulate.simulate_reads(ref, depth=80, variants=vs, seed=seed):
+            qname, flag, pos, cig, seq, qual, mpos, isize = r
+            recs.append((chrom + "_" + qname, flag, tid, pos, 60, cig,
+                         tid, mpos, isize, seq, qual))
+    recs.sort(key=lambda r: (r[2], r[3]))
+    path = str(tmp_path / "mc.bam")
+    hdr_text = ("@HD\tVN:1.6\tSO:coordinate\n"
+                f"@SQ\tSN:chrA\tLN:{len(ref1)}\n"
+                f"@SQ\tSN:chrB\tLN:{len(ref2)}\n")
+    bam_mod.write_bam(path, hdr_text,
+                      [("chrA", len(ref1)), ("chrB", len(ref2))], recs)
+    fa = str(tmp_path / "mc.fa")
+    open(fa, "w").write(f">chrA\n{ref1}\n>chrB\n{ref2}\n")
+    out = str(tmp_path / "mc.vcf.gz")
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    subprocess.run([sys.executable, "-m", "uvc_tpu.cli.uvc1", "-f", fa,
+                    "-o", out, "-t", "2", path], check=True, env=env,
+                   capture_output=True)
+    body = bgzf.decompress(open(out, "rb").read()).decode()
+    calls = [l.split("\t")[:5] for l in body.splitlines()
+             if "ANY_VAR" in l and not l.startswith("#")]
+    chroms = {c[0] for c in calls}
+    assert chroms == {"chrA", "chrB"}, calls
+    assert any(c[0] == "chrA" and c[1] == "1001" for c in calls)
+    assert any(c[0] == "chrB" and c[1] == "801" for c in calls)
