@@ -200,11 +200,26 @@ def run(argv=None):
     if not is_provided(cfg.bed_in_fname) and not is_provided(cfg.bed_out_fname):
         plans = regions_mod.split_plans_into_units(plans, batch, ref_lens)
 
+    # user target restriction (-R BED file / --targets chrom:beg-end;
+    # grouping.cpp:69-155)
+    if is_provided(cfg.tier1_target_region):
+        iv = regions_mod.parse_target_region(
+            cfg.tier1_target_region, header.name2tid(), ref_lens)
+        plans = regions_mod.restrict_to_intervals(
+            plans, [iv], ref_lens, bound_emission=True, batch=batch)
+    if is_provided(cfg.bed_region_fname):
+        check_file_exist(cfg.bed_region_fname, "BED")
+        intervals = regions_mod.read_bed_intervals(cfg.bed_region_fname,
+                                                   header.name2tid())
+        plans = regions_mod.restrict_to_intervals(
+            plans, intervals, ref_lens, bound_emission=True, batch=batch)
+
     # region-schedule persistence (--bed-out-fname / --bed-in-fname;
     # main.cpp:1405-1439, CmdLineArgs.cpp:1028-1030)
     if is_provided(cfg.bed_in_fname):
         plans = regions_mod.restrict_to_bed(plans, cfg.bed_in_fname,
-                                            header.name2tid(), ref_lens)
+                                            header.name2tid(), ref_lens,
+                                            batch=batch)
     if is_provided(cfg.bed_out_fname):
         with open(cfg.bed_out_fname, "w") as bf:
             for p in plans:

@@ -169,9 +169,22 @@ def slice_batch(batch, plan: RegionPlan):
         seq_off=batch.seq_off[i0:i1 + 1] - s0)
 
 
-def restrict_to_bed(plans, bed_path, name2tid, ref_lens):
-    """Replay a region schedule from a BED file (--bed-in-fname,
-    CmdLineArgs.cpp:1028-1030): keep/clip plans to the BED intervals."""
+def parse_target_region(target: str, name2tid, ref_lens):
+    """'chrom', 'chrom:beg-end' (1-based inclusive, like samtools) or
+    'chrom:beg' -> (tid, beg0, end0) interval (grouping.cpp:69-107)."""
+    chrom, _, span = target.partition(":")
+    tid = name2tid.get(chrom)
+    if tid is None:
+        raise ValueError(f"unknown contig in --targets: {chrom!r}")
+    if not span:
+        return (tid, 0, ref_lens[tid])
+    b, _, e = span.replace(",", "").partition("-")
+    beg0 = max(0, int(b) - 1)
+    end0 = int(e) if e else ref_lens[tid]
+    return (tid, beg0, min(end0, ref_lens[tid]))
+
+
+def read_bed_intervals(bed_path, name2tid):
     intervals = []
     with open(bed_path) as fh:
         for line in fh:
@@ -182,14 +195,62 @@ def restrict_to_bed(plans, bed_path, name2tid, ref_lens):
             if tid is None:
                 continue
             intervals.append((tid, int(cols[1]), int(cols[2])))
+    return intervals
+
+
+def restrict_to_bed(plans, bed_path, name2tid, ref_lens, batch=None):
+    """Replay a region schedule from a BED file (--bed-in-fname,
+    CmdLineArgs.cpp:1028-1030): keep/clip plans to the BED intervals."""
+    intervals = read_bed_intervals(bed_path, name2tid)
+    return restrict_to_intervals(plans, intervals, ref_lens, batch=batch)
+
+
+def restrict_to_intervals(plans, intervals, ref_lens, bound_emission=False,
+                          batch=None):
+    """Clip plans to intervals.  bound_emission=True additionally claims
+    only vcfpos inside each interval (-R/--targets semantics); bed-in
+    schedule replay keeps emission unbounded to reproduce the tumor run.
+
+    When `batch` is given, each clipped plan's read range is narrowed to
+    the reads that can overlap its interval and the ext window is grown
+    to cover their spans (otherwise reads outside the window would index
+    past the region tensors)."""
+    from ..constants import MAX_INSERT_SIZE
+    pos = rend = None
+    pad = MAX_INSERT_SIZE
+    if batch is not None:
+        pos = np.asarray(batch.pos, dtype=np.int64)
+        rend = np.asarray(batch.rend, dtype=np.int64)
+        isize = np.abs(np.asarray(batch.isize, dtype=np.int64))
+        span = rend - pos
+        pad = int(min(MAX_INSERT_SIZE,
+                      max(int(isize[isize < MAX_INSERT_SIZE].max(initial=0)),
+                          int(span.max(initial=0))))) + 1
     out = []
     for p in plans:
         for (tid, b, e) in intervals:
             if p.tid == tid and p.beg < e and b < p.end:
                 q = RegionPlan(tid=p.tid, beg=max(p.beg, b), end=min(p.end, e),
-                               read_beg=p.read_beg, read_end=p.read_end)
+                               read_beg=p.read_beg, read_end=p.read_end,
+                               emit_lo=p.emit_lo, emit_hi=p.emit_hi)
+                if bound_emission:
+                    q.emit_lo = max(q.emit_lo, b + 1)
+                    q.emit_hi = min(q.emit_hi, e + 1)
                 q.ext_beg = max(0, q.beg - MAX_STR_N_BASES)
                 q.ext_end = min(ref_lens[q.tid], q.end + MAX_STR_N_BASES)
-                out.append(q)
+                if pos is not None:
+                    sub = pos[p.read_beg:p.read_end]
+                    q.read_beg = p.read_beg + int(
+                        np.searchsorted(sub, q.beg - pad))
+                    q.read_end = p.read_beg + int(
+                        np.searchsorted(sub, q.end))
+                    if q.read_end > q.read_beg:
+                        lo = int(pos[q.read_beg:q.read_end].min())
+                        hi = int(rend[q.read_beg:q.read_end].max())
+                        q.ext_beg = max(0, min(q.beg, lo) - MAX_STR_N_BASES)
+                        q.ext_end = min(ref_lens[q.tid],
+                                        max(q.end, hi) + MAX_STR_N_BASES)
+                if q.read_end > q.read_beg:
+                    out.append(q)
                 break
     return out
