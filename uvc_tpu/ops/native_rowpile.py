@@ -99,6 +99,8 @@ def pass_d_native(gc, bg, aDP4, ref_syms, frag_strand, normMQ, P, n_frags,
     is_mut [n] bool)."""
     lib = _load()
     n = len(gc.group)
+    if n and (int(gc.pos.min()) < 0 or int(gc.pos.max()) >= P):
+        raise ValueError(f"pass_d_native: pos outside [0,{P})")
     bdp = np.zeros((P, 14, 2), dtype=np.int64)
     bta = np.zeros((P, 14, 2), dtype=np.int64)
     btb = np.zeros((P, 14, 2), dtype=np.int64)
@@ -173,6 +175,11 @@ def pass_c_native(allev, table, baq, baq2, thres, off, P, cfg, dflag):
         return np.ascontiguousarray(a).ctypes.data_as(ctypes.c_void_p)
 
     e_pos = np.ascontiguousarray(e.pos, dtype=np.int64)
+    if len(e_pos) and (int(e_pos.min()) < 0 or int(e_pos.max()) >= P):
+        raise ValueError(
+            f"pass_c_native: event pos outside [0,{P}) "
+            f"(min={e_pos.min()}, max={e_pos.max()}); region window does "
+            "not cover all reads")
     e_sym = np.ascontiguousarray(e.sym, dtype=np.int64)
     e_val = np.ascontiguousarray(e.val, dtype=np.int64)
     e_read = np.ascontiguousarray(e.read, dtype=np.int64)
