@@ -194,11 +194,6 @@ def run(argv=None):
 
     ref_lens = {i: ln for i, ln in enumerate(header.ref_lens)}
     plans = regions_mod.plan(batch, ref_lens, cfg.mem_per_thread)
-    # tier-2 work-unit chunking (main.cpp:1374-1400): split large regions
-    # into fixed-size work units the pool can balance; the unit size does
-    # not depend on -t, so output is thread-count invariant
-    if not is_provided(cfg.bed_in_fname) and not is_provided(cfg.bed_out_fname):
-        plans = regions_mod.split_plans_into_units(plans, batch, ref_lens)
 
     # user target restriction (-R BED file / --targets chrom:beg-end;
     # grouping.cpp:69-155)
@@ -225,6 +220,13 @@ def run(argv=None):
             for p in plans:
                 bf.write(f"{header.ref_names[p.tid]}\t{p.beg}\t{p.end}\t"
                          f"NumberOfReadsInThisInterval\t{p.read_end - p.read_beg}\t+\n")
+
+    # tier-2 work-unit chunking (main.cpp:1374-1400): split large regions
+    # into fixed-size work units the pool can balance.  Runs AFTER the bed
+    # schedule round-trip: the bed records tier-1 regions; units are the
+    # tier-2 decomposition within them (as in the reference).  The unit
+    # size does not depend on -t, so output is thread-count invariant.
+    plans = regions_mod.split_plans_into_units(plans, batch, ref_lens)
 
     is_normal_run = is_provided(cfg.vcf_tumor_fname)
     tki_all = None
