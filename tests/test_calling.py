@@ -179,3 +179,22 @@ def test_multi_contig_cli(tmp_path):
     assert chroms == {"chrA", "chrB"}, calls
     assert any(c[0] == "chrA" and c[1] == "1001" for c in calls)
     assert any(c[0] == "chrB" and c[1] == "801" for c in calls)
+
+
+def test_targets_restriction(tmp_path):
+    """--targets chrom:beg-end restricts calls to the window
+    (grouping.cpp:69-107 + emit-claim windows)."""
+    import subprocess, sys, os
+    from uvc_tpu.io import bgzf
+    fa, bam_path, ref, variants, n = simulate.build_test_dataset(
+        str(tmp_path), seed=77)  # variants at 1000 (SNV), 1500 (+TT), 2000 (-2)
+    out = str(tmp_path / "t.vcf.gz")
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    subprocess.run([sys.executable, "-m", "uvc_tpu.cli.uvc1", "-f", fa,
+                    "-o", out, "--targets", "chr1:1-1200", bam_path],
+                   check=True, env=env, capture_output=True)
+    body = bgzf.decompress(open(out, "rb").read()).decode()
+    calls = [int(l.split("\t")[1]) for l in body.splitlines()
+             if "ANY_VAR" in l and not l.startswith("#")]
+    assert calls == [1001], calls
