@@ -83,14 +83,36 @@ def bench_device_model():
     return cols_per_s, dt
 
 
+def bench_device_model_guarded(timeout_s=240):
+    """Device metric in a watchdog subprocess: the device tunnel can stall
+    for minutes under contention, and a hung device probe must not take
+    the host metric down with it."""
+    import subprocess
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import bench, json\n"
+        "c, d = bench.bench_device_model()\n"
+        "import jax\n"
+        "print('RESULT ' + json.dumps([c, d, jax.devices()[0].platform]))\n"
+        % os.path.dirname(os.path.abspath(__file__)))
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True, text=True)
+        for line in r.stdout.splitlines():
+            if line.startswith("RESULT "):
+                c, d, plat = json.loads(line[7:])
+                return c, d, plat
+        return 0.0, 0.0, "unavailable(no-result)"
+    except subprocess.TimeoutExpired:
+        return 0.0, 0.0, "unavailable(timeout)"
+    except Exception as e:
+        return 0.0, 0.0, f"unavailable({type(e).__name__})"
+
+
 def main():
     n_reads, n_pos, n_recs, host_dt = bench_host_pipeline()
     reads_per_s = n_reads / host_dt
-    try:
-        cols_per_s, dev_dt = bench_device_model()
-        platform = __import__("jax").devices()[0].platform
-    except Exception as e:  # device unavailable: report host-only
-        cols_per_s, dev_dt, platform = 0.0, 0.0, f"unavailable({type(e).__name__})"
+    cols_per_s, dev_dt, platform = bench_device_model_guarded()
     # vs_baseline: reference target is >=10x reads/s vs 16-thread uvc1;
     # no in-repo reference numbers exist (BASELINE.md), so report the ratio
     # against the driver target floor of 10k reads/s as a provisional scale.
