@@ -12,6 +12,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <cmath>
 #include <vector>
 
 extern "C" {
@@ -772,6 +773,56 @@ int fq_sweep1_kernel(
         if (tot[i] >= emperr && cnt[i] * 100 >= tot[i] * emperc) {
             cdpm[idx] += tot[i] - cnt[i];
             cdpM[idx] += tot[i] * (is_base ? 5 : 7);
+        }
+    }
+    return 0;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// infer_max_qual_assuming_independence bucket scan
+// (main_conversion.hpp:920-974; python reference engine_fq._iid_scan /
+// engine_bq.final_iid_qualities).  hist is [n,16]; outputs per element.
+int iid_scan_kernel(int64_t n, const int64_t *max_qual, int64_t dec_qual,
+                    const int64_t *hist, const int64_t *totDP,
+                    int64_t *q_out, int64_t *ad_out, int64_t *bq_out) {
+    const double INV_LOG10 = 10.0 / 2.302585092994045684;
+    const double DBL_EPS = 2.220446049250313e-16;
+    for (int64_t i = 0; i < n; i++) {
+        const int64_t mq = max_qual[i];
+        // python floor division (//) semantics for the bucket limit
+        int64_t lim = mq / dec_qual;
+        if ((mq % dec_qual != 0) && ((mq < 0) != (dec_qual < 0))) lim--;
+        if (lim < 0) lim = 0;
+        const double tot = (double)totDP[i];
+        int64_t cum = 0;
+        int64_t best_vq = INT64_MIN, best_k = 0, best_ad = 0;
+        for (int64_t k = 0; k < 16; k++) {
+            const int64_t h = hist[i * 16 + k];
+            cum += h;
+            if (h > 0 && k < lim) {
+                const int64_t c1 = cum > 1 ? cum : 1;
+                const double expbq = INV_LOG10
+                    * log(tot / (double)c1 + DBL_EPS);
+                const int64_t vq = (int64_t)((double)cum
+                    * ((double)(mq - dec_qual * k) - expbq));
+                if (vq > best_vq) {
+                    best_vq = vq;
+                    best_k = k;
+                    best_ad = cum;
+                }
+            }
+        }
+        if (best_vq > 0) {
+            q_out[i] = best_vq;
+            ad_out[i] = best_ad;
+            bq_out[i] = mq - dec_qual * best_k;
+        } else {
+            q_out[i] = 0;
+            ad_out[i] = 0;
+            bq_out[i] = 0;
         }
     }
     return 0;

@@ -442,6 +442,10 @@ def _duplex(ddp1, ddp2, cdpD, s1, famgrp, P, cfg):
 
 def _iid_scan(max_qual, dec_qual, hist, totDP):
     """numpy infer_max_qual_assuming_independence over [P,NS,16]."""
+    from ..ops import native_rowpile
+    nat = native_rowpile.iid_scan(max_qual, dec_qual, hist, totDP)
+    if nat is not None:
+        return nat
     DBL_EPS = 2.220446049250313e-16
     idx = np.arange(NUM_BUCKETS)
     curr_ad = np.cumsum(hist, axis=-1)

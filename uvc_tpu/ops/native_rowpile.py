@@ -63,6 +63,31 @@ def radix_argsort(keys: np.ndarray) -> np.ndarray:
     return order
 
 
+def iid_scan(max_qual, dec_qual, hist, totDP):
+    """infer_max_qual_assuming_independence scan; hist [..,16].
+    Returns (q, ad, bq) with max_qual's shape, or None if not built."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "iid_scan_kernel"):
+        return None
+    shape = np.shape(max_qual)
+    mq = np.ascontiguousarray(max_qual, dtype=np.int64).reshape(-1)
+    h = np.ascontiguousarray(hist, dtype=np.int64).reshape(-1, 16)
+    td = np.ascontiguousarray(np.broadcast_to(totDP, shape),
+                              dtype=np.int64).reshape(-1)
+    n = len(mq)
+    q = np.empty(n, dtype=np.int64)
+    ad = np.empty(n, dtype=np.int64)
+    bq = np.empty(n, dtype=np.int64)
+    lib.iid_scan_kernel(
+        ctypes.c_int64(n), mq.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(int(dec_qual)), h.ctypes.data_as(ctypes.c_void_p),
+        td.ctypes.data_as(ctypes.c_void_p),
+        q.ctypes.data_as(ctypes.c_void_p),
+        ad.ctypes.data_as(ctypes.c_void_p),
+        bq.ctypes.data_as(ctypes.c_void_p))
+    return q.reshape(shape), ad.reshape(shape), bq.reshape(shape)
+
+
 def reduce_consensus(group, pos, sym, val, P, mode, link_m_overridden):
     """Fused segmented reduce (mode 0=max, 1=sum) + consensus.
 

@@ -1188,6 +1188,10 @@ def final_iid_qualities(bdp, bg, info: SegInfo, hist, P):
     tot_link = bdp_t[:, 6:].sum(axis=1, keepdims=True)
     totDP = np.concatenate([np.repeat(tot_base, 6, axis=1),
                             np.repeat(tot_link, 8, axis=1)], axis=1)
+    from ..ops import native_rowpile
+    nat = native_rowpile.iid_scan(max_qual, 1, hist, totDP)
+    if nat is not None:
+        return nat
     # numpy replica of infer_max_qual_assuming_independence with dec_qual=1
     idx = np.arange(NUM_BUCKETS)
     curr_ad = np.cumsum(hist, axis=-1)
