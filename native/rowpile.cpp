@@ -359,31 +359,42 @@ namespace rc {
 struct KV { uint64_t k; int64_t v; };
 static std::vector<int64_t> ug, uv;            // unique keys (packed), vals
 static std::vector<int64_t> cg, cp_, cst, ccs, ccc, ctot;
+static std::vector<int64_t> ug2, uv2;          // rc2 second value set
+static std::vector<int64_t> c2g, c2p, c2st, c2cs, c2cc, c2tot;
 static int64_t g_P = 0;
+static int g_pos_bits = 0;
 // grow-only scratch buffers: kept across calls so repeated large regions
 // do not re-fault hundreds of MB of freshly mmapped pages every call
 static std::vector<KV> kv_a, kv_b;
 static std::vector<uint64_t> u_a, u_b;
 
-// single-u64 LSD radix (packed key<<VAL_BITS | val fast path);
-// digit width adapts to n so the histogram stays cache-resident
-static void sort_u64(uint64_t *a, uint64_t *b, int64_t n) {
-    const int BITS = n > (1 << 21) ? 16 : (n > (1 << 14) ? 11 : 8);
+static inline int bit_width_u64(uint64_t v) {
+    int w = 0;
+    while (v) { w++; v >>= 1; }
+    return w;
+}
+
+// LSD radix over an explicit bit window [start_bit, start_bit+key_bits):
+// bits below start_bit (the packed value) are never sorted -- stability
+// keeps equal-key runs in input order and the reducer scans the run.
+// Digit width minimizes the pass count while the histogram (<=2^16 x 8B
+// = 512 KB) stays L2-resident.
+static void sort_u64(uint64_t *a, uint64_t *b, int64_t n,
+                     int start_bit, int key_bits) {
+    if (key_bits <= 0 || n <= 1) return;
+    const int npass = (key_bits + 15) / 16;
+    const int BITS = (key_bits + npass - 1) / npass;
     const int NB = 1 << BITS;
     const uint64_t MASK = (uint64_t)NB - 1;
-    uint64_t ormask = 0;
-    for (int64_t i = 0; i < n; i++) ormask |= a[i];
     std::vector<int64_t> cnt(NB);
     uint64_t *src = a, *dst = b;
     int swaps = 0;
-    const int npass = (64 + BITS - 1) / BITS;
     for (int pass = 0; pass < npass; pass++) {
-        int shift = pass * BITS;
+        int shift = start_bit + pass * BITS;
         if (shift >= 64) break;
-        if (((ormask >> shift) & MASK) == 0 && pass > 0) continue;
         std::fill(cnt.begin(), cnt.end(), 0);
         for (int64_t i = 0; i < n; i++) cnt[(src[i] >> shift) & MASK]++;
-        if (n > 0 && cnt[(src[0] >> shift) & MASK] == n) continue;
+        if (cnt[(src[0] >> shift) & MASK] == n) continue;
         int64_t sum = 0;
         for (int d = 0; d < NB; d++) {
             int64_t c = cnt[d];
@@ -398,23 +409,72 @@ static void sort_u64(uint64_t *a, uint64_t *b, int64_t n) {
     if (swaps % 2 == 1) std::memcpy(a, b, n * 8);
 }
 
-static void sort_kv(KV *a, KV *b, int64_t n) {
-    const int BITS = n > (1 << 21) ? 16 : (n > (1 << 14) ? 11 : 8);
+// consensus over unique (bit-field key, value) rows with val > 0,
+// grouped by (group, pos, symboltype); appends to the out vectors
+static void consensus_scan(const std::vector<int64_t> &ug,
+                           const std::vector<int64_t> &uv,
+                           int pos_bits, bool link_m_overridden,
+                           std::vector<int64_t> &cg, std::vector<int64_t> &cp,
+                           std::vector<int64_t> &cst, std::vector<int64_t> &ccs,
+                           std::vector<int64_t> &ccc,
+                           std::vector<int64_t> &ctot) {
+    const int SYM_BITS = 4;
+    cg.clear(); cp.clear(); cst.clear();
+    ccs.clear(); ccc.clear(); ctot.clear();
+    const uint64_t POS_MASK = (((uint64_t)1 << pos_bits) - 1);
+    const int64_t nu = (int64_t)ug.size();
+    for (int64_t i = 0; i < nu;) {
+        const uint64_t key = (uint64_t)ug[i];
+        const uint64_t gp = key >> SYM_BITS;   // group<<pos_bits | pos
+        const int64_t sym0 = (int64_t)(key & 15);
+        const int64_t st = sym0 >= 6 ? 1 : 0;
+        // segment: same gp and same st
+        int64_t j = i;
+        int64_t tot = 0;
+        int64_t best_v = -1, best_s = -1;   // non-LINK_M winner (or all)
+        int64_t lm_v = 0;                    // LINK_M count (override mode)
+        const bool ovr = link_m_overridden && st == 1;
+        for (; j < nu; j++) {
+            const uint64_t k2 = (uint64_t)ug[j];
+            if ((k2 >> SYM_BITS) != gp) break;
+            const int64_t s2 = (int64_t)(k2 & 15);
+            if ((s2 >= 6 ? 1 : 0) != st) break;
+            const int64_t v2 = uv[j];
+            if (v2 <= 0) continue;
+            tot += v2;
+            if (ovr && s2 == 6) { lm_v = v2; continue; }  // LINK_M deferred
+            if (v2 > best_v) { best_v = v2; best_s = s2; }
+        }
+        if (tot > 0) {
+            int64_t cs, cc;
+            if (best_s < 0) { cs = 6; cc = lm_v; }   // only LINK_M present
+            else { cs = best_s; cc = best_v; }
+            cg.push_back((int64_t)(gp >> pos_bits));
+            cp.push_back((int64_t)(gp & POS_MASK));
+            cst.push_back(st);
+            ccs.push_back(cs);
+            ccc.push_back(cc);
+            ctot.push_back(ovr ? cc : tot);
+        }
+        i = j;
+    }
+}
+
+static void sort_kv(KV *a, KV *b, int64_t n, int key_bits) {
+    if (key_bits <= 0 || n <= 1) return;
+    const int npass = (key_bits + 15) / 16;
+    const int BITS = (key_bits + npass - 1) / npass;
     const int NB = 1 << BITS;
     const uint64_t MASK = (uint64_t)NB - 1;
-    uint64_t ormask = 0;
-    for (int64_t i = 0; i < n; i++) ormask |= a[i].k;
     std::vector<int64_t> cnt(NB);
     KV *src = a, *dst = b;
     int swaps = 0;
-    const int npass = (64 + BITS - 1) / BITS;
     for (int pass = 0; pass < npass; pass++) {
         int shift = pass * BITS;
         if (shift >= 64) break;
-        if (((ormask >> shift) & MASK) == 0 && pass > 0) continue;
         std::fill(cnt.begin(), cnt.end(), 0);
         for (int64_t i = 0; i < n; i++) cnt[(src[i].k >> shift) & MASK]++;
-        if (n > 0 && cnt[(src[0].k >> shift) & MASK] == n) continue;
+        if (cnt[(src[0].k >> shift) & MASK] == n) continue;
         int64_t sum = 0;
         for (int d = 0; d < NB; d++) {
             int64_t c = cnt[d];
@@ -436,20 +496,28 @@ int64_t rc_run(int64_t n, const int64_t *group, const int64_t *pos,
                const int64_t *sym, const int64_t *val,
                int64_t P, int64_t mode /*0=max,1=sum*/,
                int64_t link_m_overridden) {
-    const int64_t NS = 14;
+    // bit-field key [group | pos(pos_bits) | sym(4)] -- same sort order as
+    // the arithmetic (group*P+pos)*14+sym key, but unpacking is shift/mask
+    // instead of int64 div/mod (which dominated the reduce+fetch loops)
     const int VAL_BITS = 20;
     const int64_t VAL_MAX = ((int64_t)1 << VAL_BITS) - 1;
+    const int SYM_BITS = 4;
+    int pos_bits = rc::bit_width_u64((uint64_t)(P > 1 ? P - 1 : 1));
     rc::g_P = P;
-    // packed fast path: (key << 20) | val in one u64 when the bits fit
+    rc::g_pos_bits = pos_bits;
     int64_t max_g = 0, max_v = 0, min_v = 0;
     for (int64_t i = 0; i < n; i++) {
         if (group[i] > max_g) max_g = group[i];
         if (val[i] > max_v) max_v = val[i];
         if (val[i] < min_v) min_v = val[i];
     }
-    const int64_t max_key = ((max_g + 1) * P) * NS;
+    const int key_bits = rc::bit_width_u64((uint64_t)max_g)
+        + pos_bits + SYM_BITS;
+    if (key_bits > 62) return -1;   // cannot happen for real inputs
+    // packed fast path: (key << 20) | val in one u64 when the bits fit
     const bool packed = n > 0 && min_v >= 0 && max_v <= VAL_MAX
-        && max_key < ((int64_t)1 << (63 - VAL_BITS));
+        && key_bits + VAL_BITS <= 62;
+    const int GSHIFT = pos_bits + SYM_BITS;
     rc::ug.clear(); rc::uv.clear();
     rc::ug.reserve(n); rc::uv.reserve(n);
     if (packed) {
@@ -457,16 +525,19 @@ int64_t rc_run(int64_t n, const int64_t *group, const int64_t *pos,
         if ((int64_t)rc::u_b.size() < n) rc::u_b.resize(n);
         uint64_t *rows = rc::u_a.data();
         for (int64_t i = 0; i < n; i++)
-            rows[i] = ((uint64_t)((group[i] * P + pos[i]) * NS + sym[i])
-                       << VAL_BITS) | (uint64_t)val[i];
-        rc::sort_u64(rows, rc::u_b.data(), n);
+            rows[i] = ((((uint64_t)group[i] << GSHIFT)
+                        | ((uint64_t)pos[i] << SYM_BITS)
+                        | (uint64_t)sym[i]) << VAL_BITS) | (uint64_t)val[i];
+        rc::sort_u64(rows, rc::u_b.data(), n, VAL_BITS, key_bits);
         for (int64_t i = 0; i < n;) {
             const uint64_t k = rows[i] >> VAL_BITS;
             int64_t acc = (int64_t)(rows[i] & VAL_MAX);
             int64_t j = i + 1;
-            if (mode == 0) {   // sorted asc by (key,val): max = last of run
-                for (; j < n && (rows[j] >> VAL_BITS) == k; j++) {}
-                acc = (int64_t)(rows[j - 1] & VAL_MAX);
+            if (mode == 0) {   // value bits are unsorted: scan run for max
+                for (; j < n && (rows[j] >> VAL_BITS) == k; j++) {
+                    const int64_t v = (int64_t)(rows[j] & VAL_MAX);
+                    if (v > acc) acc = v;
+                }
             } else {
                 for (; j < n && (rows[j] >> VAL_BITS) == k; j++)
                     acc += (int64_t)(rows[j] & VAL_MAX);
@@ -480,10 +551,11 @@ int64_t rc_run(int64_t n, const int64_t *group, const int64_t *pos,
         if ((int64_t)rc::kv_b.size() < n) rc::kv_b.resize(n);
         rc::KV *rows = rc::kv_a.data();
         for (int64_t i = 0; i < n; i++) {
-            rows[i].k = (uint64_t)((group[i] * P + pos[i]) * NS + sym[i]);
+            rows[i].k = ((uint64_t)group[i] << GSHIFT)
+                | ((uint64_t)pos[i] << SYM_BITS) | (uint64_t)sym[i];
             rows[i].v = val[i];
         }
-        rc::sort_kv(rows, rc::kv_b.data(), n);
+        rc::sort_kv(rows, rc::kv_b.data(), n, key_bits);
         for (int64_t i = 0; i < n;) {
             const uint64_t k = rows[i].k;
             int64_t acc = rows[i].v;
@@ -499,59 +571,23 @@ int64_t rc_run(int64_t n, const int64_t *group, const int64_t *pos,
             i = j;
         }
     }
-    // consensus over unique rows with val > 0, grouped by (group,pos,st)
-    rc::cg.clear(); rc::cp_.clear(); rc::cst.clear();
-    rc::ccs.clear(); rc::ccc.clear(); rc::ctot.clear();
-    const int64_t nu = (int64_t)rc::ug.size();
-    for (int64_t i = 0; i < nu;) {
-        const int64_t key = rc::ug[i];
-        const int64_t gp = key / NS;       // group*P + pos
-        const int64_t sym0 = key % NS;
-        const int64_t st = sym0 >= 6 ? 1 : 0;
-        // segment: same gp and same st
-        int64_t j = i;
-        int64_t tot = 0;
-        int64_t best_v = -1, best_s = -1;   // non-LINK_M winner (or all)
-        int64_t lm_v = 0;                    // LINK_M count (override mode)
-        const bool ovr = link_m_overridden && st == 1;
-        for (; j < nu; j++) {
-            const int64_t k2 = rc::ug[j];
-            if (k2 / NS != gp) break;
-            const int64_t s2 = k2 % NS;
-            if ((s2 >= 6 ? 1 : 0) != st) break;
-            const int64_t v2 = rc::uv[j];
-            if (v2 <= 0) continue;
-            tot += v2;
-            if (ovr && s2 == 6) { lm_v = v2; continue; }  // LINK_M deferred
-            if (v2 > best_v) { best_v = v2; best_s = s2; }
-        }
-        if (tot > 0) {
-            int64_t cs, cc;
-            if (best_s < 0) { cs = 6; cc = lm_v; }   // only LINK_M present
-            else { cs = best_s; cc = best_v; }
-            rc::cg.push_back(gp / P);
-            rc::cp_.push_back(gp % P);
-            rc::cst.push_back(st);
-            rc::ccs.push_back(cs);
-            rc::ccc.push_back(cc);
-            rc::ctot.push_back(ovr ? cc : tot);
-        }
-        i = j;
-    }
-    return nu;
+    rc::consensus_scan(rc::ug, rc::uv, pos_bits, link_m_overridden != 0,
+                       rc::cg, rc::cp_, rc::cst, rc::ccs, rc::ccc, rc::ctot);
+    return (int64_t)rc::ug.size();
 }
 
 int64_t rc_n_groups() { return (int64_t)rc::cg.size(); }
 
 void rc_fetch_unique(int64_t *ugroup, int64_t *upos, int64_t *usym,
                      int64_t *uval) {
-    const int64_t NS = 14, P = rc::g_P;
+    const int pos_bits = rc::g_pos_bits;
+    const uint64_t POS_MASK = (((uint64_t)1 << pos_bits) - 1);
     const int64_t n = (int64_t)rc::ug.size();
     for (int64_t i = 0; i < n; i++) {
-        const int64_t k = rc::ug[i];
-        ugroup[i] = k / (NS * P);
-        upos[i] = (k / NS) % P;
-        usym[i] = k % NS;
+        const uint64_t k = (uint64_t)rc::ug[i];
+        ugroup[i] = (int64_t)(k >> (pos_bits + 4));
+        upos[i] = (int64_t)((k >> 4) & POS_MASK);
+        usym[i] = (int64_t)(k & 15);
         uval[i] = rc::uv[i];
     }
 }
@@ -826,6 +862,132 @@ int iid_scan_kernel(int64_t n, const int64_t *max_qual, int64_t dec_qual,
         }
     }
     return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// MGVCF run-length selection (main.cpp:691-734): sequential scan of the
+// interleaved (LINK,BASE) per-position depth/quality rows, emitting a row
+// when it differs from the PREVIOUSLY EMITTED row (ratio/absolute depth
+// test or homref-quality jump > 10).  Returns the emitted row count.
+
+extern "C" {
+
+static inline int mgvcf_depths_diff(int64_t a, int64_t b) {
+    const int64_t mn = a < b ? a : b, mx = a < b ? b : a;
+    if (mn * 130 >= mx * 100) return 0;
+    if (mn + 3 >= mx) return 0;
+    return 1;
+}
+
+int64_t mgvcf_rle(int64_t n, const int64_t *bdp, const int64_t *cdp,
+                  const int64_t *c12, const int64_t *refq,
+                  int64_t *out_idx) {
+    int64_t m = 0;
+    int64_t pb = 0, pc = 0, p12 = 0, pq = 0;
+    int have_prev = 0;
+    for (int64_t i = 0; i < n; i++) {
+        const int64_t q = refq[i];
+        int emit = !have_prev;
+        if (!emit) {
+            const int64_t dq = q > pq ? q - pq : pq - q;
+            emit = dq > 10 || mgvcf_depths_diff(bdp[i], pb)
+                || mgvcf_depths_diff(cdp[i], pc)
+                || mgvcf_depths_diff(c12[i], p12);
+        }
+        if (emit) {
+            out_idx[m++] = i;
+            pb = bdp[i]; pc = cdp[i]; p12 = c12[i]; pq = q;
+            have_prev = 1;
+        }
+    }
+    return m;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fused dual reduce+consensus for the family sweeps (engine_fq stage 1):
+// ONE radix sort over (fam,pos,sym) keys feeds BOTH the filtered
+// fragment-count reduction (set 1: sum of the filt flag) and the
+// BQ-weighted reduction (set 2: sum of val).  Set 1 keeps only keys with
+// a positive filtered count, matching two separate rc_run calls exactly.
+
+extern "C" {
+
+int64_t rc2_run(int64_t n, const int64_t *group, const int64_t *pos,
+                const int64_t *sym, const int64_t *val, const uint8_t *filt,
+                int64_t P) {
+    const int VAL_BITS = 19;
+    const int64_t VAL_MAX = ((int64_t)1 << VAL_BITS) - 1;
+    const int SYM_BITS = 4;
+    const int LOW_BITS = VAL_BITS + 1;   // val + filt flag
+    int pos_bits = rc::bit_width_u64((uint64_t)(P > 1 ? P - 1 : 1));
+    rc::g_P = P;
+    rc::g_pos_bits = pos_bits;
+    int64_t max_g = 0, max_v = 0, min_v = 0;
+    for (int64_t i = 0; i < n; i++) {
+        if (group[i] > max_g) max_g = group[i];
+        if (val[i] > max_v) max_v = val[i];
+        if (val[i] < min_v) min_v = val[i];
+    }
+    const int key_bits = rc::bit_width_u64((uint64_t)max_g)
+        + pos_bits + SYM_BITS;
+    if (key_bits + LOW_BITS > 62 || min_v < 0 || max_v > VAL_MAX)
+        return -1;   // caller falls back to two rc_run calls
+    const int GSHIFT = pos_bits + SYM_BITS;
+    if ((int64_t)rc::u_a.size() < n) rc::u_a.resize(n);
+    if ((int64_t)rc::u_b.size() < n) rc::u_b.resize(n);
+    uint64_t *rows = rc::u_a.data();
+    for (int64_t i = 0; i < n; i++)
+        rows[i] = ((((uint64_t)group[i] << GSHIFT)
+                    | ((uint64_t)pos[i] << SYM_BITS)
+                    | (uint64_t)sym[i]) << LOW_BITS)
+            | ((uint64_t)(filt[i] ? 1 : 0) << VAL_BITS)
+            | (uint64_t)val[i];
+    rc::sort_u64(rows, rc::u_b.data(), n, LOW_BITS, key_bits);
+    rc::ug.clear(); rc::uv.clear();
+    rc::ug2.clear(); rc::uv2.clear();
+    rc::ug.reserve(n); rc::uv.reserve(n);
+    rc::ug2.reserve(n); rc::uv2.reserve(n);
+    for (int64_t i = 0; i < n;) {
+        const uint64_t k = rows[i] >> LOW_BITS;
+        int64_t acc1 = 0, acc2 = 0;
+        int64_t j = i;
+        for (; j < n && (rows[j] >> LOW_BITS) == k; j++) {
+            acc1 += (int64_t)((rows[j] >> VAL_BITS) & 1);
+            acc2 += (int64_t)(rows[j] & VAL_MAX);
+        }
+        if (acc1 > 0) { rc::ug.push_back((int64_t)k); rc::uv.push_back(acc1); }
+        rc::ug2.push_back((int64_t)k);
+        rc::uv2.push_back(acc2);
+        i = j;
+    }
+    rc::consensus_scan(rc::ug, rc::uv, pos_bits, false,
+                       rc::cg, rc::cp_, rc::cst, rc::ccs, rc::ccc, rc::ctot);
+    rc::consensus_scan(rc::ug2, rc::uv2, pos_bits, false,
+                       rc::c2g, rc::c2p, rc::c2st, rc::c2cs, rc::c2cc,
+                       rc::c2tot);
+    return (int64_t)rc::ug.size();
+}
+
+void rc2_sizes(int64_t *out4) {
+    out4[0] = (int64_t)rc::ug.size();
+    out4[1] = (int64_t)rc::cg.size();
+    out4[2] = (int64_t)rc::ug2.size();
+    out4[3] = (int64_t)rc::c2g.size();
+}
+
+void rc2_fetch_consensus2(int64_t *g, int64_t *p, int64_t *st, int64_t *cs,
+                          int64_t *cc, int64_t *tot) {
+    const int64_t n = (int64_t)rc::c2g.size();
+    std::memcpy(g, rc::c2g.data(), n * 8);
+    std::memcpy(p, rc::c2p.data(), n * 8);
+    std::memcpy(st, rc::c2st.data(), n * 8);
+    std::memcpy(cs, rc::c2cs.data(), n * 8);
+    std::memcpy(cc, rc::c2cc.data(), n * 8);
+    std::memcpy(tot, rc::c2tot.data(), n * 8);
 }
 
 }  // extern "C"

@@ -174,3 +174,30 @@ def test_str_track_parity(monkeypatch):
                "anyTR_begpos", "anyTR_tracklen", "anyTR_unitlen",
                "ctx_repeatnum", "ctx_unitlen"):
         assert np.array_equal(getattr(t_py, nm), getattr(t_nat, nm)), nm
+
+
+@pytest.mark.skipif(not native_rowpile.has_reduce_consensus(),
+                    reason="native rowpile.so not built")
+def test_reduce_consensus2_parity():
+    """Fused dual reduce (rc2_run) matches two separate rc_run calls."""
+    rng = np.random.default_rng(7)
+    n, P, G = 30000, 900, 400
+    group = rng.integers(0, G, n)
+    pos = rng.integers(0, P, n)
+    sym = rng.integers(0, 14, n)
+    val = rng.integers(1, 80, n)
+    filt = rng.random(n) < 0.6
+    fused = native_rowpile.reduce_consensus2(group, pos, sym, val, filt, P)
+    assert fused is not None
+    (fg, fp, fs, fcnt), c1, c2 = fused
+    uniq_ref, c1_ref = native_rowpile.reduce_consensus(
+        group[filt], pos[filt], sym[filt],
+        np.ones(int(filt.sum()), dtype=np.int64), P, 1, False)
+    _, c2_ref = native_rowpile.reduce_consensus(group, pos, sym, val,
+                                                P, 1, False)
+    for a, b in zip((fg, fp, fs, fcnt), uniq_ref):
+        assert np.array_equal(a, b)
+    for a, b in zip(c1, c1_ref):
+        assert np.array_equal(a, b)
+    for a, b in zip(c2, c2_ref):
+        assert np.array_equal(a, b)

@@ -72,16 +72,30 @@ def run_fq(frag_cons, frag_gap_info, famgrp, ref_syms, sscs_table, thres,
     adj = np.maximum(2 * fc.con_cnt, fc.tot) - fc.tot
     pass_filt = (adj > 0) & ((fc.st == 1) | (adj >= cfg.fam_thres_highBQ_snv))
     fam_of_row = fam_of_frag[fc.group]
-    # family fragment-count coverage (famcov)
-    (fg, fp, fs, fcnt), s1 = cns.reduce_and_consensus(
-        fam_of_row[pass_filt], fc.pos[pass_filt], fc.con_sym[pass_filt],
-        np.ones(int(pass_filt.sum()), dtype=np.int64), P, "sum",
-        link_m_overridden=False)
-    # family BQ-weighted coverage (fammmm)
     mm = adj > 0
-    (mg, mp, ms, msum), s2 = cns.reduce_and_consensus(
-        fam_of_row[mm], fc.pos[mm], fc.con_sym[mm], adj[mm], P, "sum",
-        link_m_overridden=False)
+    from ..ops import native_rowpile as _nr
+    fused = None
+    if int(mm.sum()) > 4096:
+        # both sweeps reduce over the same (fam,pos,sym) keys: ONE native
+        # sort feeds the famcov (filtered count) and fammmm (BQ-weighted)
+        # reductions
+        fused = _nr.reduce_consensus2(
+            fam_of_row[mm], fc.pos[mm], fc.con_sym[mm], adj[mm],
+            pass_filt[mm], P)
+    if fused is not None:
+        (fg, fp, fs, fcnt), c1, c2 = fused
+        s1 = cns.GroupConsensus(*c1)
+        s2 = cns.GroupConsensus(*c2)
+    else:
+        # family fragment-count coverage (famcov)
+        (fg, fp, fs, fcnt), s1 = cns.reduce_and_consensus(
+            fam_of_row[pass_filt], fc.pos[pass_filt], fc.con_sym[pass_filt],
+            np.ones(int(pass_filt.sum()), dtype=np.int64), P, "sum",
+            link_m_overridden=False)
+        # family BQ-weighted coverage (fammmm)
+        (mg, mp, ms, msum), s2 = cns.reduce_and_consensus(
+            fam_of_row[mm], fc.pos[mm], fc.con_sym[mm], adj[mm], P, "sum",
+            link_m_overridden=False)
 
     # ---- sweep 1: famcov consensus
     strand1 = fam_strand[s1.group]
@@ -389,13 +403,14 @@ def _phase_signatures(s2, refsym2, confam, famgrp, con_nfrags, tot_nfrags, cfg):
         mo = mf[order]
         groups = s2.group[mo]
         gstart = np.concatenate([[True], groups[1:] != groups[:-1]])
-        bounds = np.flatnonzero(gstart).tolist() + [len(mo)]
+        bounds = np.append(np.flatnonzero(gstart), len(mo))
         confam_ok = ((tot_nfrags >= cfg.fam_thres_dup1add)
                      & (con_nfrags * 100 >= tot_nfrags * cfg.fam_thres_dup1perc))
-        for bi in range(len(bounds) - 1):
-            lo, hi = bounds[bi], bounds[bi + 1]
-            if hi - lo < 2:
-                continue
+        # only families with >=2 mutated rows can form a phase signature;
+        # iterate those alone (singleton-mut families dominate the group set)
+        sizes = np.diff(bounds)
+        for bi in np.flatnonzero(sizes >= 2):
+            lo, hi = int(bounds[bi]), int(bounds[bi + 1])
             rows = mo[lo:hi]
             sig = tuple(zip(s2.pos[rows].tolist(), s2.con_sym[rows].tolist()))
             strand = int(famgrp.fam_strand[int(groups[lo])])

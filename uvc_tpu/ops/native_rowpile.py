@@ -116,6 +116,41 @@ def has_reduce_consensus():
     return lib is not None and hasattr(lib, "rc_run")
 
 
+def reduce_consensus2(group, pos, sym, val, filt, P):
+    """Fused dual sum-reduce sharing ONE sort: set 1 counts rows where filt
+    is set, set 2 sums val; both with plain (non-overridden) consensus.
+
+    Returns ((ug, up, us, uv) set-1 uniques, set-1 consensus 6-tuple,
+    set-2 consensus 6-tuple), or None when the kernel is unavailable or
+    the values exceed the packed-field range."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "rc2_run"):
+        return None
+
+    def cp(a, dt=np.int64):
+        return np.ascontiguousarray(a, dtype=dt).ctypes.data_as(
+            ctypes.c_void_p)
+
+    lib.rc2_run.restype = ctypes.c_int64
+    rc = lib.rc2_run(ctypes.c_int64(len(group)), cp(group), cp(pos),
+                     cp(sym), cp(val), cp(filt, np.uint8),
+                     ctypes.c_int64(P))
+    if rc < 0:
+        return None
+    sizes = np.empty(4, dtype=np.int64)
+    lib.rc2_sizes(sizes.ctypes.data_as(ctypes.c_void_p))
+    nu1, ng1, _, ng2 = (int(x) for x in sizes)
+    uniq = tuple(np.empty(nu1, dtype=np.int64) for _ in range(4))
+    lib.rc_fetch_unique(*(a.ctypes.data_as(ctypes.c_void_p) for a in uniq))
+    cons1 = tuple(np.empty(ng1, dtype=np.int64) for _ in range(6))
+    lib.rc_fetch_consensus(*(a.ctypes.data_as(ctypes.c_void_p)
+                             for a in cons1))
+    cons2 = tuple(np.empty(ng2, dtype=np.int64) for _ in range(6))
+    lib.rc2_fetch_consensus2(*(a.ctypes.data_as(ctypes.c_void_p)
+                               for a in cons2))
+    return uniq, cons1, cons2
+
+
 def pass_d_native(gc, bg, aDP4, ref_syms, frag_strand, normMQ, P, n_frags,
                   highbq_thres, mut_window):
     """Runs the fused pass-D consensus scatter (rows sorted by frag,pos,st).

@@ -76,22 +76,7 @@ def emit_mgvcf(F, res, cfg, chrom, refstring, region_offset, region_beg,
     for blk_start in blk_starts:
         refpos_abs = blk_start + region_offset
         rp2end = min(blk_start + MGVCF_REGION_MAX_SIZE + 1, P)
-        vec = []
-        prev = {"bdp": 0, "cdp": 0, "c12": 0, "refQ": None}
-        for rp2 in range(blk_start, rp2end):
-            for st in (1, 0):  # SYMBOL_TYPES_IN_VCF_ORDER = (LINK, BASE)
-                bdp = int(stats[st][0][rp2])
-                cdp = int(stats[st][1][rp2])
-                c12 = int(stats[st][2][rp2])
-                refQ = int(stats[st][3][rp2])
-                if (prev["refQ"] is None or abs(refQ - prev["refQ"]) > 10
-                        or _are_depths_diff(bdp, prev["bdp"])
-                        or _are_depths_diff(cdp, prev["cdp"])
-                        or _are_depths_diff(c12, prev["c12"])):
-                    vec += [rp2 + region_offset + (1 if st == 0 else 0),
-                            1 + st, INT32_MIN_STR, bdp, cdp, c12, refQ,
-                            INT32_MIN_STR]
-                    prev = {"bdp": bdp, "cdp": cdp, "c12": c12, "refQ": refQ}
+        vec = _mgvcf_block_vec(stats, blk_start, rp2end, region_offset)
         vcfref = refstring[blk_start:blk_start + 1].decode() or "N"
         match_refsym = int(ref_syms[blk_start])
         lines.append("\t".join([
@@ -101,6 +86,61 @@ def emit_mgvcf(F, res, cfg, chrom, refstring, region_offset, region_beg,
             + ",".join(str(x) for x in vec)
             + "," + str(rp2end + region_offset)]))
     return lines
+
+
+def _mgvcf_block_vec(stats, blk_start, rp2end, region_offset):
+    """RLE row selection for one MGVCF block: rows interleaved in
+    SYMBOL_TYPES_IN_VCF_ORDER = (LINK, BASE) per position, emitted when
+    they differ from the previously emitted row (native scan when built,
+    python fallback otherwise)."""
+    L = rp2end - blk_start
+    if L <= 0:
+        return []
+    sl = slice(blk_start, rp2end)
+    bdp = np.empty(2 * L, dtype=np.int64)
+    cdp = np.empty(2 * L, dtype=np.int64)
+    c12 = np.empty(2 * L, dtype=np.int64)
+    refq = np.empty(2 * L, dtype=np.int64)
+    for half, st in ((0, 1), (1, 0)):
+        bdp[half::2] = stats[st][0][sl]
+        cdp[half::2] = stats[st][1][sl]
+        c12[half::2] = stats[st][2][sl]
+        refq[half::2] = stats[st][3][sl]
+
+    from ..ops import native_rowpile
+    lib = native_rowpile._load()
+    if lib is not None and hasattr(lib, "mgvcf_rle"):
+        import ctypes
+        out_idx = np.empty(2 * L, dtype=np.int64)
+        lib.mgvcf_rle.restype = ctypes.c_int64
+        m = lib.mgvcf_rle(
+            ctypes.c_int64(2 * L),
+            bdp.ctypes.data_as(ctypes.c_void_p),
+            cdp.ctypes.data_as(ctypes.c_void_p),
+            c12.ctypes.data_as(ctypes.c_void_p),
+            refq.ctypes.data_as(ctypes.c_void_p),
+            out_idx.ctypes.data_as(ctypes.c_void_p))
+        emitted = out_idx[:m]
+    else:
+        emitted = []
+        prev = None
+        for i in range(2 * L):
+            if (prev is None or abs(int(refq[i]) - prev[3]) > 10
+                    or _are_depths_diff(int(bdp[i]), prev[0])
+                    or _are_depths_diff(int(cdp[i]), prev[1])
+                    or _are_depths_diff(int(c12[i]), prev[2])):
+                emitted.append(i)
+                prev = (int(bdp[i]), int(cdp[i]), int(c12[i]), int(refq[i]))
+        emitted = np.asarray(emitted, dtype=np.int64)
+    vec = []
+    for i in emitted:
+        i = int(i)
+        rp2 = blk_start + (i >> 1)
+        st = 1 - (i & 1)
+        vec += [rp2 + region_offset + (1 if st == 0 else 0), 1 + st,
+                INT32_MIN_STR, int(bdp[i]), int(cdp[i]), int(c12[i]),
+                int(refq[i]), INT32_MIN_STR]
+    return vec
 
 
 def _binom_lr_s(prob, a, b):
