@@ -991,3 +991,109 @@ void rc2_fetch_consensus2(int64_t *g, int64_t *p, int64_t *st, int64_t *cs,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Family sweep 2 (engine_fq.run_fq, main.hpp:3373-3591): per fammmm
+// consensus row, gather the famcov fragment counts (sorted-merge against
+// the sweep-1 unique table), derive the empirical-error confam quality,
+// scatter cDP1 and the per-strand bucket histograms.  The floating-point
+// expressions replicate the numpy reference order exactly (nearbyint ==
+// np.round half-to-even under the default rounding mode).
+
+extern "C" {
+
+int fq_sweep2_kernel(
+    int64_t n2,
+    const int64_t *g2, const int64_t *p2, const int64_t *st2,
+    const int64_t *cs2, const int64_t *cc2, const int64_t *tt2,
+    int64_t nu,
+    const int64_t *fg, const int64_t *fp, const int64_t *fs,
+    const int64_t *fcnt,                  // sorted by (g,p,sym)
+    const int64_t *fam_strand,            // [n_fams]
+    const int64_t *ref_syms,              // [P]
+    const int64_t *sscs_flat,             // [14*14]
+    const int64_t *cdpM, const int64_t *cdpm,  // [P,14,2]
+    int64_t P, int64_t rescue_add, int64_t fam_phred_indel_inc,
+    int64_t dup1add, int64_t dup1perc, int64_t highbq_thres,
+    int64_t *cdp1,                        // [P,14,2] zeroed by caller
+    int64_t *hist,                        // [2,P,14,16] zeroed by caller
+    int64_t *confam_out,                  // [n2]
+    uint8_t *confam_ok_out,               // [n2]
+    uint8_t *mut_out                      // [n2] phase-eligible mutation flag
+) {
+    const int64_t NS = 14;
+    const double INV_LOG10 = 10.0 / std::log(10.0);
+    int pos_bits = 1;
+    while (((int64_t)1 << pos_bits) < P) pos_bits++;
+    int64_t tp = 0;
+    for (int64_t i = 0; i < n2; i++) {
+        const int64_t g = g2[i], pos = p2[i], st = st2[i];
+        const int64_t con_sym = cs2[i], con_cnt = cc2[i], tot = tt2[i];
+        const int64_t strand = fam_strand[g];
+        const int64_t idx = (pos * NS + con_sym) * 2 + strand;
+        cdp1[idx] += 1;
+        const uint64_t gp = ((uint64_t)g << pos_bits) | (uint64_t)pos;
+        while (tp < nu
+               && ((((uint64_t)fg[tp] << pos_bits) | (uint64_t)fp[tp]) < gp))
+            tp++;
+        int64_t con_nfrags = 0, tot_nfrags = 0;
+        for (int64_t j = tp; j < nu; j++) {
+            if (((((uint64_t)fg[j] << pos_bits) | (uint64_t)fp[j]) != gp))
+                break;
+            const int64_t stj = fs[j] >= 6 ? 1 : 0;
+            if (stj == st) tot_nfrags += fcnt[j];
+            if (fs[j] == con_sym) con_nfrags = fcnt[j];
+        }
+        const int64_t avgBQ = tot_nfrags == 0 ? 1
+            : con_cnt / (tot_nfrags > 1 ? tot_nfrags : 1);
+        const int64_t major = cdpM[idx];
+        const int64_t minor = cdpm[idx];
+        const double w = 1.0 / ((double)minor + 1.0);
+        const double realphred = -INV_LOG10 * std::log(
+            ((double)minor + w)
+            / ((double)major + (double)minor
+               + w / std::pow(10.0, -(double)avgBQ / 10.0)));
+        const int64_t indep = (int64_t)std::nearbyint(
+            (double)(2 * con_nfrags - tot_nfrags) * realphred);
+        int64_t confam;
+        if (st == 1) {
+            const int64_t cap = fam_phred_indel_inc
+                + (int64_t)std::nearbyint(realphred);
+            confam = indep < cap ? indep : cap;
+        } else {
+            const int64_t cap = 2 * con_cnt - tot;
+            confam = indep < cap ? indep : cap;
+        }
+        if (confam < 1) confam = 1;
+        confam_out[i] = confam;
+        const int64_t max_qual =
+            sscs_flat[ref_syms[pos] * NS + con_sym] + rescue_add;
+        const int64_t confam2 = confam < max_qual ? confam : max_qual;
+        const bool hb = tot_nfrags >= dup1add;
+        confam_ok_out[i] = (tot_nfrags >= dup1add
+                            && con_nfrags * 100 >= tot_nfrags * dup1perc)
+            ? 1 : 0;
+        if (hb) {
+            int64_t d = max_qual - confam2 + 2;
+            int64_t pb = d >= 0 ? d / 4 : -((-d + 3) / 4);
+            if (pb < 0) pb = 0;
+            if (pb > 15) pb = 15;
+            hist[((strand * P + pos) * NS + con_sym) * 16 + pb] += 1;
+        }
+        // phase-signature eligibility (engine_fq._phase_signatures):
+        // BASE: consensus is a real substitution; LINK: a real indel;
+        // BASE additionally requires confam >= bias_thres_highBQ
+        bool mut;
+        if (st == 0) {
+            const int64_t rs = ref_syms[pos];
+            mut = rs != con_sym && rs < 4 && con_sym < 4
+                && confam >= highbq_thres;
+        } else {
+            mut = con_sym != 6 && con_sym != 13;
+        }
+        mut_out[i] = mut ? 1 : 0;
+    }
+    return 0;
+}
+
+}  // extern "C"

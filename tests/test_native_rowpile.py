@@ -201,3 +201,38 @@ def test_reduce_consensus2_parity():
         assert np.array_equal(a, b)
     for a, b in zip(c2, c2_ref):
         assert np.array_equal(a, b)
+
+
+@pytest.mark.skipif(not native_rowpile.available(),
+                    reason="native rowpile.so not built")
+def test_fq_engine_native_parity(tmp_path, monkeypatch):
+    """run_fq with the native sweep kernels matches the pure-python path
+    field by field (incl. the float confam/bucket computations)."""
+    from uvc_tpu.config import UVCConfig
+    from uvc_tpu.pileup import region
+    import numpy as np
+    from uvc_tpu.constants import CHAR_TO_SYMBOL
+
+    d = str(tmp_path)
+    fa, bam_path, ref, variants, n = simulate.build_test_dataset(d, seed=9)
+    hdr, batch = bam.read_bam(bam_path)
+    cfg = UVCConfig()
+    cfg.central_readlen = 100
+    syms = CHAR_TO_SYMBOL[np.frombuffer(ref.encode(), np.uint8)]
+    res_nat = region.call_region(batch, syms, 0, cfg)
+    lib = native_rowpile._LIB
+    monkeypatch.setattr(native_rowpile, "_LIB", None)
+    monkeypatch.setattr(native_rowpile, "_TRIED", True)
+    try:
+        hdr, batch2 = bam.read_bam(bam_path)
+        res_py = region.call_region(batch2, syms, 0, cfg)
+    finally:
+        monkeypatch.setattr(native_rowpile, "_LIB", lib)
+    for nm in ("cdp1", "cdp12", "cdp2", "cdp3", "cdp21", "cdpM", "cdpm",
+               "cdpD", "ddp1", "ddp2", "vq_cIAQ", "vq_cIAD", "vq_cIDQ"):
+        a, b = getattr(res_nat.fq, nm), getattr(res_py.fq, nm)
+        assert np.array_equal(a, b), nm
+    assert res_nat.fq.mutforms_fq == res_py.fq.mutforms_fq
+    assert res_nat.fq.mutforms_f2q == res_py.fq.mutforms_f2q
+    for k in res_nat.fq.c2info:
+        assert np.array_equal(res_nat.fq.c2info[k], res_py.fq.c2info[k]), k

@@ -172,40 +172,85 @@ def run_fq(frag_cons, frag_gap_info, famgrp, ref_syms, sscs_table, thres,
                                famgrp.frag_of_read, batch)
 
     # ---- sweep 2: fammmm consensus -> cDP1 + confam quality buckets
-    strand2 = fam_strand[s2.group]
-    fast_add_at(cdp1, (s2.pos, s2.con_sym, strand2), 1)
-
-    # gather famcov counts at the sweep-2 winners (sorted-key merge)
-    con_nfrags = _gather_triplet(fg, fp, fs, fcnt, s2.group, s2.pos,
-                                 s2.con_sym, P)
-    tot_nfrags = _gather_type_sum(fg, fp, fs, fcnt, s2.group, s2.pos,
-                                  s2.st, P)
-
-    avgBQ = np.where(tot_nfrags == 0, 1, s2.con_cnt // np.maximum(tot_nfrags, 1))
-    major = cdpM[s2.pos, s2.con_sym, strand2]
-    minor = cdpm[s2.pos, s2.con_sym, strand2]
-    w = 1.0 / (minor + 1.0)
-    realphred = -INV_LOG10 * np.log(
-        (minor + w) / (major + minor + w / np.power(10.0, -avgBQ / 10.0)))
-    indep = np.round((2 * con_nfrags - tot_nfrags) * realphred).astype(np.int64)
-    confam = np.where(
-        s2.st == 1,
-        np.maximum(1, np.minimum(indep, cfg.fam_phred_indel_inc_before_barcode_labeling
-                                 + np.round(realphred).astype(np.int64))),
-        np.maximum(1, np.minimum(indep, 2 * s2.con_cnt - s2.tot)))
-
     rescue_add = 0 if cfg.vcf_tumor_fname in (".", "") else 4
     refsym2 = ref_syms[s2.pos]
-    max_qual = sscs_table[refsym2, s2.con_sym] + rescue_add
-    confam2 = np.minimum(confam, max_qual)
     hist = np.zeros((2, P, NS, NUM_BUCKETS), dtype=np.int64)
-    hb = tot_nfrags >= cfg.fam_thres_dup1add
-    pb = np.clip((max_qual - confam2 + 2) // 4, 0, NUM_BUCKETS - 1)
-    fast_add_at(hist, (strand2[hb], s2.pos[hb], s2.con_sym[hb], pb[hb]), 1)
+    if _lib is not None and hasattr(_lib, "fq_sweep2_kernel") \
+            and len(s2.group) > 2048:
+        import ctypes
+
+        def _cc(a, dt=np.int64):
+            return np.ascontiguousarray(a, dtype=dt).ctypes.data_as(
+                ctypes.c_void_p)
+
+        confam = np.empty(len(s2.group), dtype=np.int64)
+        confam_ok_u8 = np.empty(len(s2.group), dtype=np.uint8)
+        mut_u8 = np.empty(len(s2.group), dtype=np.uint8)
+        _lib.fq_sweep2_kernel(
+            ctypes.c_int64(len(s2.group)), _cc(s2.group), _cc(s2.pos),
+            _cc(s2.st), _cc(s2.con_sym), _cc(s2.con_cnt), _cc(s2.tot),
+            ctypes.c_int64(len(fg)), _cc(fg), _cc(fp), _cc(fs), _cc(fcnt),
+            _cc(fam_strand), _cc(ref_syms), _cc(sscs_table),
+            _cc(cdpM), _cc(cdpm),
+            ctypes.c_int64(P), ctypes.c_int64(rescue_add),
+            ctypes.c_int64(cfg.fam_phred_indel_inc_before_barcode_labeling),
+            ctypes.c_int64(cfg.fam_thres_dup1add),
+            ctypes.c_int64(cfg.fam_thres_dup1perc),
+            ctypes.c_int64(cfg.bias_thres_highBQ),
+            cdp1.ctypes.data_as(ctypes.c_void_p),
+            hist.ctypes.data_as(ctypes.c_void_p),
+            confam.ctypes.data_as(ctypes.c_void_p),
+            confam_ok_u8.ctypes.data_as(ctypes.c_void_p),
+            mut_u8.ctypes.data_as(ctypes.c_void_p))
+        confam_ok = confam_ok_u8.astype(bool)
+        mut = mut_u8.astype(bool)
+    else:
+        strand2 = fam_strand[s2.group]
+        fast_add_at(cdp1, (s2.pos, s2.con_sym, strand2), 1)
+
+        # gather famcov counts at the sweep-2 winners (sorted-key merge)
+        con_nfrags = _gather_triplet(fg, fp, fs, fcnt, s2.group, s2.pos,
+                                     s2.con_sym, P)
+        tot_nfrags = _gather_type_sum(fg, fp, fs, fcnt, s2.group, s2.pos,
+                                      s2.st, P)
+
+        avgBQ = np.where(tot_nfrags == 0, 1,
+                         s2.con_cnt // np.maximum(tot_nfrags, 1))
+        major = cdpM[s2.pos, s2.con_sym, strand2]
+        minor = cdpm[s2.pos, s2.con_sym, strand2]
+        w = 1.0 / (minor + 1.0)
+        realphred = -INV_LOG10 * np.log(
+            (minor + w) / (major + minor + w / np.power(10.0, -avgBQ / 10.0)))
+        indep = np.round((2 * con_nfrags - tot_nfrags)
+                         * realphred).astype(np.int64)
+        confam = np.where(
+            s2.st == 1,
+            np.maximum(1, np.minimum(
+                indep, cfg.fam_phred_indel_inc_before_barcode_labeling
+                + np.round(realphred).astype(np.int64))),
+            np.maximum(1, np.minimum(indep, 2 * s2.con_cnt - s2.tot)))
+
+        max_qual = sscs_table[refsym2, s2.con_sym] + rescue_add
+        confam2 = np.minimum(confam, max_qual)
+        hb = tot_nfrags >= cfg.fam_thres_dup1add
+        pb = np.clip((max_qual - confam2 + 2) // 4, 0, NUM_BUCKETS - 1)
+        fast_add_at(hist, (strand2[hb], s2.pos[hb], s2.con_sym[hb], pb[hb]), 1)
+        confam_ok = ((tot_nfrags >= cfg.fam_thres_dup1add)
+                     & (con_nfrags * 100
+                        >= tot_nfrags * cfg.fam_thres_dup1perc))
+        mut = np.zeros(len(s2.group), dtype=bool)
+        base_m = s2.st == 0
+        mut[base_m] = ((refsym2[base_m] != s2.con_sym[base_m])
+                       & (refsym2[base_m] < 4) & (s2.con_sym[base_m] < 4))
+        link_m = s2.st == 1
+        mut[link_m] = ((s2.con_sym[link_m] != int(Symbol.LINK_M))
+                       & (s2.con_sym[link_m] != int(Symbol.LINK_NN)))
+        highbq = np.where(s2.st == 1, True, confam >= cfg.bias_thres_highBQ)
+        mut = mut & highbq
 
     # phase signatures (fq tier)
     mutforms_fq, mutforms_f2q = _phase_signatures(
-        s2, refsym2, confam, famgrp, con_nfrags, tot_nfrags, cfg)
+        s2, mut, famgrp, confam_ok, cfg)
 
     # ---- duplex (strand-paired families with duplexflag 0x2)
     ddp1 = np.zeros((P, NS), dtype=np.int64)
@@ -384,17 +429,9 @@ def _family_indels(frag_gap_info, fc, fam_of_frag, P, frag_of_read, batch):
     return fam_indel
 
 
-def _phase_signatures(s2, refsym2, confam, famgrp, con_nfrags, tot_nfrags, cfg):
-    """Per-family multi-variant phase strings (fq + confam tiers)."""
-    mut = np.zeros(len(s2.group), dtype=bool)
-    base_m = s2.st == 0
-    mut[base_m] = ((refsym2[base_m] != s2.con_sym[base_m])
-                   & (refsym2[base_m] < 4) & (s2.con_sym[base_m] < 4))
-    link_m = s2.st == 1
-    mut[link_m] = ((s2.con_sym[link_m] != int(Symbol.LINK_M))
-                   & (s2.con_sym[link_m] != int(Symbol.LINK_NN)))
-    highbq = np.where(s2.st == 1, True, confam >= cfg.bias_thres_highBQ)
-    mut = mut & highbq
+def _phase_signatures(s2, mut, famgrp, confam_ok, cfg):
+    """Per-family multi-variant phase strings (fq + confam tiers);
+    mut marks phase-eligible rows (precomputed, native or numpy)."""
     mutforms_fq = {}
     mutforms_f2q = {}
     mf = np.flatnonzero(mut)
@@ -404,8 +441,6 @@ def _phase_signatures(s2, refsym2, confam, famgrp, con_nfrags, tot_nfrags, cfg):
         groups = s2.group[mo]
         gstart = np.concatenate([[True], groups[1:] != groups[:-1]])
         bounds = np.append(np.flatnonzero(gstart), len(mo))
-        confam_ok = ((tot_nfrags >= cfg.fam_thres_dup1add)
-                     & (con_nfrags * 100 >= tot_nfrags * cfg.fam_thres_dup1perc))
         # only families with >=2 mutated rows can form a phase signature;
         # iterate those alone (singleton-mut families dominate the group set)
         sizes = np.diff(bounds)
