@@ -198,3 +198,65 @@ def test_targets_restriction(tmp_path):
     calls = [int(l.split("\t")[1]) for l in body.splitlines()
              if "ANY_VAR" in l and not l.startswith("#")]
     assert calls == [1001], calls
+
+
+def test_model_stage_batched_parity(tmp_path):
+    """model_stage_batched must be EXACTLY per-region equivalent (the CLI
+    chunks regions arbitrarily, so any divergence corrupts VCF output)."""
+    import numpy as np
+    from uvc_tpu import calling
+    from uvc_tpu.config import UVCConfig
+    from uvc_tpu.constants import CHAR_TO_SYMBOL
+    from uvc_tpu.io import bam, simulate
+    from uvc_tpu.schedule import regions as regions_mod
+
+    d = str(tmp_path)
+    ref = simulate.random_ref(6000, 42)
+    variants = [
+        simulate.Variant(1000, f"{ref[1000]}>"
+                         + ("A" if ref[1000] != "A" else "G"), 0.3),
+        simulate.Variant(2500, "+CT", 0.3),
+        simulate.Variant(4200, "-2", 0.3),
+    ]
+    bam_path = d + "/g.bam"
+    simulate.build_bam(bam_path, ref, depth=100, variants=variants, seed=1234)
+    hdr, batch = bam.read_bam(bam_path)
+    cfg = UVCConfig()
+    cfg.central_readlen = 100
+    rl = {i: ln for i, ln in enumerate(hdr.ref_lens)}
+    plans = regions_mod.split_plans_into_units(
+        regions_mod.plan(batch, rl, cfg.mem_per_thread), batch, rl)
+    refb = ref.encode()
+
+    def mk(plan):
+        sub = regions_mod.slice_batch(batch, plan)
+        syms = CHAR_TO_SYMBOL[
+            np.frombuffer(refb[plan.ext_beg:plan.ext_end], np.uint8) & 0x7F]
+        return calling.prepare_region(sub, syms, plan.ext_beg, cfg)
+
+    A = [mk(p) for p in plans]
+    B = [mk(p) for p in plans]
+    for c in A:
+        calling.model_stage(c["F"], c["cand"], cfg, True, None, None)
+    calling.model_stage_batched(B, cfg, True)
+
+    def cmp(pa, pb, path):
+        if isinstance(pa, np.ndarray):
+            assert isinstance(pb, np.ndarray) and pa.shape == pb.shape, path
+            assert np.array_equal(pa, pb,
+                                  equal_nan=(pa.dtype.kind == "f")), path
+        elif isinstance(pa, dict):
+            assert set(pa) == set(pb), path
+            for k in pa:
+                cmp(pa[k], pb[k], f"{path}.{k}")
+        elif isinstance(pa, (tuple, list)):
+            assert len(pa) == len(pb), path
+            for j, (x, y) in enumerate(zip(pa, pb)):
+                cmp(x, y, f"{path}[{j}]")
+
+    for a, b in zip(A, B):
+        for key in set(a["F"]) | set(b["F"]):
+            if key == "gapSa":
+                assert a["F"][key] == b["F"][key]
+                continue
+            cmp(a["F"][key], b["F"][key], f"F.{key}")

@@ -146,10 +146,10 @@ def tn_join_quals(tki, nfm_vals, cfg, is_indel, gap_len):
     return b4, c4
 
 
-def call_variants(batch, ref_syms, refstring, region_offset, chrom, cfg,
-                  is_tumor_only=True, tki_map=None):
-    """Returns (records, region_result, F). tki_map: (tid,sympos,symbol) ->
-    [TumorKeyInfo] for normal-mode joint calling (tid ignored here)."""
+def prepare_region(batch, ref_syms, region_offset, cfg,
+                   is_tumor_only=True, tki_map=None):
+    """Phase A: pileup + family engines + FORMAT planes + candidate mask.
+    Returns a context dict consumed by model_stage / assemble_records."""
     res = region_mod.call_region(batch, ref_syms, region_offset, cfg,
                                  is_normal=not is_tumor_only)
     assay = res.assay_type
@@ -163,7 +163,6 @@ def call_variants(batch, ref_syms, refstring, region_offset, chrom, cfg,
     # per-position indel depth context (main.cpp:817-831)
     cdepth = (np.maximum(res.fq.cdp1[:, :, 0], res.fq.cdp12[:, :, 0])
               + np.maximum(res.fq.cdp1[:, :, 1], res.fq.cdp12[:, :, 1]))
-    bdp = res.bq.bdp.sum(axis=2)
     F["ins_cdepth"] = cdepth[:, [10, 11, 12]].sum(axis=1)
     F["del_cdepth"] = cdepth[:, [7, 8, 9]].sum(axis=1)
     F["ins1_cdepth"] = cdepth[:, 12]
@@ -185,7 +184,19 @@ def call_variants(batch, ref_syms, refstring, region_offset, chrom, cfg,
     rescued_pos = sorted({p for (p, s) in rescued})
     cand = dpv.candidate_mask(
         F, cfg, is_tumor_only,
-        rescued_pos_sym=[(p, 0) for p in rescued_pos] if not is_tumor_only else None)
+        rescued_pos_sym=[(p, 0) for p in rescued_pos]
+        if not is_tumor_only else None)
+    return dict(res=res, F=F, cand=cand, rescued=rescued,
+                tpfa_dpv=tpfa_dpv, tpfa_qual=tpfa_qual)
+
+
+def model_stage(F, cand, cfg, is_tumor_only=True, tpfa_dpv=None,
+                tpfa_qual=None):
+    """Phase B: the dense per-column quality model.  Every computation is
+    per-position (no cross-position data flow), so regions may be batched
+    by concatenation along axis 0 (model_stage_batched) with results
+    identical to per-region evaluation."""
+    P = F["P"]
     dpv.calc_dpv(F, cfg, is_tumor_only, tpfa=tpfa_dpv)
     dpv.sum_dpv(F, cand)
     qual.calc_qual(F, cfg, is_tumor_only, tpfa=tpfa_qual)
@@ -210,8 +221,92 @@ def call_variants(batch, ref_syms, refstring, region_offset, chrom, cfg,
     vcfqual = np.where(raw_q < 10.0,
                        np.log1p(np.power(base10, raw_q)) / math.log(base10),
                        raw_q)
+    F["_tlodq"] = tlodq
+    F["_b4c"] = b4c
+    F["_c4c"] = c4c
+    F["_bDP_allele"] = bDP_allele
+    F["_vcfqual"] = vcfqual
+    return F
 
-    # assemble records for candidates
+
+def _slice_model_val(v, lo, hi, bigP):
+    if isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] == bigP:
+        return v[lo:hi]
+    if isinstance(v, dict):
+        return {k: _slice_model_val(x, lo, hi, bigP) for k, x in v.items()}
+    if isinstance(v, tuple):
+        return tuple(_slice_model_val(x, lo, hi, bigP) for x in v)
+    if isinstance(v, list):
+        return [_slice_model_val(x, lo, hi, bigP) for x in v]
+    return v
+
+
+def model_stage_batched(ctxs, cfg, is_tumor_only=True):
+    """Run model_stage ONCE over the concatenation of several prepared
+    regions, then split every produced plane back per region.  Exactly
+    equivalent to per-region calls (the model has no cross-position ops)
+    while amortizing the numpy per-op dispatch cost across regions."""
+    if len(ctxs) == 1:
+        c = ctxs[0]
+        model_stage(c["F"], c["cand"], cfg, is_tumor_only,
+                    c["tpfa_dpv"], c["tpfa_qual"])
+        return
+    Ps = [c["F"]["P"] for c in ctxs]
+    offs = np.concatenate([[0], np.cumsum(Ps)])
+    bigP = int(offs[-1])
+
+    class _LazyConcat(dict):
+        """Concatenates an input plane across regions on FIRST read, so
+        only the planes the model actually consumes are copied (the F
+        dict carries ~200 planes; the model reads well under half)."""
+
+        def __missing__(self, k):
+            v0 = ctxs[0]["F"][k]    # missing keys raise KeyError loudly
+            if not (isinstance(v0, np.ndarray) and v0.ndim >= 1
+                    and v0.shape[0] == Ps[0]):
+                raise KeyError(
+                    f"model read non-concatenatable plane {k!r}")
+            v = np.concatenate([c["F"][k] for c in ctxs], axis=0)
+            self[k] = v
+            return v
+
+    Fb = _LazyConcat()
+    Fb["P"] = bigP
+    cand_b = np.concatenate([c["cand"] for c in ctxs], axis=0)
+    tp_d = tp_q = None
+    if not is_tumor_only:
+        tp_d = np.concatenate(
+            [c["tpfa_dpv"] if c["tpfa_dpv"] is not None
+             else np.full((p, NS), -1.0) for c, p in zip(ctxs, Ps)], axis=0)
+        tp_q = np.concatenate(
+            [c["tpfa_qual"] if c["tpfa_qual"] is not None
+             else np.full((p, NS), -1.0) for c, p in zip(ctxs, Ps)], axis=0)
+    model_stage(Fb, cand_b, cfg, is_tumor_only, tp_d, tp_q)
+    for i, c in enumerate(ctxs):
+        lo, hi = int(offs[i]), int(offs[i + 1])
+        F = c["F"]
+        for k, v in Fb.items():
+            if k == "P":
+                continue
+            F[k] = _slice_model_val(v, lo, hi, bigP)
+        F["_cand"] = c["cand"]
+
+
+def assemble_records(ctx, refstring, region_offset, chrom, cfg,
+                     is_tumor_only=True):
+    """Phase C: per-candidate VariantRecord assembly from the model planes."""
+    F = ctx["F"]
+    rescued = ctx["rescued"]
+    res = ctx["res"]
+    P = F["P"]
+    cand = F["_cand"]
+    germ = F["_germ"]
+    tlodq = F["_tlodq"]
+    b4c = F["_b4c"]
+    c4c = F["_c4c"]
+    bDP_allele = F["_bDP_allele"]
+    vcfqual = F["_vcfqual"]
+
     records = []
     germ_phred = {0: cfg.germ_phred_hetero_snp, 1: cfg.germ_phred_hetero_indel}
     if is_tumor_only:
@@ -464,4 +559,17 @@ def call_variants(batch, ref_syms, refstring, region_offset, chrom, cfg,
             ref_fmt={k: int(F[k][p, ref_link])
                      for k in ("AD", "bAD", "bDPf", "bDPr")}))
     records.sort(key=lambda r: (r.vcfpos, r.symbol))
-    return records, res, F
+    return records
+
+
+def call_variants(batch, ref_syms, refstring, region_offset, chrom, cfg,
+                  is_tumor_only=True, tki_map=None):
+    """Returns (records, region_result, F). tki_map: (tid,sympos,symbol) ->
+    [TumorKeyInfo] for normal-mode joint calling (tid ignored here)."""
+    ctx = prepare_region(batch, ref_syms, region_offset, cfg,
+                         is_tumor_only=is_tumor_only, tki_map=tki_map)
+    model_stage(ctx["F"], ctx["cand"], cfg, is_tumor_only,
+                ctx["tpfa_dpv"], ctx["tpfa_qual"])
+    records = assemble_records(ctx, refstring, region_offset, chrom, cfg,
+                               is_tumor_only=is_tumor_only)
+    return records, ctx["res"], ctx["F"]

@@ -103,50 +103,78 @@ def _line_pos(line):
 _WORK_CTX = None
 
 
-def _process_region_idx(i):
-    """Process one region plan; returns (n_records, rendered_text)."""
+MODEL_BATCH_REGIONS = 8
+
+
+def _process_region_chunk(idxs):
+    """Process a chunk of region plans; the per-column quality model runs
+    ONCE over the concatenated chunk (calling.model_stage_batched — exact
+    per-region equivalence), amortizing numpy dispatch across regions.
+    Returns a list of (n_records, rendered_text), one per plan index."""
     from ..vcfout import aux_records
     ctx = _WORK_CTX
     batch, header, fa, cfg = ctx["batch"], ctx["header"], ctx["fa"], ctx["cfg"]
-    plan = ctx["plans"][i]
-    sub = regions_mod.slice_batch(batch, plan)
-    chrom = header.ref_names[plan.tid]
-    refstring = fa.fetch(chrom, plan.ext_beg, plan.ext_end)
-    ref_syms = CHAR_TO_SYMBOL[np.frombuffer(refstring, dtype=np.uint8) & 0x7F]
-    tki_map = None
-    if ctx["is_normal_run"]:
-        tki_map = {k: v for k, v in ctx["tki_all"].items()
-                   if k[0] == plan.tid and plan.ext_beg <= k[1] < plan.ext_end}
-    recs, res, F = calling.call_variants(
-        sub, ref_syms, refstring, plan.ext_beg, chrom, cfg,
-        is_tumor_only=not ctx["is_normal_run"], tki_map=tki_map)
-    if cfg.fam_consensus_out_fastq:
-        from ..family import consensus_fastq
-        from ..pileup import events as ev_mod
-        table = ev_mod.expand(sub)
-        payloads = consensus_fastq.generate(
-            res.frag_cons, res.famgrp, sub, table, F["P"], cfg,
-            plan.ext_beg, plan.tid)
-        consensus_fastq.write_files(
-            f"{cfg.fam_consensus_out_fastq}.region{i}", payloads)
-    rbeg = plan.beg - plan.ext_beg
-    rend = min(plan.end - plan.ext_beg, F["P"])
-    lines = []
-    if not ctx["is_normal_run"]:
-        lines += [(_line_pos(l), 0, l) for l in aux_records.emit_mgvcf(
-            F, res, cfg, chrom, refstring, plan.ext_beg, rbeg, rend)]
-        lines += [(_line_pos(l), 1, l) for l in
-                  aux_records.emit_indel_candidates(
-                      F, res, cfg, chrom, refstring, plan.ext_beg, rbeg, rend)]
-        lines += [(_line_pos(l), 2, l) for l in aux_records.emit_germline(
-            F, F["_germ"], F["_cand"], cfg, chrom, refstring,
-            plan.ext_beg, rbeg, rend)]
-    kept = [rec for rec in recs
-            if plan.emit_lo <= rec.vcfpos < plan.emit_hi]
-    lines += [(rec.vcfpos, 3, vcf_writer.render_record(chrom, rec))
-              for rec in kept]
-    lines.sort(key=lambda t: (t[0], t[1]))
-    return len(kept), "".join(l + "\n" for _, _, l in lines)
+    is_normal = ctx["is_normal_run"]
+    prepared = []
+    for i in idxs:
+        plan = ctx["plans"][i]
+        sub = regions_mod.slice_batch(batch, plan)
+        chrom = header.ref_names[plan.tid]
+        refstring = fa.fetch(chrom, plan.ext_beg, plan.ext_end)
+        ref_syms = CHAR_TO_SYMBOL[
+            np.frombuffer(refstring, dtype=np.uint8) & 0x7F]
+        tki_map = None
+        if is_normal:
+            tki_map = {k: v for k, v in ctx["tki_all"].items()
+                       if k[0] == plan.tid
+                       and plan.ext_beg <= k[1] < plan.ext_end}
+        rctx = calling.prepare_region(
+            sub, ref_syms, plan.ext_beg, cfg,
+            is_tumor_only=not is_normal, tki_map=tki_map)
+        rctx["_plan"] = plan
+        rctx["_sub"] = sub
+        rctx["_chrom"] = chrom
+        rctx["_refstring"] = refstring
+        rctx["_idx"] = i
+        prepared.append(rctx)
+    calling.model_stage_batched(prepared, cfg, is_tumor_only=not is_normal)
+    out = []
+    for rctx in prepared:
+        plan, chrom = rctx["_plan"], rctx["_chrom"]
+        refstring, i = rctx["_refstring"], rctx["_idx"]
+        res, F = rctx["res"], rctx["F"]
+        recs = calling.assemble_records(
+            rctx, refstring, plan.ext_beg, chrom, cfg,
+            is_tumor_only=not is_normal)
+        if cfg.fam_consensus_out_fastq:
+            from ..family import consensus_fastq
+            from ..pileup import events as ev_mod
+            table = ev_mod.expand(rctx["_sub"])
+            payloads = consensus_fastq.generate(
+                res.frag_cons, res.famgrp, rctx["_sub"], table, F["P"], cfg,
+                plan.ext_beg, plan.tid)
+            consensus_fastq.write_files(
+                f"{cfg.fam_consensus_out_fastq}.region{i}", payloads)
+        rbeg = plan.beg - plan.ext_beg
+        rend = min(plan.end - plan.ext_beg, F["P"])
+        lines = []
+        if not is_normal:
+            lines += [(_line_pos(l), 0, l) for l in aux_records.emit_mgvcf(
+                F, res, cfg, chrom, refstring, plan.ext_beg, rbeg, rend)]
+            lines += [(_line_pos(l), 1, l) for l in
+                      aux_records.emit_indel_candidates(
+                          F, res, cfg, chrom, refstring, plan.ext_beg,
+                          rbeg, rend)]
+            lines += [(_line_pos(l), 2, l) for l in aux_records.emit_germline(
+                F, F["_germ"], F["_cand"], cfg, chrom, refstring,
+                plan.ext_beg, rbeg, rend)]
+        kept = [rec for rec in recs
+                if plan.emit_lo <= rec.vcfpos < plan.emit_hi]
+        lines += [(rec.vcfpos, 3, vcf_writer.render_record(chrom, rec))
+                  for rec in kept]
+        lines.sort(key=lambda t: (t[0], t[1]))
+        out.append((len(kept), "".join(l + "\n" for _, _, l in lines)))
+    return out
 
 
 def check_file_exist(fname, ftype):
@@ -249,6 +277,15 @@ def run(argv=None):
         if len(plans) > 1 else 1
     n_records = 0
     n_reads = batch.n  # pad reads shared between units counted once
+    # chunk plans for the batched model stage; chunking never changes the
+    # output (model_stage_batched is exactly per-region equivalent), so
+    # the size only trades batching gain against pool load balance:
+    # aim for ~4 tasks per worker, capped at MODEL_BATCH_REGIONS
+    n_workers_est = min(cfg.max_cpu_num, os.cpu_count() or 1) or 1
+    csz = max(1, min(MODEL_BATCH_REGIONS,
+                     -(-len(plans) // (n_workers_est * 4))))
+    chunks = [list(range(lo, min(lo + csz, len(plans))))
+              for lo in range(0, len(plans), csz)]
     if n_workers > 1:
         # data-parallel region processing with ordered serial output,
         # mirroring the reference's dynamic thread pool + serial concat
@@ -258,15 +295,16 @@ def run(argv=None):
         _WORK_CTX = work_ctx
         ctx = mp.get_context("fork")
         with ctx.Pool(n_workers) as pool:
-            for nrec, text in pool.imap(_process_region_idx, range(len(plans))):
-                out.write(text)
-                n_records += nrec
+            for results in pool.imap(_process_region_chunk, chunks):
+                for nrec, text in results:
+                    out.write(text)
+                    n_records += nrec
     else:
         _WORK_CTX = work_ctx
-        for i in range(len(plans)):
-            nrec, text = _process_region_idx(i)
-            out.write(text)
-            n_records += nrec
+        for chunk in chunks:
+            for nrec, text in _process_region_chunk(chunk):
+                out.write(text)
+                n_records += nrec
     out.close()
     if cfg.fam_consensus_out_fastq:
         # concatenate the per-region gzip members into the final three

@@ -47,6 +47,11 @@ def infer_assay(famgrp, cfg) -> AssayType:
 def call_region(batch, ref_syms, region_offset, cfg,
                 is_normal=False) -> RegionResult:
     P = len(ref_syms)
+    # the read slice shares storage with the whole-BAM batch (and with the
+    # pad reads of adjacent work units): correct a private copy so each
+    # region sees pristine base qualities, like the reference's per-region
+    # BAM fetch (grouping.cpp:608-664) -- never mutate shared memory
+    batch.qual = batch.qual.copy()
     bqcorr.apply(batch, cfg)
     table = events.expand(batch)
 
