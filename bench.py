@@ -47,7 +47,7 @@ def bench_host_pipeline():
     rc = uvc1_cli.run(["-f", fa, "-o", out_vcf, "-t", str(ncpu), path])
     assert rc == 0
     dt = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         rc = uvc1_cli.run(["-f", fa, "-o", out_vcf, "-t", str(ncpu), path])
         assert rc == 0
