@@ -1097,3 +1097,128 @@ int fq_sweep2_kernel(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Pass A prep accumulation (engine_bq.pass_a_prep M-base part;
+// update_seg_format_prep_sets_by_aln, main.hpp:924-1204): one loop over
+// the M-base events computes the ~20 per-position counter scatters, the
+// (read,diagonal)-segmented mismatch-run intervals, and the per-read
+// ins/del BAQ sums.  The gap/clip sub-passes stay in python.
+
+extern "C" {
+
+enum {
+    PA_pcr_dp, PA_umi_dp, PA_dp, PA_qlen, PA_XM1500, PA_GO1500, PA_GAPLEN,
+    PA_LI, PA_LIDP, PA_RI, PA_RIDP, PA_l_dist_sum, PA_r_dist_sum,
+    PA_inslen_sum, PA_dellen_sum, PA_l_BAQ_sum, PA_r_BAQ_sum,
+    PA_insBAQ_sum, PA_delBAQ_sum, PA_highBQ_dp, PA_snv_dp, PA_dnv_dp,
+    N_PA
+};
+
+// per-read field order for pass_a ([n_reads, N_PAR] int64)
+enum {
+    PAR_pos, PAR_rend, PAR_isrc, PAR_isize, PAR_fragL, PAR_fragR,
+    PAR_xm1500, PAR_go1500, PAR_avg_gaplen, PAR_inslen_sum, PAR_dellen_sum,
+    PAR_pcr_inc, PAR_umi_inc, N_PAR
+};
+
+int pass_a_kernel(
+    int64_t n_bases,
+    const int64_t *b_rpos, const int64_t *b_read, const int64_t *b_qpos,
+    const int64_t *b_bq, const int64_t *b_sym,
+    const int64_t *ref_syms,             // [P]
+    int64_t n_reads, const int64_t *reads,  // [n_reads, N_PAR]
+    int64_t n_gaps, const int64_t *g_read, const int64_t *g_rpos,
+    const int64_t *g_oplen, const uint8_t *g_isdel,
+    const int64_t *baq,                  // [P]
+    int64_t off, int64_t P, int64_t highbq_thres, int64_t max_insert,
+    int64_t *out,                        // [N_PA, P] zeroed by caller
+    int64_t *insbaq, int64_t *delbaq     // [n_reads] zeroed by caller
+) {
+    // per-read gap BAQ sums (python _read_gap_baq_sums)
+    for (int64_t j = 0; j < n_gaps; j++) {
+        int64_t end_idx = g_rpos[j] + g_oplen[j];
+        if (end_idx > off + P - 1) end_idx = off + P - 1;
+        end_idx -= off;
+        int64_t beg_idx = g_rpos[j] - off;
+        const int64_t v = baq[iclip(end_idx, 0, P - 1)]
+            - baq[iclip(beg_idx, 0, P - 1)];
+        if (g_isdel[j]) delbaq[g_read[j]] += v;
+        else insbaq[g_read[j]] += v;
+    }
+    // mismatch-run scan over (read, diagonal) segments: the bases table
+    // is in cigar-walk order, so a segment is a maximal contiguous run
+    // with equal (read, rpos - qpos); runs are scanned backward for the
+    // next matching base (index distance, as the python reference)
+    std::vector<int64_t> snv_d(P + 2, 0), dnv_d(P + 2, 0);
+    int64_t seg_end = n_bases;   // exclusive
+    for (int64_t i = n_bases - 1, next_match = n_bases; i >= 0; i--) {
+        const bool brk = (i + 1 < n_bases)
+            && ((b_read[i + 1] != b_read[i])
+                || (b_rpos[i + 1] - b_qpos[i + 1] != b_rpos[i] - b_qpos[i]));
+        if (brk) { seg_end = i + 1; next_match = n_bases; }
+        const int64_t ridx = iclip(b_rpos[i] - off, 0, P - 1);
+        const bool match = ref_syms[ridx] == b_sym[i];
+        if (match) next_match = i;
+        const int64_t run = (next_match < seg_end ? next_match : seg_end) - i;
+        // interval add for snv/dnv depth (main.hpp:1025-1046)
+        const int64_t *r = reads + b_read[i] * N_PAR;
+        const int64_t next_rpos = b_rpos[i] + run + 1;
+        int64_t lo = (r[PAR_pos] > b_rpos[i] - 1 ? r[PAR_pos]
+                      : b_rpos[i] - 1) - off;
+        int64_t hi = (next_rpos < r[PAR_rend] ? next_rpos : r[PAR_rend]) - off;
+        lo = iclip(lo, 0, P);
+        hi = iclip(hi, 0, P + 1);
+        if (lo < hi) {
+            if (next_rpos == b_rpos[i] + 2) { snv_d[lo]++; snv_d[hi]--; }
+            else if (next_rpos > b_rpos[i] + 2) { dnv_d[lo]++; dnv_d[hi]--; }
+        }
+    }
+    {
+        int64_t s = 0, d = 0;
+        int64_t *snv = out + PA_snv_dp * P, *dnv = out + PA_dnv_dp * P;
+        for (int64_t p = 0; p < P; p++) {
+            s += snv_d[p]; d += dnv_d[p];
+            snv[p] += s; dnv[p] += d;
+        }
+    }
+    // per-M-base point adds
+    for (int64_t i = 0; i < n_bases; i++) {
+        const int64_t bi = b_rpos[i] - off;
+        if (bi < 0 || bi >= P) return -1;
+        const int64_t *r = reads + b_read[i] * N_PAR;
+        out[PA_pcr_dp * P + bi] += r[PAR_pcr_inc];
+        out[PA_umi_dp * P + bi] += r[PAR_umi_inc];
+        out[PA_dp * P + bi] += 1;
+        out[PA_qlen * P + bi] += r[PAR_rend] - r[PAR_pos];
+        out[PA_XM1500 * P + bi] += r[PAR_xm1500];
+        out[PA_GO1500 * P + bi] += r[PAR_go1500];
+        out[PA_GAPLEN * P + bi] += r[PAR_avg_gaplen];
+        if (r[PAR_isize] != 0) {
+            if (r[PAR_isrc]) {
+                out[PA_LI * P + bi] +=
+                    imin(b_rpos[i] - r[PAR_fragL] + 1, max_insert);
+                out[PA_LIDP * P + bi] += 1;
+            } else {
+                out[PA_RI * P + bi] +=
+                    imin(r[PAR_fragR] - b_rpos[i], max_insert);
+                out[PA_RIDP * P + bi] += 1;
+            }
+        }
+        if (b_bq[i] >= highbq_thres) {
+            out[PA_l_dist_sum * P + bi] += b_rpos[i] - r[PAR_pos] + 1;
+            out[PA_r_dist_sum * P + bi] += r[PAR_rend] - b_rpos[i];
+            out[PA_inslen_sum * P + bi] += r[PAR_inslen_sum];
+            out[PA_dellen_sum * P + bi] += r[PAR_dellen_sum];
+            out[PA_l_BAQ_sum * P + bi] += baq[bi] - baq[r[PAR_pos] - off] + 1;
+            out[PA_r_BAQ_sum * P + bi] +=
+                baq[r[PAR_rend] - 1 - off] - baq[bi] + 1;
+            out[PA_insBAQ_sum * P + bi] += insbaq[b_read[i]];
+            out[PA_delBAQ_sum * P + bi] += delbaq[b_read[i]];
+            out[PA_highBQ_dp * P + bi] += 1;
+        }
+    }
+    return 0;
+}
+
+}  // extern "C"

@@ -236,3 +236,44 @@ def test_fq_engine_native_parity(tmp_path, monkeypatch):
     assert res_nat.fq.mutforms_f2q == res_py.fq.mutforms_f2q
     for k in res_nat.fq.c2info:
         assert np.array_equal(res_nat.fq.c2info[k], res_py.fq.c2info[k]), k
+
+
+@pytest.mark.skipif(not native_rowpile.available(),
+                    reason="native rowpile.so not built")
+def test_pass_a_parity(tmp_path, monkeypatch):
+    """Native pass_a_kernel matches the python M-base accumulation exactly
+    (incl. the (read,diagonal)-segmented mismatch-run intervals)."""
+    from uvc_tpu.config import UVCConfig
+    from uvc_tpu.pileup import engine_bq, events, strscan
+    import numpy as np
+    from uvc_tpu.constants import CHAR_TO_SYMBOL
+
+    d = str(tmp_path)
+    ref = simulate.random_ref(4000, 31)
+    variants = [simulate.Variant(900, "+GAT", 0.4),
+                simulate.Variant(2100, "-3", 0.4),
+                simulate.Variant(3000, f"{ref[3000]}>"
+                                 + ("T" if ref[3000] != "T" else "C"), 0.4)]
+    path = d + "/p.bam"
+    simulate.build_bam(path, ref, depth=60, variants=variants, seed=77)
+    hdr, batch = bam.read_bam(path)
+    cfg = UVCConfig()
+    syms = CHAR_TO_SYMBOL[np.frombuffer(ref.encode(), np.uint8)]
+    table = events.expand(batch)
+    tracks = strscan.scan_repeats(syms, cfg.indel_str_repeatsize_max,
+                                  cfg.indel_vntr_repeatsize_max)
+    baq = strscan.baq_offsets(tracks, use_anyTR=True)
+    P = len(syms)
+    dflag = np.full(batch.n, 0x3, dtype=np.int64)
+    prep_nat = engine_bq.pass_a_prep(table, batch, syms, tracks, baq, 0, P,
+                                     cfg, dflag)
+    lib = native_rowpile._LIB
+    monkeypatch.setattr(native_rowpile, "_LIB", None)
+    monkeypatch.setattr(native_rowpile, "_TRIED", True)
+    try:
+        prep_py = engine_bq.pass_a_prep(table, batch, syms, tracks, baq, 0,
+                                        P, cfg, dflag)
+    finally:
+        monkeypatch.setattr(native_rowpile, "_LIB", lib)
+    for nm in prep_py.names:
+        assert np.array_equal(getattr(prep_nat, nm), getattr(prep_py, nm)), nm

@@ -258,3 +258,51 @@ def pass_c_native(allev, table, baq, baq2, thres, off, P, cfg, dflag):
     if rc != 0:
         raise RuntimeError("pass_c_kernel failed")
     return {nm: out[i] for i, nm in enumerate(PLANES)}
+
+
+PASS_A_PLANES = ("a_pcr_dp a_umi_dp a_dp a_qlen a_XM1500 a_GO1500 a_GAPLEN "
+                 "a_LI a_LIDP a_RI a_RIDP a_l_dist_sum a_r_dist_sum "
+                 "a_inslen_sum a_dellen_sum a_l_BAQ_sum a_r_BAQ_sum "
+                 "a_insBAQ_sum a_delBAQ_sum a_highBQ_dp a_snv_dp "
+                 "a_dnv_dp").split()
+N_PAR = 13
+
+
+def pass_a_native(table, ref_syms, baq, off, P, highbq_thres, max_insert,
+                  pcr_inc, umi_inc):
+    """Fused M-base pass-A accumulation; returns (planes dict [P],
+    insbaq [n_reads], delbaq [n_reads]) or None when not built."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "pass_a_kernel"):
+        return None
+    r = table.reads
+    b = table.bases
+    g = table.gaps
+    n_reads = len(r.pos)
+    reads = np.zeros((n_reads, N_PAR), dtype=np.int64)
+    for i, arr in enumerate((r.pos, r.rend, r.isrc, r.isize, r.frag_pos_L,
+                             r.frag_pos_R, r.xm1500, r.go1500, r.avg_gaplen,
+                             r.inslen_sum, r.dellen_sum, pcr_inc, umi_inc)):
+        reads[:, i] = arr
+    out = np.zeros((len(PASS_A_PLANES), P), dtype=np.int64)
+    insbaq = np.zeros(n_reads, dtype=np.int64)
+    delbaq = np.zeros(n_reads, dtype=np.int64)
+
+    def cp(a, dt=np.int64):
+        return np.ascontiguousarray(a, dtype=dt).ctypes.data_as(
+            ctypes.c_void_p)
+
+    rc = lib.pass_a_kernel(
+        ctypes.c_int64(len(b.rpos)), cp(b.rpos), cp(b.read), cp(b.qpos),
+        cp(b.bq), cp(b.sym), cp(ref_syms),
+        ctypes.c_int64(n_reads), cp(reads),
+        ctypes.c_int64(len(g.read)), cp(g.read), cp(g.rpos), cp(g.oplen),
+        cp(g.is_del, np.uint8), cp(baq),
+        ctypes.c_int64(off), ctypes.c_int64(P),
+        ctypes.c_int64(highbq_thres), ctypes.c_int64(max_insert),
+        out.ctypes.data_as(ctypes.c_void_p),
+        insbaq.ctypes.data_as(ctypes.c_void_p),
+        delbaq.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        raise ValueError("pass_a_kernel: base position outside region")
+    return {nm: out[i] for i, nm in enumerate(PASS_A_PLANES)}, insbaq, delbaq

@@ -131,61 +131,70 @@ def pass_a_prep(table: ev.EventTable, batch, ref_syms: np.ndarray,
     pcr_inc = ((dflag & 0x4) != 0).astype(np.int64)
     umi_inc = ((dflag & 0x1) != 0).astype(np.int64)
 
-    # --- per-M-base point adds
-    bi = (b.rpos - off).astype(np.int64)
-    br = b.read
-    span = r.rend - r.pos
-    fast_add_at(prep.a_pcr_dp, bi, pcr_inc[br])
-    fast_add_at(prep.a_umi_dp, bi, umi_inc[br])
-    fast_add_at(prep.a_dp, bi, 1)
-    fast_add_at(prep.a_qlen, bi, span[br])
-    fast_add_at(prep.a_XM1500, bi, r.xm1500[br])
-    fast_add_at(prep.a_GO1500, bi, r.go1500[br])
-    fast_add_at(prep.a_GAPLEN, bi, r.avg_gaplen[br])
+    from ..ops import native_rowpile as _nr
+    nat = _nr.pass_a_native(table, ref_syms, baq, off, P,
+                            cfg.bias_thres_highBQ, MAX_INSERT_SIZE,
+                            pcr_inc, umi_inc) if len(b.rpos) > 4096 else None
+    if nat is not None:
+        planes, insbaq, delbaq = nat
+        for nm, v in planes.items():
+            getattr(prep, nm)[:] += v
+    else:
+        # --- per-M-base point adds
+        bi = (b.rpos - off).astype(np.int64)
+        br = b.read
+        span = r.rend - r.pos
+        fast_add_at(prep.a_pcr_dp, bi, pcr_inc[br])
+        fast_add_at(prep.a_umi_dp, bi, umi_inc[br])
+        fast_add_at(prep.a_dp, bi, 1)
+        fast_add_at(prep.a_qlen, bi, span[br])
+        fast_add_at(prep.a_XM1500, bi, r.xm1500[br])
+        fast_add_at(prep.a_GO1500, bi, r.go1500[br])
+        fast_add_at(prep.a_GAPLEN, bi, r.avg_gaplen[br])
 
-    has_isize = r.isize[br] != 0
-    m_rc = r.isrc[br] & has_isize
-    m_fw = (~r.isrc[br]) & has_isize
-    li_val = np.minimum(b.rpos - r.frag_pos_L[br] + 1, MAX_INSERT_SIZE)
-    ri_val = np.minimum(r.frag_pos_R[br] - b.rpos, MAX_INSERT_SIZE)
-    fast_add_at(prep.a_LI, bi[m_rc], li_val[m_rc])
-    fast_add_at(prep.a_LIDP, bi[m_rc], 1)
-    fast_add_at(prep.a_RI, bi[m_fw], ri_val[m_fw])
-    fast_add_at(prep.a_RIDP, bi[m_fw], 1)
+        has_isize = r.isize[br] != 0
+        m_rc = r.isrc[br] & has_isize
+        m_fw = (~r.isrc[br]) & has_isize
+        li_val = np.minimum(b.rpos - r.frag_pos_L[br] + 1, MAX_INSERT_SIZE)
+        ri_val = np.minimum(r.frag_pos_R[br] - b.rpos, MAX_INSERT_SIZE)
+        fast_add_at(prep.a_LI, bi[m_rc], li_val[m_rc])
+        fast_add_at(prep.a_LIDP, bi[m_rc], 1)
+        fast_add_at(prep.a_RI, bi[m_fw], ri_val[m_fw])
+        fast_add_at(prep.a_RIDP, bi[m_fw], 1)
 
-    # snv/dnv mismatch-run intervals (main.hpp:1025-1046)
-    mm_run = _mismatch_runlen(table, ref_syms, off)
-    next_rpos = b.rpos + mm_run + 1  # next_rpos after finding the first match
-    snv_d = np.zeros(P + 2, dtype=np.int64)
-    dnv_d = np.zeros(P + 2, dtype=np.int64)
-    lo = np.maximum(r.pos[br], b.rpos - 1) - off
-    hi = np.minimum(next_rpos, r.rend[br]) - off
-    lo = np.clip(lo, 0, P)
-    hi = np.clip(hi, 0, P + 1)
-    is_snv = next_rpos == b.rpos + 2
-    is_dnv = next_rpos > b.rpos + 2
-    _interval_add(snv_d, lo[is_snv], hi[is_snv])
-    _interval_add(dnv_d, lo[is_dnv], hi[is_dnv])
-    prep.a_snv_dp += np.cumsum(snv_d)[:P]
-    prep.a_dnv_dp += np.cumsum(dnv_d)[:P]
+        # snv/dnv mismatch-run intervals (main.hpp:1025-1046)
+        mm_run = _mismatch_runlen(table, ref_syms, off)
+        next_rpos = b.rpos + mm_run + 1  # after finding the first match
+        snv_d = np.zeros(P + 2, dtype=np.int64)
+        dnv_d = np.zeros(P + 2, dtype=np.int64)
+        lo = np.maximum(r.pos[br], b.rpos - 1) - off
+        hi = np.minimum(next_rpos, r.rend[br]) - off
+        lo = np.clip(lo, 0, P)
+        hi = np.clip(hi, 0, P + 1)
+        is_snv = next_rpos == b.rpos + 2
+        is_dnv = next_rpos > b.rpos + 2
+        _interval_add(snv_d, lo[is_snv], hi[is_snv])
+        _interval_add(dnv_d, lo[is_dnv], hi[is_dnv])
+        prep.a_snv_dp += np.cumsum(snv_d)[:P]
+        prep.a_dnv_dp += np.cumsum(dnv_d)[:P]
 
-    # high-BQ position stats
-    hb = b.bq >= cfg.bias_thres_highBQ
-    bh, ih = br[hb], bi[hb]
-    ldist = (b.rpos - r.pos[br] + 1)[hb]
-    rdist = (r.rend[br] - b.rpos)[hb]
-    fast_add_at(prep.a_l_dist_sum, ih, ldist)
-    fast_add_at(prep.a_r_dist_sum, ih, rdist)
-    fast_add_at(prep.a_inslen_sum, ih, r.inslen_sum[bh])
-    fast_add_at(prep.a_dellen_sum, ih, r.dellen_sum[bh])
-    lbaq = baq[ih] - baq[r.pos[bh] - off] + 1
-    rbaq = baq[r.rend[bh] - 1 - off] - baq[ih] + 1
-    fast_add_at(prep.a_l_BAQ_sum, ih, lbaq)
-    fast_add_at(prep.a_r_BAQ_sum, ih, rbaq)
-    insbaq, delbaq = _read_gap_baq_sums(table, baq, off, P)
-    fast_add_at(prep.a_insBAQ_sum, ih, insbaq[bh])
-    fast_add_at(prep.a_delBAQ_sum, ih, delbaq[bh])
-    fast_add_at(prep.a_highBQ_dp, ih, 1)
+        # high-BQ position stats
+        hb = b.bq >= cfg.bias_thres_highBQ
+        bh, ih = br[hb], bi[hb]
+        ldist = (b.rpos - r.pos[br] + 1)[hb]
+        rdist = (r.rend[br] - b.rpos)[hb]
+        fast_add_at(prep.a_l_dist_sum, ih, ldist)
+        fast_add_at(prep.a_r_dist_sum, ih, rdist)
+        fast_add_at(prep.a_inslen_sum, ih, r.inslen_sum[bh])
+        fast_add_at(prep.a_dellen_sum, ih, r.dellen_sum[bh])
+        lbaq = baq[ih] - baq[r.pos[bh] - off] + 1
+        rbaq = baq[r.rend[bh] - 1 - off] - baq[ih] + 1
+        fast_add_at(prep.a_l_BAQ_sum, ih, lbaq)
+        fast_add_at(prep.a_r_BAQ_sum, ih, rbaq)
+        insbaq, delbaq = _read_gap_baq_sums(table, baq, off, P)
+        fast_add_at(prep.a_insBAQ_sum, ih, insbaq[bh])
+        fast_add_at(prep.a_delBAQ_sum, ih, delbaq[bh])
+        fast_add_at(prep.a_highBQ_dp, ih, 1)
 
     # --- gap ops
     _pass_a_gaps(prep, table, tracks, baq, insbaq, delbaq, off, P, cfg,
