@@ -1222,3 +1222,75 @@ int pass_a_kernel(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// rc2 entry taking the RAW fragment-consensus rows: computes adj =
+// max(2*con_cnt, tot) - tot, the family id map, and the sweep-1 filter
+// (engine_fq.run_fq stage 1) inline, then runs the fused dual reduction.
+
+extern "C" {
+
+int64_t rc2_run_fc(int64_t n, const int64_t *frag, const int64_t *pos,
+                   const int64_t *sym, const int64_t *con_cnt,
+                   const int64_t *tot, const int64_t *st,
+                   const int64_t *fam_of_frag, int64_t highbq_snv,
+                   int64_t P) {
+    const int VAL_BITS = 19;
+    const int64_t VAL_MAX = ((int64_t)1 << VAL_BITS) - 1;
+    const int SYM_BITS = 4;
+    const int LOW_BITS = VAL_BITS + 1;
+    int pos_bits = rc::bit_width_u64((uint64_t)(P > 1 ? P - 1 : 1));
+    rc::g_P = P;
+    rc::g_pos_bits = pos_bits;
+    int64_t max_g = 0, max_v = 0;
+    for (int64_t i = 0; i < n; i++) {
+        const int64_t adj0 = 2 * con_cnt[i] - tot[i];
+        const int64_t adj = adj0 > 0 ? adj0 : 0;
+        if (adj > max_v) max_v = adj;
+        const int64_t g = fam_of_frag[frag[i]];
+        if (g > max_g) max_g = g;
+    }
+    const int key_bits = rc::bit_width_u64((uint64_t)max_g)
+        + pos_bits + SYM_BITS;
+    if (key_bits + LOW_BITS > 62 || max_v > VAL_MAX) return -1;
+    const int GSHIFT = pos_bits + SYM_BITS;
+    if ((int64_t)rc::u_a.size() < n) rc::u_a.resize(n);
+    if ((int64_t)rc::u_b.size() < n) rc::u_b.resize(n);
+    uint64_t *rows = rc::u_a.data();
+    int64_t m = 0;
+    for (int64_t i = 0; i < n; i++) {
+        const int64_t adj = 2 * con_cnt[i] - tot[i];   // max(2c,t)-t
+        if (adj <= 0) continue;
+        const uint64_t filt = (st[i] == 1 || adj >= highbq_snv) ? 1 : 0;
+        rows[m++] = ((((uint64_t)fam_of_frag[frag[i]] << GSHIFT)
+                      | ((uint64_t)pos[i] << SYM_BITS)
+                      | (uint64_t)sym[i]) << LOW_BITS)
+            | (filt << VAL_BITS) | (uint64_t)adj;
+    }
+    rc::sort_u64(rows, rc::u_b.data(), m, LOW_BITS, key_bits);
+    rc::ug.clear(); rc::uv.clear();
+    rc::ug2.clear(); rc::uv2.clear();
+    rc::ug.reserve(m); rc::uv.reserve(m);
+    rc::ug2.reserve(m); rc::uv2.reserve(m);
+    for (int64_t i = 0; i < m;) {
+        const uint64_t k = rows[i] >> LOW_BITS;
+        int64_t acc1 = 0, acc2 = 0;
+        int64_t j = i;
+        for (; j < m && (rows[j] >> LOW_BITS) == k; j++) {
+            acc1 += (int64_t)((rows[j] >> VAL_BITS) & 1);
+            acc2 += (int64_t)(rows[j] & VAL_MAX);
+        }
+        if (acc1 > 0) { rc::ug.push_back((int64_t)k); rc::uv.push_back(acc1); }
+        rc::ug2.push_back((int64_t)k);
+        rc::uv2.push_back(acc2);
+        i = j;
+    }
+    rc::consensus_scan(rc::ug, rc::uv, pos_bits, false,
+                       rc::cg, rc::cp_, rc::cst, rc::ccs, rc::ccc, rc::ctot);
+    rc::consensus_scan(rc::ug2, rc::uv2, pos_bits, false,
+                       rc::c2g, rc::c2p, rc::c2st, rc::c2cs, rc::c2cc,
+                       rc::c2tot);
+    return (int64_t)rc::ug.size();
+}
+
+}  // extern "C"

@@ -69,19 +69,25 @@ def run_fq(frag_cons, frag_gap_info, famgrp, ref_syms, sscs_table, thres,
     fc = frag_cons
 
     # ---- stage 1: fragment -> family coverages
-    adj = np.maximum(2 * fc.con_cnt, fc.tot) - fc.tot
-    pass_filt = (adj > 0) & ((fc.st == 1) | (adj >= cfg.fam_thres_highBQ_snv))
-    fam_of_row = fam_of_frag[fc.group]
-    mm = adj > 0
     from ..ops import native_rowpile as _nr
     fused = None
-    if int(mm.sum()) > 4096:
+    if len(fc.group) > 4096:
         # both sweeps reduce over the same (fam,pos,sym) keys: ONE native
         # sort feeds the famcov (filtered count) and fammmm (BQ-weighted)
-        # reductions
-        fused = _nr.reduce_consensus2(
-            fam_of_row[mm], fc.pos[mm], fc.con_sym[mm], adj[mm],
-            pass_filt[mm], P)
+        # reductions; the adj/filter row prep runs inside the kernel
+        fused = _nr.reduce_consensus2_fc(
+            fc.group, fc.pos, fc.con_sym, fc.con_cnt, fc.tot, fc.st,
+            fam_of_frag, cfg.fam_thres_highBQ_snv, P)
+    if fused is None:
+        adj = np.maximum(2 * fc.con_cnt, fc.tot) - fc.tot
+        pass_filt = (adj > 0) & ((fc.st == 1)
+                                 | (adj >= cfg.fam_thres_highBQ_snv))
+        fam_of_row = fam_of_frag[fc.group]
+        mm = adj > 0
+        if int(mm.sum()) > 4096:
+            fused = _nr.reduce_consensus2(
+                fam_of_row[mm], fc.pos[mm], fc.con_sym[mm], adj[mm],
+                pass_filt[mm], P)
     if fused is not None:
         (fg, fp, fs, fcnt), c1, c2 = fused
         s1 = cns.GroupConsensus(*c1)

@@ -306,3 +306,37 @@ def pass_a_native(table, ref_syms, baq, off, P, highbq_thres, max_insert,
     if rc != 0:
         raise ValueError("pass_a_kernel: base position outside region")
     return {nm: out[i] for i, nm in enumerate(PASS_A_PLANES)}, insbaq, delbaq
+
+
+def reduce_consensus2_fc(frag, pos, sym, con_cnt, tot, st, fam_of_frag,
+                         highbq_snv, P):
+    """reduce_consensus2 variant taking raw fragment-consensus rows: the
+    adj/filter/fam-map row prep runs inside the kernel.  Returns the same
+    triple, or None when unavailable / out of packed range."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "rc2_run_fc"):
+        return None
+
+    def cp(a, dt=np.int64):
+        return np.ascontiguousarray(a, dtype=dt).ctypes.data_as(
+            ctypes.c_void_p)
+
+    lib.rc2_run_fc.restype = ctypes.c_int64
+    rc = lib.rc2_run_fc(ctypes.c_int64(len(frag)), cp(frag), cp(pos),
+                        cp(sym), cp(con_cnt), cp(tot), cp(st),
+                        cp(fam_of_frag), ctypes.c_int64(highbq_snv),
+                        ctypes.c_int64(P))
+    if rc < 0:
+        return None
+    sizes = np.empty(4, dtype=np.int64)
+    lib.rc2_sizes(sizes.ctypes.data_as(ctypes.c_void_p))
+    nu1, ng1, _, ng2 = (int(x) for x in sizes)
+    uniq = tuple(np.empty(nu1, dtype=np.int64) for _ in range(4))
+    lib.rc_fetch_unique(*(a.ctypes.data_as(ctypes.c_void_p) for a in uniq))
+    cons1 = tuple(np.empty(ng1, dtype=np.int64) for _ in range(6))
+    lib.rc_fetch_consensus(*(a.ctypes.data_as(ctypes.c_void_p)
+                             for a in cons1))
+    cons2 = tuple(np.empty(ng2, dtype=np.int64) for _ in range(6))
+    lib.rc2_fetch_consensus2(*(a.ctypes.data_as(ctypes.c_void_p)
+                               for a in cons2))
+    return uniq, cons1, cons2
