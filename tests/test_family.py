@@ -62,10 +62,11 @@ def test_fq_exact_indels(result):
     ref, variants, batch, res = result
     ins = variants[1]
     key_ins = res.fq.fam_indel.get((ins.pos + 1, int(Symbol.LINK_I2)), {})
-    assert b"TT" in key_ins and key_ins[b"TT"] > 5
+    # values are [cADf, cADr, c2ADf, c2ADr, c2dADf, c2dADr]
+    assert b"TT" in key_ins and sum(key_ins[b"TT"][:2]) > 5
     dele = variants[2]
     key_del = res.fq.fam_indel.get((dele.pos + 1, int(Symbol.LINK_D2)), {})
-    assert key_del.get(2, 0) > 5
+    assert sum(key_del.get(2, [0] * 6)[:2]) > 5
 
 
 def test_no_umi_means_no_cdp2(result):

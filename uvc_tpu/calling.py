@@ -531,16 +531,27 @@ def assemble_records(ctx, refstring, region_offset, chrom, cfg,
         fmt["FT"] = "PASS"
         fmt["c2DP"] = int(F["CDP2"][p, s])
         fmt["c2AD"] = int(F["cDP2f"][p, s] + F["cDP2r"][p, s])
-        gk0 = F["gapSa"].get((p, s))
-        gseq = (gk0.decode() if isinstance(gk0, bytes)
-                else (str(gk0) if gk0 is not None else ""))
-        fmt["gapSeq"] = gseq
-        fmt["gapNf"] = 1 if gseq else 0
-        fmt["gapNr"] = 1 if gseq else 0
-        fmt["gapbAD1"] = int(F["bDPa"][p, s])
-        fmt["gapcAD1"] = int(F["cDP0a"][p, s])
-        fmt["gc2AD"] = 0   # SSCS-level exact-indel AD table not tracked
-        fmt["gc2dAD"] = 0  # duplex-level exact-indel AD table not tracked
+        # per-strand exact-indel tables (fill_by_indel_info,
+        # instcode.hpp:12-90): Number=D vectors, strand-0 entries then
+        # strand-1; "." when empty
+        tab = F["gapTab"].get((p, s))
+        if tab is not None:
+            nf, nr, seqs, bads, cads, c2ads, c2dads = tab
+            fmt["gapNf"] = str(nf) if nf or res.bq.bdp[p, s, 0] > 0 else "."
+            fmt["gapNr"] = str(nr) if nr or res.bq.bdp[p, s, 1] > 0 else "."
+            fmt["gapSeq"] = ",".join(sq.decode() for sq in seqs)
+            fmt["gapbAD1"] = ",".join(str(x) for x in bads)
+            fmt["gapcAD1"] = ",".join(str(x) for x in cads)
+            fmt["gc2AD"] = ",".join(str(x) for x in c2ads)
+            fmt["gc2dAD"] = ",".join(str(x) for x in c2dads)
+        else:
+            fmt["gapNf"] = "."
+            fmt["gapNr"] = "."
+            fmt["gapSeq"] = "."
+            fmt["gapbAD1"] = "."
+            fmt["gapcAD1"] = "."
+            fmt["gc2AD"] = "."
+            fmt["gc2dAD"] = "."
         fmt["note"] = ""
         fmt["bHap"] = _phase_string(res.bq.mutforms, p, s, region_offset)
         fmt["cHap"] = _phase_string(res.fq.mutforms_fq, p, s, region_offset)

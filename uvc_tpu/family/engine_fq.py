@@ -173,9 +173,11 @@ def run_fq(frag_cons, frag_gap_info, famgrp, ref_syms, sscs_table, thres,
     if fam_good.any():
         _c2_bias(c2info, s1, fam_good, famgrp, fc, thres, baq, baq2, P, cfg)
 
-    # family exact indels at cDP1 level (majority fragment key per family)
-    fam_indel = _family_indels(frag_gap_info, fc, fam_of_frag, P,
-                               famgrp.frag_of_read, batch)
+    # tier-2-good (fam,pos,sym) set for the c2AD exact-indel table
+    # (indel consensus symbols only)
+    _ind = fam_good & (s1.con_sym >= 7) & (s1.con_sym <= 12)
+    good_set = set(zip(s1.group[_ind].tolist(), s1.pos[_ind].tolist(),
+                       s1.con_sym[_ind].tolist()))
 
     # ---- sweep 2: fammmm consensus -> cDP1 + confam quality buckets
     rescue_add = 0 if cfg.vcf_tumor_fname in (".", "") else 4
@@ -261,8 +263,15 @@ def run_fq(frag_cons, frag_gap_info, famgrp, ref_syms, sscs_table, thres,
     # ---- duplex (strand-paired families with duplexflag 0x2)
     ddp1 = np.zeros((P, NS), dtype=np.int64)
     ddp2 = np.zeros((P, NS), dtype=np.int64)
+    cdpd_set, dscs_set = frozenset(), frozenset()
     if np.any((fam_dflag & 0x2) != 0):
-        _duplex(ddp1, ddp2, cdpD, s1, famgrp, P, cfg)
+        cdpd_set, dscs_set = _duplex(ddp1, ddp2, cdpD, s1, famgrp, P, cfg)
+
+    # family exact-indel tables (cDP1 / tier-2 / duplex levels)
+    fam_indel = _family_indels(frag_gap_info, fc, fam_of_frag, P,
+                               famgrp.frag_of_read, batch, fam_strand,
+                               good_set, cdpd_set, famgrp.duplex_pair,
+                               dscs_set)
 
     # ---- final: per-strand IID qualities from the family buckets
     vq_cIAQ = np.zeros((P, NS, 2), dtype=np.int64)
@@ -403,11 +412,19 @@ def _c2_bias(c2info, s1, fam_good, famgrp, fc, thres, baq, baq2, P, cfg):
     fast_add_at(c2info["c2BQ2"], (pos, sym), 1)
 
 
-def _family_indels(frag_gap_info, fc, fam_of_frag, P, frag_of_read, batch):
-    """Family-level exact-indel majority (cDP1-level maps): per family with
-    an indel consensus, the majority exact inserted sequence / deletion
-    length among its fragments' gap events (posToIndelToCount_updateByConsensus
-    semantics)."""
+def _family_indels(frag_gap_info, fc, fam_of_frag, P, frag_of_read, batch,
+                   fam_strand, good_set=frozenset(), cdpd_set=frozenset(),
+                   duplex_pair=None, dscs_set=frozenset()):
+    """Family-level exact-indel tables: per family with an indel consensus,
+    the majority exact inserted sequence / deletion length among its
+    fragments' gap events (posToIndelToCount_updateByConsensus).
+
+    Returns {(pos,sym): {key: [cADf, cADr, c2ADf, c2ADr, c2dADf, c2dADr]}}:
+    cAD = cDP1-level per strand; c2AD adds only tier-2-good families
+    (FAM_cDP2 gate, main.hpp:3195-3206); c2dAD adds single-strand
+    duplex-flagged families passing tier 1 (FAM_cDPD gate,
+    main.hpp:3458-3470) plus both strands of each dDP2-agreeing duplex
+    molecule (main.hpp:3531-3546)."""
     fam_indel = {}
     if frag_gap_info is None:
         return fam_indel
@@ -417,6 +434,7 @@ def _family_indels(frag_gap_info, fc, fam_of_frag, P, frag_of_read, batch):
     soff = batch.seq_off
     # per (fam, pos, sym): counts of exact keys across fragment gap events
     counts = {}
+    mol_counts = {}
     for j in range(len(gk_read)):
         fam = int(fam_of_frag[frag_of_read[int(gk_read[j])]])
         if gk_del[j]:
@@ -425,13 +443,33 @@ def _family_indels(frag_gap_info, fc, fam_of_frag, P, frag_of_read, batch):
             s = soff[int(gk_read[j])] + int(gk_qpos[j])
             key = bytes(b"ACGTN"[min(int(c), 4)]
                         for c in batch.seq[s:s + int(gk_len[j])])
-        d = counts.setdefault((fam, int(gk_pos[j]), int(gsym[j])), {})
+        pos, sym = int(gk_pos[j]), int(gsym[j])
+        d = counts.setdefault((fam, pos, sym), {})
         d[key] = d.get(key, 0) + 1
-    # majority per family -> +1 at the (pos, sym) global map
+        if duplex_pair is not None:
+            mol = int(duplex_pair[fam])
+            if mol >= 0 and (mol, pos, sym) in dscs_set:
+                dm = mol_counts.setdefault((mol, pos, sym), {})
+                dm[key] = dm.get(key, 0) + 1
+
+    def _bump(pos, sym, key, idx):
+        g = fam_indel.setdefault((pos, sym), {})
+        g.setdefault(key, [0, 0, 0, 0, 0, 0])[idx] += 1
+
+    # majority per family -> per-strand counts at the (pos, sym) map
     for (fam, pos, sym), d in counts.items():
         key = max(sorted(d.items()), key=lambda kv: kv[1])[0]
-        g = fam_indel.setdefault((pos, sym), {})
-        g[key] = g.get(key, 0) + 1
+        strand = int(fam_strand[fam])
+        _bump(pos, sym, key, strand)
+        if (fam, pos, sym) in good_set:
+            _bump(pos, sym, key, 2 + strand)
+        if (fam, pos, sym) in cdpd_set:
+            _bump(pos, sym, key, 4 + strand)
+    # dDP2-agreeing duplex molecules count into BOTH strand c2dAD maps
+    for (mol, pos, sym), d in mol_counts.items():
+        key = max(sorted(d.items()), key=lambda kv: kv[1])[0]
+        _bump(pos, sym, key, 4)
+        _bump(pos, sym, key, 5)
     return fam_indel
 
 
@@ -480,6 +518,7 @@ def _duplex(ddp1, ddp2, cdpD, s1, famgrp, P, cfg):
     mol = famgrp.duplex_pair[s1.group]
     strand = famgrp.fam_strand[s1.group]
     dm = (mol >= 0) & is_dscs_mol[np.maximum(mol, 0)]
+    dscs_set = frozenset()
     if dm.any():
         _, dc = cns.reduce_and_consensus(
             mol[dm], s1.pos[dm], s1.con_sym[dm],
@@ -488,12 +527,20 @@ def _duplex(ddp1, ddp2, cdpD, s1, famgrp, P, cfg):
         fast_add_at(ddp1, (dc.pos, dc.con_sym), 1)
         two = dc.tot > 1
         fast_add_at(ddp2, (dc.pos[two], dc.con_sym[two]), 1)
+        ind2 = two & (dc.con_sym >= 7) & (dc.con_sym <= 12)
+        dscs_set = frozenset(zip(dc.group[ind2].tolist(),
+                                 dc.pos[ind2].tolist(),
+                                 dc.con_sym[ind2].tolist()))
     # single-strand duplex-flagged families -> cDPD
     sm = (mol >= 0) & ~is_dscs_mol[np.maximum(mol, 0)] \
         & (s1.tot >= cfg.fam_thres_dup1add) \
         & (s1.con_cnt * 100 >= s1.tot * cfg.fam_thres_dup1perc)
     if sm.any():
         fast_add_at(cdpD, (s1.pos[sm], s1.con_sym[sm], strand[sm]), 1)
+    smi = sm & (s1.con_sym >= 7) & (s1.con_sym <= 12)
+    cdpd_set = frozenset(zip(s1.group[smi].tolist(), s1.pos[smi].tolist(),
+                             s1.con_sym[smi].tolist()))
+    return cdpd_set, dscs_set
 
 
 def _iid_scan(max_qual, dec_qual, hist, totDP):

@@ -149,21 +149,31 @@ def build(res, cfg, minABQ_snv, minABQ_indel):
     F["ctx_repeatnum"] = tr.ctx_repeatnum
     F["ctx_unitlen"] = tr.ctx_unitlen
 
-    # ---- per-allele exact-indel majority (bDPa / cDP0a / gapSa)
-    F["bDPa"], F["cDP0a"], F["gapLen"], F["gapSa"] = _indel_majority_arrays(
-        res, P)
+    # ---- per-allele exact-indel majority (bDPa / cDP0a / gapSa) and the
+    # per-strand gap FORMAT tables
+    (F["bDPa"], F["cDP0a"], F["gapLen"], F["gapSa"],
+     F["gapTab"]) = _indel_majority_arrays(res, P, F["ref_syms"])
 
     _fill_vq_fmts(F, res, cfg, minABQ_snv, minABQ_indel)
     return F
 
 
-def _indel_majority_arrays(res, P):
-    """Per-(pos,sym): majority exact-indel allele depths and length.
+def _indel_majority_arrays(res, P, ref_syms):
+    """Per-(pos,sym): majority exact-indel allele depths/length, plus the
+    full per-strand gap FORMAT tables.
 
     For non-indel symbols: bDPa = bDP, cDP0a = max(cDP1,cDP12) summed over
     strands (the "cdepth" of main.cpp:812-816); gapLen = 0.
-    For indel symbols: the majority exact allele's (b-depth, c-depth, len),
-    per indel_get_majority (main.hpp:5406-5455, top entry).
+    For indel symbols: the majority exact allele per indel_get_majority
+    (main.hpp:5406-5455): per-string (bAD, cAD) summed over strands,
+    strings with bAD >= (max_bAD+3)/4 kept, ranked by bAD^2 * len(seq)
+    descending; the top entry fills bDPa/cDP0a/gapLen/gapSa.
+
+    gap_tab[(pos,sym)] = (gapNf, gapNr, seqs, bADs, cADs, c2ADs, c2dADs):
+    the fill_by_indel_info tables (instcode.hpp:12-90), strand 0 entries
+    followed by strand 1, each strand sorted by
+    (cAD, bAD, c2AD, c2dAD, seq) descending and emitted only when that
+    strand has FRAG_bDP > 0 (main.cpp:855-864).
     """
     bdp = res.bq.bdp.sum(axis=2)
     cdepth = (np.maximum(res.fq.cdp1[:, :, 0], res.fq.cdp12[:, :, 0])
@@ -172,24 +182,68 @@ def _indel_majority_arrays(res, P):
     cDP0a = cdepth.copy()
     gapLen = np.zeros((P, NS), dtype=np.int64)
     gapSa = {}
-    # frag-level exact counts give bAD; fam-level give cAD
+    gap_tab = {}
+    refbytes = b"ACGTN"
+    # frag-level exact counts give bAD per strand; fam-level give the
+    # cAD / c2AD / c2dAD per-strand sextuple
     for (pos, sym), d in res.bq.frag_indel.items():
-        # resolve ins placeholders into sequences (already materialized keys)
-        items = sorted(d.items(), key=lambda kv: (kv[1],), reverse=True)
-        key, bad = items[0][0], items[0][1]
-        cad = 0
         camap = res.fq.fam_indel.get((pos, sym), {})
-        cad = camap.get(key, 0)
-        if isinstance(key, tuple):  # unresolved ins placeholder
+
+        def seq_of(key):
+            if isinstance(key, bytes):
+                return key
+            if isinstance(key, str):
+                return key.encode()
+            # deletion: length -> deleted reference bases at pos
+            dl = int(key)
+            return bytes(refbytes[min(int(c), 4)]
+                         for c in ref_syms[pos:pos + dl])
+
+        # per-strand sorted tables (fill_by_indel_info)
+        nf = nr = 0
+        seqs, bads, cads, c2ads, c2dads = [], [], [], [], []
+        for strand in (0, 1):
+            if res.bq.bdp[pos, sym, strand] <= 0:
+                continue
+            rows = []
+            for key, bcnt in d.items():
+                if isinstance(key, tuple) or bcnt[strand] <= 0:
+                    continue
+                fam6 = camap.get(key, (0, 0, 0, 0, 0, 0))
+                rows.append((fam6[strand], bcnt[strand], fam6[2 + strand],
+                             fam6[4 + strand], seq_of(key)))
+            rows.sort(reverse=True)
+            if strand == 0:
+                nf = len(rows)
+            else:
+                nr = len(rows)
+            for cad, bad, c2ad, c2dad, seq in rows:
+                seqs.append(seq)
+                bads.append(bad)
+                cads.append(cad)
+                c2ads.append(c2ad)
+                c2dads.append(c2dad)
+        if seqs:
+            gap_tab[(pos, sym)] = (nf, nr, seqs, bads, cads, c2ads, c2dads)
+
+        # indel_get_majority over the emitted table entries
+        agg = {}
+        for i, seq in enumerate(seqs):
+            a = agg.setdefault(seq, [0, 0])
+            a[0] += bads[i]
+            a[1] += cads[i]
+        if not agg:
             continue
+        max_bad = max(a[0] for a in agg.values())
+        cand = [((a[0] * a[0]) * len(seq), a[0], a[1], seq)
+                for seq, a in agg.items() if a[0] >= (max_bad + 3) // 4]
+        cand.sort(key=lambda t: (t[0], t[3]), reverse=True)
+        _, bad, cad, key = cand[0]
         bDPa[pos, sym] = bad
         cDP0a[pos, sym] = cad
-        if isinstance(key, (bytes, str)):
-            gapLen[pos, sym] = len(key)
-            gapSa[(pos, sym)] = key if isinstance(key, bytes) else key.encode()
-        else:
-            gapLen[pos, sym] = int(key)
-    return bDPa, cDP0a, gapLen, gapSa
+        gapLen[pos, sym] = len(key)
+        gapSa[(pos, sym)] = key
+    return bDPa, cDP0a, gapLen, gapSa, gap_tab
 
 
 def _fill_vq_fmts(F, res, cfg, minABQ_snv, minABQ_indel):

@@ -13,8 +13,8 @@ vectorized passes over the flat event table:
 
 All arrays are region-relative ([P] or [P,14]), int64 numpy; interval adds
 use difference arrays (including quadratic ramps for the pow2len counters),
-point adds use np.add.at. The Illumina path is implemented; the IonTorrent
-(TIsProton) branches are TODO markers for a later round.
+point adds use np.add.at. Both the Illumina and the IonTorrent (TIsProton)
+incvalue branches are implemented (is_proton selects them).
 """
 
 from dataclasses import dataclass, field
@@ -537,8 +537,8 @@ def _dist_to_interfering(table, tracks, thres, prev, nxt, rpos, off, cfg):
 def compute_event_values(table, batch, ref_syms, tracks, baq, baq2,
                          prep, thres, off, P, cfg, dflag,
                          is_proton=False):
-    """Compute incvalues for all event kinds (main.hpp:1877-2257, Illumina
-    path; TODO TIsProton branches) and assemble the concatenated event set."""
+    """Compute incvalues for all event kinds (main.hpp:1877-2257; both the
+    Illumina and TIsProton branches) and assemble the concatenated events."""
     r = table.reads
     b = table.bases
     g = table.gaps
@@ -1003,9 +1003,11 @@ def pass_c_scatter(allev: EventValues, table, baq, baq2, thres: SegThres,
 
 
 def _pass_d_frag_indel(gap_info, frag_of_read, g_frag, g_pos, g_st,
-                       con_sym, batch):
+                       con_sym, batch, frag_strand=None):
     """Exact indel consensus per fragment (first max-val gap event of the
-    fragment matching the winning (pos, sym))."""
+    fragment matching the winning (pos, sym)).  Counts per strand when
+    frag_strand is given: {(pos,sym): {key: [fwd, rev]}} (the reference's
+    per-strand PosToIseqToData/PosToDlenToData maps)."""
     frag_indel = {}
     gk_read, gk_pos, gsym, gk_len, gk_del, gk_qpos, g_val = gap_info
     if len(gk_read):
@@ -1031,7 +1033,9 @@ def _pass_d_frag_indel(gap_info, frag_of_read, g_frag, g_pos, g_st,
             else:
                 ik = ("ins", int(gk_read[j]), int(gk_qpos[j]), int(gk_len[j]))
             d = frag_indel.setdefault((p_, s_), {})
-            d[ik] = d.get(ik, 0) + 1
+            strand = int(frag_strand[fr]) if frag_strand is not None else 0
+            cnts = d.setdefault(ik, [0, 0])
+            cnts[strand] += 1
     return frag_indel
 
 
@@ -1101,7 +1105,8 @@ def pass_d_fragments(allev: EventValues, gap_info, table, ref_syms,
             gc, bg, aDP4, ref_syms, frag_strand, normMQ, P, n_frags,
             cfg.bias_thres_highBQ, cfg.syserr_mut_region_n_bases)
         frag_indel = _pass_d_frag_indel(gap_info, frag_of_read, g_frag,
-                                        g_pos, g_st, con_sym, batch)
+                                        g_pos, g_st, con_sym, batch,
+                                        frag_strand)
         mutforms = _pass_d_mutforms(g_frag, g_pos, g_st, con_sym, is_mut,
                                     frag_strand)
         return bdp, bta, btb, hist, vq_bMQ, frag_indel, mutforms
@@ -1123,7 +1128,7 @@ def pass_d_fragments(allev: EventValues, gap_info, table, ref_syms,
     fast_add_at(vq_bMQ, (g_pos, con_sym), normMQ[g_frag] ** 2 // SQR_QUAL_DIV)
 
     frag_indel = _pass_d_frag_indel(gap_info, frag_of_read, g_frag, g_pos,
-                                    g_st, con_sym, batch)
+                                    g_st, con_sym, batch, frag_strand)
 
     # mutation-proximity sweep (bTA/bTB) + phase strings
     refsym_at = ref_syms  # [P]

@@ -210,9 +210,13 @@ def generate_header(cmdline, contigs, sample_name, cfg=None,
             num, typ = 2, "Integer"
         elif fid in ARRAY_TAGS or fid in ("nNFA", "nAFA", "nBCFA"):
             num, typ = ".", "Integer"
-        elif fid in ("GQ", "c2DP", "c2AD", "gapNf", "gapNr",
-                     "gapbAD1", "gapcAD1", "gc2AD", "gc2dAD"):
+        elif fid in ("GQ", "c2DP", "c2AD"):
             num, typ = 1, "Integer"
+        elif fid in ("gapNf", "gapNr", "gapbAD1", "gapcAD1", "gc2AD",
+                     "gc2dAD"):
+            num, typ = ".", "Integer"   # Number=D in the reference schema
+        elif fid == "gapSeq":
+            num, typ = ".", "String"
         elif fid in ("ALRPxT",):
             num, typ = 2, "Integer"
         elif fid in ("ALRIT", "ALRIt", "ALRPt"):
