@@ -260,3 +260,33 @@ def test_model_stage_batched_parity(tmp_path):
                 assert a["F"][key] == b["F"][key]
                 continue
             cmp(a["F"][key], b["F"][key], f"F.{key}")
+
+
+def test_multiallele_exact_indels(tmp_path):
+    """Two strong distinct insertion sequences at one position get their
+    own VCF records (indel_get_majority multi-entry, main.cpp:883-905)."""
+    import numpy as np
+    from uvc_tpu import calling
+    from uvc_tpu.config import UVCConfig
+    from uvc_tpu.constants import CHAR_TO_SYMBOL
+    from uvc_tpu.io import bam, simulate
+
+    d = str(tmp_path)
+    ref = simulate.random_ref(3000, 11)
+    variants = [simulate.Variant(1500, "+CT", 0.35),
+                simulate.Variant(1500, "+GA", 0.35)]
+    bam_path = d + "/m.bam"
+    simulate.build_bam(bam_path, ref, depth=120, variants=variants, seed=3)
+    hdr, batch = bam.read_bam(bam_path)
+    cfg = UVCConfig()
+    cfg.central_readlen = 100
+    syms = CHAR_TO_SYMBOL[np.frombuffer(ref.encode(), np.uint8)]
+    recs, res, F = calling.call_variants(batch, syms, ref.encode(), 0,
+                                         "chr1", cfg)
+    ins_recs = [r for r in recs if r.vcfpos == 1501 and len(r.alt) == 3]
+    alts = {r.alt[1:] for r in ins_recs}
+    assert {"CT", "GA"} <= alts, (alts, [(r.vcfpos, r.ref, r.alt)
+                                         for r in recs])
+    # each record carries its own allele's exact-indel depths
+    by_alt = {r.alt[1:]: r for r in ins_recs}
+    assert by_alt["CT"].fmt["cVQSM"] != "" and by_alt["GA"].fmt["gapSeq"]

@@ -293,8 +293,9 @@ def model_stage_batched(ctxs, cfg, is_tumor_only=True):
 
 
 def assemble_records(ctx, refstring, region_offset, chrom, cfg,
-                     is_tumor_only=True):
-    """Phase C: per-candidate VariantRecord assembly from the model planes."""
+                     is_tumor_only=True, only_pair=None):
+    """Phase C: per-candidate VariantRecord assembly from the model planes.
+    only_pair restricts to one (pos, symbol) (extra-indel-allele reruns)."""
     F = ctx["F"]
     rescued = ctx["rescued"]
     res = ctx["res"]
@@ -313,6 +314,8 @@ def assemble_records(ctx, refstring, region_offset, chrom, cfg,
         work = [(int(p), int(s), None) for p, s in np.argwhere(cand)]
     else:
         work = [(p, s, tkis[0]) for (p, s), tkis in sorted(rescued.items())]
+    if only_pair is not None:
+        work = [(p, s, t) for (p, s, t) in work if (p, s) == only_pair]
 
     # consensus-allele ranking per (pos, symboltype) (main.cpp:959-1015)
     rank = {}
@@ -569,6 +572,35 @@ def assemble_records(ctx, refstring, region_offset, chrom, cfg,
             tumor_fmt=(tki.tumor_format_text if tki else ""),
             ref_fmt={k: int(F[k][p, ref_link])
                      for k in ("AD", "bAD", "bDPf", "bDPr")}))
+    # extra qualifying exact-indel alleles (indel_get_majority can return
+    # several strings, main.hpp:5406-5455 + main.cpp:883-905): rerun the
+    # model with that allele's bDPa/cDP0a/gapLen/gapSa substituted and emit
+    # its own record; only for the non-rescued path, like the reference
+    if only_pair is None and is_tumor_only:
+        for (p, s), entries in F.get("gapMaj", {}).items():
+            if len(entries) < 2 or not cand[p, s]:
+                continue
+            for bad, cad2, key in entries[1:]:
+                F3 = dict(F)
+                arr = F["bDPa"].copy()
+                arr[p, s] = bad
+                F3["bDPa"] = arr
+                arr = F["cDP0a"].copy()
+                arr[p, s] = cad2
+                F3["cDP0a"] = arr
+                arr = F["gapLen"].copy()
+                arr[p, s] = len(key)
+                F3["gapLen"] = arr
+                gs = dict(F["gapSa"])
+                gs[(p, s)] = key
+                F3["gapSa"] = gs
+                model_stage(F3, ctx["cand"], cfg, is_tumor_only,
+                            ctx["tpfa_dpv"], ctx["tpfa_qual"])
+                ctx3 = dict(ctx)
+                ctx3["F"] = F3
+                records.extend(assemble_records(
+                    ctx3, refstring, region_offset, chrom, cfg,
+                    is_tumor_only=is_tumor_only, only_pair=(p, s)))
     records.sort(key=lambda r: (r.vcfpos, r.symbol))
     return records
 

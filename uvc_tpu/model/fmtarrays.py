@@ -151,8 +151,8 @@ def build(res, cfg, minABQ_snv, minABQ_indel):
 
     # ---- per-allele exact-indel majority (bDPa / cDP0a / gapSa) and the
     # per-strand gap FORMAT tables
-    (F["bDPa"], F["cDP0a"], F["gapLen"], F["gapSa"],
-     F["gapTab"]) = _indel_majority_arrays(res, P, F["ref_syms"])
+    (F["bDPa"], F["cDP0a"], F["gapLen"], F["gapSa"], F["gapTab"],
+     F["gapMaj"]) = _indel_majority_arrays(res, P, F["ref_syms"])
 
     _fill_vq_fmts(F, res, cfg, minABQ_snv, minABQ_indel)
     return F
@@ -183,6 +183,7 @@ def _indel_majority_arrays(res, P, ref_syms):
     gapLen = np.zeros((P, NS), dtype=np.int64)
     gapSa = {}
     gap_tab = {}
+    gap_maj = {}
     refbytes = b"ACGTN"
     # frag-level exact counts give bAD per strand; fam-level give the
     # cAD / c2AD / c2dAD per-strand sextuple
@@ -243,7 +244,9 @@ def _indel_majority_arrays(res, P, ref_syms):
         cDP0a[pos, sym] = cad
         gapLen[pos, sym] = len(key)
         gapSa[(pos, sym)] = key
-    return bDPa, cDP0a, gapLen, gapSa, gap_tab
+        if len(cand) > 1:   # extra qualifying exact alleles -> own records
+            gap_maj[(pos, sym)] = [(b, c, sq) for _, b, c, sq in cand]
+    return bDPa, cDP0a, gapLen, gapSa, gap_tab, gap_maj
 
 
 def _fill_vq_fmts(F, res, cfg, minABQ_snv, minABQ_indel):
