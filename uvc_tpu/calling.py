@@ -555,7 +555,20 @@ def assemble_records(ctx, refstring, region_offset, chrom, cfg,
             fmt["gapcAD1"] = "."
             fmt["gc2AD"] = "."
             fmt["gc2dAD"] = "."
-        fmt["note"] = ""
+        if cfg.should_add_note:
+            # --should-add-note diagnostics (reference embeds its decision
+            # breadcrumbs in the note field; we embed the main quality
+            # components and effective-depth reductions)
+            fmt["note"] = (
+                f"tlodq/{int(tlodq[p, s])}/nlodq/{nlodq_ss}/"
+                f"biaq/{int(F['bIAQ'][p, s])}/cplq1/{int(F['cPLQ1'][p, s])}/"
+                f"bmqq/{int(F['bMQQ'][p, s])}/abqq/{int(F['aBQQ'][p, s])}/"
+                f"dp1vwx/{int(F['cDP1v'][p, s])},{int(F['cDP1w'][p, s])},"
+                f"{int(F['cDP1x'][p, s])}/"
+                f"dp2vwx/{int(F['cDP2v'][p, s])},{int(F['cDP2w'][p, s])},"
+                f"{int(F['cDP2x'][p, s])}/")
+        else:
+            fmt["note"] = ""
         fmt["bHap"] = _phase_string(res.bq.mutforms, p, s, region_offset)
         fmt["cHap"] = _phase_string(res.fq.mutforms_fq, p, s, region_offset)
         fmt["c2Hap"] = _phase_string(res.fq.mutforms_f2q, p, s, region_offset)

@@ -106,6 +106,27 @@ _WORK_CTX = None
 MODEL_BATCH_REGIONS = 8
 
 
+def _dump_debug_locus(rctx, cfg):
+    """--debug-tid/--debug-pos locus tracing (CmdLineArgs.hpp:420-423,
+    UVC_IN_DEBUG_MODE prints, e.g. main.hpp:2692-2706): dump every model
+    plane at the requested position for all 14 symbols to stderr."""
+    import numpy as np
+    F = rctx["F"]
+    p = cfg.debug_pos - rctx["_plan"].ext_beg
+    print(f"DEBUG locus tid={cfg.debug_tid} pos={cfg.debug_pos} "
+          f"(region-relative {p})", file=sys.stderr)
+    for k in sorted(F):
+        v = F[k]
+        if isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] == F["P"]:
+            row = v[p]
+            print(f"  {k} = {np.asarray(row).tolist()}", file=sys.stderr)
+    for k in ("gapSa", "gapTab", "gapMaj"):
+        d = F.get(k) or {}
+        hits = {kk: vv for kk, vv in d.items() if kk[0] == p}
+        if hits:
+            print(f"  {k} = {hits}", file=sys.stderr)
+
+
 def _process_region_chunk(idxs):
     """Process a chunk of region plans; the per-column quality model runs
     ONCE over the concatenated chunk (calling.model_stage_batched — exact
@@ -138,7 +159,18 @@ def _process_region_chunk(idxs):
         rctx["_idx"] = i
         prepared.append(rctx)
     calling.model_stage_batched(prepared, cfg, is_tumor_only=not is_normal)
+    from ..utils import logging as ulog
     out = []
+    for rctx in prepared:
+        plan_, i_ = rctx["_plan"], rctx["_idx"]
+        if ulog.should_log_region(i_, len(ctx["plans"]), cfg.always_log):
+            ulog.log(ulog.INFO,
+                     f"region {i_ + 1}/{len(ctx['plans'])} "
+                     f"{rctx['_chrom']}:{plan_.beg + 1}-{plan_.end} "
+                     f"n_reads={rctx['_sub'].n} P={rctx['F']['P']}")
+        if (cfg.debug_tid >= 0 and cfg.debug_tid == plan_.tid
+                and plan_.ext_beg <= cfg.debug_pos < plan_.ext_end):
+            _dump_debug_locus(rctx, cfg)
     for rctx in prepared:
         plan, chrom = rctx["_plan"], rctx["_chrom"]
         refstring, i = rctx["_refstring"], rctx["_idx"]
