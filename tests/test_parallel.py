@@ -110,3 +110,33 @@ def test_work_unit_split_preserves_calls(tmp_path, monkeypatch):
     assert set(v[0] for v in whole) == set(v[0] for v in split)
     for p in (1501, 3991, 4011, 6501):
         assert p in {v[0] for v in split}
+
+
+def test_cli_distributed_single_host(tmp_path, monkeypatch):
+    """The UVC_TPU_COORDINATOR merge path produces the same VCF body as
+    the local writer path (single-host degenerate case)."""
+    import jax
+    from uvc_tpu.io import simulate
+    from uvc_tpu.cli import uvc1 as uvc1_cli
+
+    d = str(tmp_path)
+    ref = simulate.random_ref(4000, 9)
+    variants = [simulate.Variant(1200, f"{ref[1200]}>"
+                                 + ("A" if ref[1200] != "A" else "C"), 0.3)]
+    path = d + "/d.bam"
+    simulate.build_bam(path, ref, depth=60, variants=variants, seed=4)
+    fa = d + "/ref.fa"
+    open(fa, "w").write(">chr1\n" + ref + "\n")
+    out_local = d + "/local.vcf.gz"
+    assert uvc1_cli.run(["-f", fa, "-o", out_local, "-t", "1", path]) == 0
+    monkeypatch.setenv("UVC_TPU_COORDINATOR", "localhost:0")
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: None)
+    out_dist = d + "/dist.vcf.gz"
+    assert uvc1_cli.run(["-f", fa, "-o", out_dist, "-t", "1", path]) == 0
+
+    def body(p):
+        return [l for l in bgzf.read_file(p).decode().splitlines()
+                if not l.startswith("##")]
+
+    assert body(out_local) == body(out_dist)

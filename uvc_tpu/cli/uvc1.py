@@ -136,6 +136,8 @@ def _process_region_chunk(idxs):
     ctx = _WORK_CTX
     batch, header, fa, cfg = ctx["batch"], ctx["header"], ctx["fa"], ctx["cfg"]
     is_normal = ctx["is_normal_run"]
+    stage_t = {"prepare": 0.0, "model": 0.0, "emit": 0.0, "columns": 0}
+    t0 = time.time()
     prepared = []
     for i in idxs:
         plan = ctx["plans"][i]
@@ -158,7 +160,12 @@ def _process_region_chunk(idxs):
         rctx["_refstring"] = refstring
         rctx["_idx"] = i
         prepared.append(rctx)
+    stage_t["prepare"] = time.time() - t0
+    t0 = time.time()
     calling.model_stage_batched(prepared, cfg, is_tumor_only=not is_normal)
+    stage_t["model"] = time.time() - t0
+    stage_t["columns"] = sum(r["F"]["P"] for r in prepared)
+    t0 = time.time()
     from ..utils import logging as ulog
     out = []
     for rctx in prepared:
@@ -206,7 +213,8 @@ def _process_region_chunk(idxs):
                   for rec in kept]
         lines.sort(key=lambda t: (t[0], t[1]))
         out.append((len(kept), "".join(l + "\n" for _, _, l in lines)))
-    return out
+    stage_t["emit"] = time.time() - t0
+    return out, stage_t
 
 
 def check_file_exist(fname, ftype):
@@ -295,29 +303,62 @@ def run(argv=None):
         name2tid = header.name2tid()
         tki_all = vcf_reader.read_tumor_vcf(cfg.vcf_tumor_fname, name2tid)
 
-    out = vcf_writer.VcfWriter(cfg.vcf_out_pass_fname)
+    # multi-host scale-out (SURVEY.md §2 parallelism table): static
+    # read-balanced stripe of the deterministic global plan order per
+    # process; BGZF shard blocks gathered over the JAX collective and
+    # raw-concatenated by host 0 (BGZF members are independently
+    # decompressible, like the reference's per-chunk bgzip + concat,
+    # main.cpp:99-130,1541-1551)
+    dist_on = bool(os.environ.get("UVC_TPU_COORDINATOR"))
+    shard_lo, shard_hi = 0, len(plans)
+    if dist_on:
+        from ..parallel import distributed as dist
+        dist.initialize_if_requested()
+        _, shard_lo, shard_hi = dist.my_plans(plans)
+
     cmdline = " ".join(argv if argv is not None else sys.argv[1:])
-    out.write(vcf_writer.generate_header(
+    header_text = vcf_writer.generate_header(
         cmdline, list(zip(header.ref_names, header.ref_lens)),
         cfg.sample_name,
-        tumor_sample="TUMOR" if is_normal_run else None))
+        tumor_sample="TUMOR" if is_normal_run else None)
+    out = None
+    if not dist_on:
+        out = vcf_writer.VcfWriter(cfg.vcf_out_pass_fname)
+        out.write(header_text)
 
     work_ctx = dict(batch=batch, header=header, fa=fa, cfg=cfg,
                     plans=plans, is_normal_run=is_normal_run,
                     tki_all=tki_all)
-    n_workers = min(cfg.max_cpu_num, os.cpu_count() or 1, len(plans)) \
-        if len(plans) > 1 else 1
+    n_shard = shard_hi - shard_lo
+    n_workers = min(cfg.max_cpu_num, os.cpu_count() or 1, n_shard) \
+        if n_shard > 1 else 1
     n_records = 0
     n_reads = batch.n  # pad reads shared between units counted once
+    shard_texts = [] if dist_on else None
     # chunk plans for the batched model stage; chunking never changes the
     # output (model_stage_batched is exactly per-region equivalent), so
     # the size only trades batching gain against pool load balance:
     # aim for ~4 tasks per worker, capped at MODEL_BATCH_REGIONS
     n_workers_est = min(cfg.max_cpu_num, os.cpu_count() or 1) or 1
     csz = max(1, min(MODEL_BATCH_REGIONS,
-                     -(-len(plans) // (n_workers_est * 4))))
-    chunks = [list(range(lo, min(lo + csz, len(plans))))
-              for lo in range(0, len(plans), csz)]
+                     -(-n_shard // (n_workers_est * 4)))) if n_shard else 1
+    chunks = [list(range(lo, min(lo + csz, shard_hi)))
+              for lo in range(shard_lo, shard_hi, csz)]
+
+    def _emit(nrec, text):
+        nonlocal n_records
+        n_records += nrec
+        if dist_on:
+            shard_texts.append(text)
+        else:
+            out.write(text)
+
+    stage_totals = {"prepare": 0.0, "model": 0.0, "emit": 0.0, "columns": 0}
+
+    def _account(stage_t):
+        for k in stage_totals:
+            stage_totals[k] += stage_t[k]
+
     if n_workers > 1:
         # data-parallel region processing with ordered serial output,
         # mirroring the reference's dynamic thread pool + serial concat
@@ -327,17 +368,29 @@ def run(argv=None):
         _WORK_CTX = work_ctx
         ctx = mp.get_context("fork")
         with ctx.Pool(n_workers) as pool:
-            for results in pool.imap(_process_region_chunk, chunks):
+            for results, stage_t in pool.imap(_process_region_chunk, chunks):
+                _account(stage_t)
                 for nrec, text in results:
-                    out.write(text)
-                    n_records += nrec
+                    _emit(nrec, text)
     else:
         _WORK_CTX = work_ctx
         for chunk in chunks:
-            for nrec, text in _process_region_chunk(chunk):
-                out.write(text)
-                n_records += nrec
-    out.close()
+            results, stage_t = _process_region_chunk(chunk)
+            _account(stage_t)
+            for nrec, text in results:
+                _emit(nrec, text)
+    if dist_on:
+        import jax
+        from ..io import bgzf as _bgzf
+        from ..parallel import distributed as dist
+        blob = _bgzf.compress("".join(shard_texts).encode()) \
+            if shard_texts else b""
+        blocks = dist.allgather_bytes(blob)
+        if jax.process_index() == 0:
+            dist.merge_vcf_shards(header_text, blocks,
+                                  cfg.vcf_out_pass_fname)
+    else:
+        out.close()
     if cfg.fam_consensus_out_fastq:
         # concatenate the per-region gzip members into the final three
         # files (gzip member concatenation is a valid gzip stream), in
@@ -354,8 +407,14 @@ def run(argv=None):
                             dst.write(src.read())
                         os.remove(part)
     dt = time.time() - t0
+    cols = stage_totals["columns"]
     print(f"uvc_tpu: {n_reads} reads, {len(plans)} regions, "
-          f"{n_records} records in {dt:.2f}s ({n_reads / max(dt, 1e-9):.0f} reads/s)",
+          f"{n_records} records in {dt:.2f}s "
+          f"({n_reads / max(dt, 1e-9):.0f} reads/s, "
+          f"{cols / max(dt, 1e-9):.0f} columns/s; cpu-s: "
+          f"prepare={stage_totals['prepare']:.2f} "
+          f"model={stage_totals['model']:.2f} "
+          f"emit={stage_totals['emit']:.2f})",
           file=sys.stderr)
     return 0
 
