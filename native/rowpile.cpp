@@ -1294,3 +1294,103 @@ int64_t rc2_run_fc(int64_t n, const int64_t *frag, const int64_t *pos,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// dp4_to_pcFA (main_conversion.hpp:798-849; numpy reference
+// uvc_tpu/model/dpv._dp4): the bias-engine primitive evaluated ~20 times
+// per region over [P,14] planes.  Split into three stages so the
+// transcendentals (log/exp) run through numpy -- C libm differs from
+// numpy's SIMD log/exp by 1 ulp on rare inputs, which would break
+// bit-parity with the python reference.  Intermediates persist in static
+// buffers between stages (single-threaded per worker process by design).
+
+namespace dp4 {
+static std::vector<double> vadf, vadp, fail_fa, pass_fa, ig;
+static std::vector<uint8_t> pass_ge;
+static int64_t g_n = 0;
+static int g_bidir = 0;
+}  // namespace dp4
+
+extern "C" {
+
+void dp4_stage1(int64_t n,
+                const double *adp, const double *adf,
+                const double *dpp, const double *dpf,
+                const double *osf,           // null when osf_disabled
+                const double *priorAD, const double *priorDP,
+                int64_t bidirectional,
+                const double *ad_avg, const double *dp_avg,  // may be null
+                double *log1_out, double *log2_out,          // log2 if bidir
+                double *nobias_out) {
+    dp4::g_n = n;
+    dp4::g_bidir = (int)bidirectional;
+    if ((int64_t)dp4::vadf.size() < n) {
+        dp4::vadf.resize(n); dp4::vadp.resize(n);
+        dp4::fail_fa.resize(n); dp4::pass_fa.resize(n);
+        dp4::ig.resize(n); dp4::pass_ge.resize(n);
+    }
+    for (int64_t i = 0; i < n; i++) {
+        double vadp = adp[i], vadf = adf[i], vdpp = dpp[i], vdpf = dpf[i];
+        if (osf != nullptr) {
+            vdpf *= osf[i];
+            vdpp *= osf[i];
+            vadf *= osf[i];
+            vadp *= osf[i];
+        }
+        vdpf += priorDP[i];
+        vdpp += priorDP[i];
+        vadf += priorAD[i];
+        vadp += priorAD[i];
+        nobias_out[i] = (vadf + vadp) / (vdpf + vdpp);
+        const bool pass_ge = (vadp / vdpp) >= (vadf / vdpf);
+        dp4::pass_ge[i] = pass_ge ? 1 : 0;
+        if (bidirectional && pass_ge) {
+            double t;
+            t = vdpp; vdpp = vdpf; vdpf = t;
+            t = vadp; vadp = vadf; vadf = t;
+        }
+        const double bdf = vdpf * 2 - vadf;
+        const double bdp = vdpp * 2 - vadp;
+        double apf = vadp / (vadp + vadf);
+        double bpf = bdp / (bdp + bdf);
+        if (!bidirectional && ad_avg != nullptr
+                && ad_avg[i] >= 0 && dp_avg[i] >= 0) {
+            apf = ad_avg[i] / (ad_avg[i] + dp_avg[i] * 0.9);
+            bpf = 1.0 - apf;
+        }
+        log1_out[i] = (1.0 - apf) / (1.0 - bpf);
+        if (bidirectional) log2_out[i] = apf / bpf;
+        dp4::vadf[i] = vadf;
+        dp4::vadp[i] = vadp;
+        dp4::fail_fa[i] = vadf / vdpf;
+        dp4::pass_fa[i] = vadp / vdpp;
+    }
+}
+
+void dp4_stage2(const double *l1, const double *l2, const double *n_nats,
+                double pl_exp, double *exparg_out) {
+    const int64_t n = dp4::g_n;
+    for (int64_t i = 0; i < n; i++) {
+        double ig = dp4::vadf[i] * l1[i];
+        if (dp4::g_bidir) ig += dp4::vadp[i] * l2[i];
+        dp4::ig[i] = ig;
+        exparg_out[i] = (n_nats[i] - ig) / pl_exp;
+    }
+}
+
+void dp4_stage3(const double *e, const double *n_nats, double *pc_out) {
+    const int64_t n = dp4::g_n;
+    for (int64_t i = 0; i < n; i++) {
+        const double fail_fa = dp4::fail_fa[i];
+        const double pass_fa = dp4::pass_fa[i];
+        const double grown = fail_fa * e[i];
+        // np.maximum NaN propagation: NaN if either operand is NaN
+        const double shrunk = std::isnan(pass_fa) ? pass_fa
+            : (pass_fa > grown ? pass_fa : grown);
+        double pc = dp4::ig[i] <= n_nats[i] ? fail_fa : shrunk;
+        if (!dp4::g_bidir && dp4::pass_ge[i]) pc = pass_fa;
+        pc_out[i] = pc;
+    }
+}
+
+}  // extern "C"

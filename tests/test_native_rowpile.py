@@ -277,3 +277,36 @@ def test_pass_a_parity(tmp_path, monkeypatch):
         monkeypatch.setattr(native_rowpile, "_LIB", lib)
     for nm in prep_py.names:
         assert np.array_equal(getattr(prep_nat, nm), getattr(prep_py, nm)), nm
+
+
+@pytest.mark.skipif(not native_rowpile.available(),
+                    reason="native rowpile.so not built")
+def test_dp4_native_parity():
+    """Native dp4_kernel matches the numpy _dp4 bit for bit (both
+    variants, with and without the interpolating averages)."""
+    from uvc_tpu.model import dpv
+    rng = np.random.default_rng(13)
+    shape = (600, 14)
+    adp = rng.integers(0, 60, shape).astype(np.float64)
+    adf = rng.integers(0, 60, shape).astype(np.float64)
+    dpp = adp + rng.integers(0, 100, shape)
+    dpf = adf + rng.integers(0, 100, shape)
+    osf = rng.random(shape) * 2
+    nn = rng.random(shape) * 5
+    ad_avg = np.where(rng.random(shape) < 0.5, rng.random(shape) * 40, -1.0)
+    dp_avg = np.abs(ad_avg) + rng.random(shape) * 40
+    lib = native_rowpile._LIB
+    for kwargs in (
+            dict(bidirectional=False),
+            dict(bidirectional=True),
+            dict(bidirectional=False, ad_avg=ad_avg, dp_avg=dp_avg),
+            dict(bidirectional=False, osf_disabled=True),
+            dict(priorAD=0.25, priorDP=2.0, bidirectional=True)):
+        pc_n, nb_n = dpv._dp4(osf, adp, adf, dpp, dpf, 3.0, nn, **kwargs)
+        native_rowpile._LIB = None
+        try:
+            pc_p, nb_p = dpv._dp4(osf, adp, adf, dpp, dpf, 3.0, nn, **kwargs)
+        finally:
+            native_rowpile._LIB = lib
+        assert np.array_equal(pc_n, pc_p, equal_nan=True), kwargs
+        assert np.array_equal(nb_n, nb_p, equal_nan=True), kwargs

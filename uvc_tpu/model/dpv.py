@@ -27,6 +27,15 @@ DBLFLT_EPS = 1.1920928955078125e-07
 def _dp4(osf, adp, adf, dpp, dpf, pl_exp, n_nats, ad_avg=None, dp_avg=None,
          priorAD=0.5, priorDP=1.0, bidirectional=False, osf_disabled=False):
     """numpy float64 dp4_to_pcFA (same semantics as ops.math.dp4_to_pcFA)."""
+    shape = np.broadcast_shapes(
+        np.shape(adp), np.shape(adf), np.shape(dpp), np.shape(dpf))
+    if int(np.prod(shape)) > 4096:
+        from ..ops import native_rowpile as _nr
+        nat = _nr.dp4_native(adp, adf, dpp, dpf, osf, pl_exp, n_nats,
+                             ad_avg, dp_avg, priorAD, priorDP,
+                             bidirectional, osf_disabled, shape)
+        if nat is not None:
+            return nat
     adp = np.asarray(adp, np.float64)
     adf = np.asarray(adf, np.float64)
     dpp = np.asarray(dpp, np.float64)

@@ -340,3 +340,54 @@ def reduce_consensus2_fc(frag, pos, sym, con_cnt, tot, st, fam_of_frag,
     lib.rc2_fetch_consensus2(*(a.ctypes.data_as(ctypes.c_void_p)
                                for a in cons2))
     return uniq, cons1, cons2
+
+
+def dp4_native(adp, adf, dpp, dpf, osf, pl_exp, n_nats, ad_avg, dp_avg,
+               priorAD, priorDP, bidirectional, osf_disabled, shape):
+    """Native dp4_to_pcFA over pre-broadcast float64 operands; the log/exp
+    transcendentals run through numpy so results are bit-identical to the
+    python reference. Returns (pc, nobias) shaped `shape`, or None."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "dp4_stage1"):
+        return None
+    n = 1
+    for d in shape:
+        n *= d
+
+    def bc(a):
+        return np.ascontiguousarray(
+            np.broadcast_to(np.asarray(a, np.float64), shape)).reshape(-1)
+
+    adp = bc(adp)
+    adf = bc(adf)
+    dpp = bc(dpp)
+    dpf = bc(dpf)
+    nn = bc(n_nats)
+    osf_arr = None if osf_disabled else bc(osf)
+    ad_arr = None if ad_avg is None else bc(ad_avg)
+    dp_arr = None if dp_avg is None else bc(dp_avg)
+    pad = bc(priorAD)
+    pdp = bc(priorDP)
+    la1 = np.empty(n, dtype=np.float64)
+    la2 = np.empty(n, dtype=np.float64) if bidirectional else None
+    nobias = np.empty(n, dtype=np.float64)
+    exparg = np.empty(n, dtype=np.float64)
+    pc = np.empty(n, dtype=np.float64)
+
+    def cp(a):
+        return (a.ctypes.data_as(ctypes.c_void_p) if a is not None
+                else ctypes.c_void_p(0))
+
+    lib.dp4_stage1(
+        ctypes.c_int64(n), cp(adp), cp(adf), cp(dpp), cp(dpf), cp(osf_arr),
+        cp(pad), cp(pdp),
+        ctypes.c_int64(1 if bidirectional else 0), cp(ad_arr), cp(dp_arr),
+        cp(la1), cp(la2), cp(nobias))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        l1 = np.log(la1)
+        l2 = np.log(la2) if bidirectional else None
+        lib.dp4_stage2(cp(l1), cp(l2), cp(nn),
+                       ctypes.c_double(float(pl_exp)), cp(exparg))
+        e = np.exp(exparg)
+    lib.dp4_stage3(cp(e), cp(nn), cp(pc))
+    return pc.reshape(shape), nobias.reshape(shape)
