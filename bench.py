@@ -46,12 +46,18 @@ def bench_host_pipeline():
     # high run-to-run variance)
     rc = uvc1_cli.run(["-f", fa, "-o", out_vcf, "-t", str(ncpu), path])
     assert rc == 0
+    # best-of up to 5 timed runs within a ~90s budget: the shared host
+    # shows multi-x wall-clock swings from neighbor load, so more samples
+    # in quiet windows beat a single fixed repetition count
     dt = float("inf")
-    for _ in range(3):
+    budget_t0 = time.time()
+    for rep in range(5):
         t0 = time.time()
         rc = uvc1_cli.run(["-f", fa, "-o", out_vcf, "-t", str(ncpu), path])
         assert rc == 0
         dt = min(dt, time.time() - t0)
+        if rep >= 1 and time.time() - budget_t0 > 90:
+            break
     body = bgzf.decompress(open(out_vcf, "rb").read()).decode()
     n_recs = sum(1 for l in body.splitlines()
                  if not l.startswith("#") and "ANY_VAR" in l)
