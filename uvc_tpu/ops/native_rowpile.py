@@ -28,8 +28,13 @@ def _load():
     if _TRIED:
         return _LIB
     _TRIED = True
+    # UVC_TPU_NATIVE_SUFFIX=".asan"/".ubsan"/".debug" selects a sanitizer
+    # build flavor (native/Makefile `make flavors`), mirroring the
+    # reference's sanitizer binaries (Makefile:29-53)
+    suffix = os.environ.get("UVC_TPU_NATIVE_SUFFIX", "")
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__)))), "bin", "rowpile.so")
+        os.path.dirname(os.path.abspath(__file__)))), "bin",
+        f"rowpile{suffix}.so")
     if not os.path.exists(path):
         return None
     lib = ctypes.CDLL(path)
