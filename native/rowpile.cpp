@@ -1025,6 +1025,16 @@ int fq_sweep2_kernel(
     const double INV_LOG10 = 10.0 / std::log(10.0);
     int pos_bits = 1;
     while (((int64_t)1 << pos_bits) < P) pos_bits++;
+    // nu < 0: read the sweep-1 unique table straight from the rc2 statics
+    // (bit-packed keys) instead of round-tripping the four arrays through
+    // numpy; requires the same P as the preceding rc2_run_fc call
+    const bool internal = nu < 0;
+    const int64_t *iug = internal ? rc::ug.data() : nullptr;
+    const int64_t *iuv = internal ? rc::uv.data() : nullptr;
+    if (internal) {
+        if (rc::g_pos_bits != pos_bits) return -1;
+        nu = (int64_t)rc::ug.size();
+    }
     int64_t tp = 0;
     for (int64_t i = 0; i < n2; i++) {
         const int64_t g = g2[i], pos = p2[i], st = st2[i];
@@ -1033,16 +1043,28 @@ int fq_sweep2_kernel(
         const int64_t idx = (pos * NS + con_sym) * 2 + strand;
         cdp1[idx] += 1;
         const uint64_t gp = ((uint64_t)g << pos_bits) | (uint64_t)pos;
-        while (tp < nu
-               && ((((uint64_t)fg[tp] << pos_bits) | (uint64_t)fp[tp]) < gp))
-            tp++;
         int64_t con_nfrags = 0, tot_nfrags = 0;
-        for (int64_t j = tp; j < nu; j++) {
-            if (((((uint64_t)fg[j] << pos_bits) | (uint64_t)fp[j]) != gp))
-                break;
-            const int64_t stj = fs[j] >= 6 ? 1 : 0;
-            if (stj == st) tot_nfrags += fcnt[j];
-            if (fs[j] == con_sym) con_nfrags = fcnt[j];
+        if (internal) {
+            while (tp < nu && ((uint64_t)iug[tp] >> 4) < gp) tp++;
+            for (int64_t j = tp; j < nu; j++) {
+                const uint64_t k = (uint64_t)iug[j];
+                if ((k >> 4) != gp) break;
+                const int64_t sj = (int64_t)(k & 15);
+                if ((sj >= 6 ? 1 : 0) == st) tot_nfrags += iuv[j];
+                if (sj == con_sym) con_nfrags = iuv[j];
+            }
+        } else {
+            while (tp < nu
+                   && ((((uint64_t)fg[tp] << pos_bits)
+                        | (uint64_t)fp[tp]) < gp))
+                tp++;
+            for (int64_t j = tp; j < nu; j++) {
+                if (((((uint64_t)fg[j] << pos_bits) | (uint64_t)fp[j]) != gp))
+                    break;
+                const int64_t stj = fs[j] >= 6 ? 1 : 0;
+                if (stj == st) tot_nfrags += fcnt[j];
+                if (fs[j] == con_sym) con_nfrags = fcnt[j];
+            }
         }
         const int64_t avgBQ = tot_nfrags == 0 ? 1
             : con_cnt / (tot_nfrags > 1 ? tot_nfrags : 1);

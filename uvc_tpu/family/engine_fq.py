@@ -70,14 +70,19 @@ def run_fq(frag_cons, frag_gap_info, famgrp, ref_syms, sscs_table, thres,
 
     # ---- stage 1: fragment -> family coverages
     from ..ops import native_rowpile as _nr
+    _lib0 = _nr._load()
+    _has_sweep2 = _lib0 is not None and hasattr(_lib0, "fq_sweep2_kernel")
     fused = None
     if len(fc.group) > 4096:
         # both sweeps reduce over the same (fam,pos,sym) keys: ONE native
         # sort feeds the famcov (filtered count) and fammmm (BQ-weighted)
-        # reductions; the adj/filter row prep runs inside the kernel
+        # reductions; the adj/filter row prep runs inside the kernel.
+        # When the native sweep-2 kernel will run, the unique table stays
+        # inside the .so (fetch_unique=False) and sweep-2 reads it there.
         fused = _nr.reduce_consensus2_fc(
             fc.group, fc.pos, fc.con_sym, fc.con_cnt, fc.tot, fc.st,
-            fam_of_frag, cfg.fam_thres_highBQ_snv, P)
+            fam_of_frag, cfg.fam_thres_highBQ_snv, P,
+            fetch_unique=not _has_sweep2)
     if fused is None:
         adj = np.maximum(2 * fc.con_cnt, fc.tot) - fc.tot
         pass_filt = (adj > 0) & ((fc.st == 1)
@@ -89,7 +94,10 @@ def run_fq(frag_cons, frag_gap_info, famgrp, ref_syms, sscs_table, thres,
                 fam_of_row[mm], fc.pos[mm], fc.con_sym[mm], adj[mm],
                 pass_filt[mm], P)
     if fused is not None:
-        (fg, fp, fs, fcnt), c1, c2 = fused
+        uniq1, c1, c2 = fused
+        # uniq1 is None when the table stays inside the .so; the native
+        # sweep-2 call below then reads it with nu=-1
+        fg, fp, fs, fcnt = uniq1 if uniq1 is not None else (None,) * 4
         s1 = cns.GroupConsensus(*c1)
         s2 = cns.GroupConsensus(*c2)
     else:
@@ -183,8 +191,9 @@ def run_fq(frag_cons, frag_gap_info, famgrp, ref_syms, sscs_table, thres,
     rescue_add = 0 if cfg.vcf_tumor_fname in (".", "") else 4
     refsym2 = ref_syms[s2.pos]
     hist = np.zeros((2, P, NS, NUM_BUCKETS), dtype=np.int64)
-    if _lib is not None and hasattr(_lib, "fq_sweep2_kernel") \
-            and len(s2.group) > 2048:
+    use_nat2 = _lib is not None and hasattr(_lib, "fq_sweep2_kernel") \
+        and (fg is None or len(s2.group) > 2048)
+    if use_nat2:
         import ctypes
 
         def _cc(a, dt=np.int64):
@@ -194,10 +203,15 @@ def run_fq(frag_cons, frag_gap_info, famgrp, ref_syms, sscs_table, thres,
         confam = np.empty(len(s2.group), dtype=np.int64)
         confam_ok_u8 = np.empty(len(s2.group), dtype=np.uint8)
         mut_u8 = np.empty(len(s2.group), dtype=np.uint8)
-        _lib.fq_sweep2_kernel(
+        null = ctypes.c_void_p(0)
+        rc2 = _lib.fq_sweep2_kernel(
             ctypes.c_int64(len(s2.group)), _cc(s2.group), _cc(s2.pos),
             _cc(s2.st), _cc(s2.con_sym), _cc(s2.con_cnt), _cc(s2.tot),
-            ctypes.c_int64(len(fg)), _cc(fg), _cc(fp), _cc(fs), _cc(fcnt),
+            ctypes.c_int64(-1 if fg is None else len(fg)),
+            null if fg is None else _cc(fg),
+            null if fg is None else _cc(fp),
+            null if fg is None else _cc(fs),
+            null if fg is None else _cc(fcnt),
             _cc(fam_strand), _cc(ref_syms), _cc(sscs_table),
             _cc(cdpM), _cc(cdpm),
             ctypes.c_int64(P), ctypes.c_int64(rescue_add),
@@ -210,6 +224,8 @@ def run_fq(frag_cons, frag_gap_info, famgrp, ref_syms, sscs_table, thres,
             confam.ctypes.data_as(ctypes.c_void_p),
             confam_ok_u8.ctypes.data_as(ctypes.c_void_p),
             mut_u8.ctypes.data_as(ctypes.c_void_p))
+        if rc2 != 0:
+            raise RuntimeError("fq_sweep2_kernel: stale internal table")
         confam_ok = confam_ok_u8.astype(bool)
         mut = mut_u8.astype(bool)
     else:

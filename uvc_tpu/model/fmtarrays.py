@@ -45,57 +45,62 @@ def build(res, cfg, minABQ_snv, minABQ_indel):
     F["P"] = P
     F["ref_syms"] = res.ref_syms
 
-    for nm in info.names:
-        F["a" + nm[1:] if False else nm] = getattr(info, nm)
-        F["A" + nm[1:]] = sum_by_symboltype(getattr(info, nm))
-    # keep reference naming for capitals: ADPff == sum over type of aDPff
-    for nm in info.names:
-        F[nm.replace("a", "A", 1)] = F.pop("A" + nm[1:])
-
+    # all symboltype sums computed in ONE stacked pass (the ~60 separate
+    # [P,14] reductions were dispatch-dominated)
     F["a1BQf"] = res.bq.vq_a1BQ[:, :, 0]
     F["a1BQr"] = res.bq.vq_a1BQ[:, :, 1]
-    F["A1BQf"] = sum_by_symboltype(F["a1BQf"])
-    F["A1BQr"] = sum_by_symboltype(F["a1BQr"])
     F["a2BQf_raw"] = res.bq.vq_a2BQ[:, :, 0]
     F["a2BQr_raw"] = res.bq.vq_a2BQ[:, :, 1]
-
     F["bDPf"] = res.bq.bdp[:, :, 0]
     F["bDPr"] = res.bq.bdp[:, :, 1]
-    F["BDPb_l"] = sum_by_symboltype(F["bDPf"])
-    F["BDPb_r"] = sum_by_symboltype(F["bDPr"])
-    F["BDP"] = F["BDPb_l"] + F["BDPb_r"]
     F["bTAf"] = res.bq.bta[:, :, 0]
     F["bTAr"] = res.bq.bta[:, :, 1]
     F["bTBf"] = res.bq.btb[:, :, 0]
     F["bTBr"] = res.bq.btb[:, :, 1]
-    F["BTA"] = sum_by_symboltype(F["bTAf"] + F["bTAr"])
-    F["BTB"] = sum_by_symboltype(F["bTBf"] + F["bTBr"])
 
-    for tier, arr in (("cDP1", fq.cdp1), ("cDP12", fq.cdp12),
-                      ("cDP2", fq.cdp2), ("cDP3", fq.cdp3),
-                      ("cDP21", fq.cdp21), ("cDPM", fq.cdpM),
-                      ("cDPm", fq.cdpm), ("cDPD", fq.cdpD)):
+    tiers = (("cDP1", fq.cdp1), ("cDP12", fq.cdp12), ("cDP2", fq.cdp2),
+             ("cDP3", fq.cdp3), ("cDP21", fq.cdp21), ("cDPM", fq.cdpM),
+             ("cDPm", fq.cdpm), ("cDPD", fq.cdpD))
+    for tier, arr in tiers:
         F[tier + "f"] = arr[:, :, 0]
         F[tier + "r"] = arr[:, :, 1]
-        F["C" + tier[1:] + "b_l"] = sum_by_symboltype(arr[:, :, 0])
-        F["C" + tier[1:] + "b_r"] = sum_by_symboltype(arr[:, :, 1])
-        F["C" + tier[1:]] = F["C" + tier[1:] + "b_l"] + F["C" + tier[1:] + "b_r"]
-    F["CDP1d"] = 2 * nn_broadcast(fq.cdp1[:, :, 0])  # quirk: strand 0 twice
-
     for nm, arr in fq.c2info.items():
         F[nm] = arr
-        F[nm.replace("c2", "C2", 1)] = sum_by_symboltype(arr)
-
     F["dDP1"] = fq.ddp1
     F["dDP2"] = fq.ddp2
-    F["DDP1"] = sum_by_symboltype(fq.ddp1)
-    F["DDP2"] = sum_by_symboltype(fq.ddp2)
 
-    # per-strand capital sums for the bTA/bTB proximity counters
-    F["BTAf"] = sum_by_symboltype(F["bTAf"])
-    F["BTAr"] = sum_by_symboltype(F["bTAr"])
-    F["BTBf"] = sum_by_symboltype(F["bTBf"])
-    F["BTBr"] = sum_by_symboltype(F["bTBr"])
+    sum_keys = []
+    sum_srcs = []
+    for nm in info.names:
+        F[nm] = getattr(info, nm)
+        # keep reference naming for capitals: ADPff == type-sum of aDPff
+        sum_keys.append(nm.replace("a", "A", 1))
+        sum_srcs.append(F[nm])
+    for k in ("a1BQf", "a1BQr"):
+        sum_keys.append("A" + k[1:])
+        sum_srcs.append(F[k])
+    sum_keys += ["BDPb_l", "BDPb_r", "BTA", "BTB",
+                 "BTAf", "BTAr", "BTBf", "BTBr"]
+    sum_srcs += [F["bDPf"], F["bDPr"], F["bTAf"] + F["bTAr"],
+                 F["bTBf"] + F["bTBr"], F["bTAf"], F["bTAr"],
+                 F["bTBf"], F["bTBr"]]
+    for tier, arr in tiers:
+        sum_keys += ["C" + tier[1:] + "b_l", "C" + tier[1:] + "b_r"]
+        sum_srcs += [arr[:, :, 0], arr[:, :, 1]]
+    for nm in fq.c2info:
+        sum_keys.append(nm.replace("c2", "C2", 1))
+        sum_srcs.append(F[nm])
+    sum_keys += ["DDP1", "DDP2"]
+    sum_srcs += [fq.ddp1, fq.ddp2]
+    stacked = sum_by_symboltype(np.stack(sum_srcs, axis=0))
+    for i, k in enumerate(sum_keys):
+        F[k] = stacked[i]
+
+    F["BDP"] = F["BDPb_l"] + F["BDPb_r"]
+    for tier, arr in tiers:
+        F["C" + tier[1:]] = (F["C" + tier[1:] + "b_l"]
+                             + F["C" + tier[1:] + "b_r"])
+    F["CDP1d"] = 2 * nn_broadcast(fq.cdp1[:, :, 0])  # quirk: strand 0 twice
     # padded-deletion-allele depths (fill_symboltype_nn_fmt quirk: the
     # reference passes strand 0 twice, main.hpp:3745-3765)
     F["BDPd"] = 2 * nn_broadcast(res.bq.bdp[:, :, 0])

@@ -314,10 +314,12 @@ def pass_a_native(table, ref_syms, baq, off, P, highbq_thres, max_insert,
 
 
 def reduce_consensus2_fc(frag, pos, sym, con_cnt, tot, st, fam_of_frag,
-                         highbq_snv, P):
+                         highbq_snv, P, fetch_unique=True):
     """reduce_consensus2 variant taking raw fragment-consensus rows: the
     adj/filter/fam-map row prep runs inside the kernel.  Returns the same
-    triple, or None when unavailable / out of packed range."""
+    triple (uniq is None when fetch_unique=False -- the sweep-2 kernel can
+    read the table from the .so statics), or None when unavailable / out
+    of packed range."""
     lib = _load()
     if lib is None or not hasattr(lib, "rc2_run_fc"):
         return None
@@ -336,8 +338,11 @@ def reduce_consensus2_fc(frag, pos, sym, con_cnt, tot, st, fam_of_frag,
     sizes = np.empty(4, dtype=np.int64)
     lib.rc2_sizes(sizes.ctypes.data_as(ctypes.c_void_p))
     nu1, ng1, _, ng2 = (int(x) for x in sizes)
-    uniq = tuple(np.empty(nu1, dtype=np.int64) for _ in range(4))
-    lib.rc_fetch_unique(*(a.ctypes.data_as(ctypes.c_void_p) for a in uniq))
+    uniq = None
+    if fetch_unique:
+        uniq = tuple(np.empty(nu1, dtype=np.int64) for _ in range(4))
+        lib.rc_fetch_unique(*(a.ctypes.data_as(ctypes.c_void_p)
+                              for a in uniq))
     cons1 = tuple(np.empty(ng1, dtype=np.int64) for _ in range(6))
     lib.rc_fetch_consensus(*(a.ctypes.data_as(ctypes.c_void_p)
                              for a in cons1))
