@@ -296,9 +296,10 @@ def run_fq(frag_cons, frag_gap_info, famgrp, ref_syms, sscs_table, thres,
     refmat = np.broadcast_to(ref_syms[:, None], (P, NS))
     symmat = np.broadcast_to(np.arange(NS)[None, :], (P, NS))
     mq_all = sscs_table[refmat, symmat] + rescue_add
+    tot_types = cns.sum_by_symboltype(
+        np.ascontiguousarray(cdp1.transpose(2, 0, 1)))  # [2,P,14] one pass
     for strand in (0, 1):
-        tot_type = cns.sum_by_symboltype(cdp1[:, :, strand])
-        q, ad, bq = _iid_scan(mq_all, 4, hist[strand], tot_type)
+        q, ad, bq = _iid_scan(mq_all, 4, hist[strand], tot_types[strand])
         vq_cIAQ[:, :, strand] = q
         vq_cIAD[:, :, strand] = ad
         vq_cIDQ[:, :, strand] = bq

@@ -146,7 +146,7 @@ def reduce_and_consensus(group, pos, sym, val, P, mode: str,
 
 def sum_by_symboltype(arr):
     """[.., 14] -> per-symbol broadcast of the symboltype sums [.., 14]."""
-    base = arr[..., :6].sum(axis=-1, keepdims=True)
-    link = arr[..., 6:].sum(axis=-1, keepdims=True)
-    return np.concatenate([np.repeat(base, 6, axis=-1),
-                           np.repeat(link, 8, axis=-1)], axis=-1)
+    out = np.empty_like(arr)
+    out[..., :6] = arr[..., :6].sum(axis=-1, keepdims=True)
+    out[..., 6:] = arr[..., 6:].sum(axis=-1, keepdims=True)
+    return out
