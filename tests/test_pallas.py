@@ -57,3 +57,46 @@ def test_quality_model_pallas_parity():
     for k in a:
         np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
                                    rtol=5e-4, atol=5e-4, err_msg=k)
+
+
+def test_device_model_tracks_host_on_real_pileup(tmp_path):
+    """The device quality model, fed real pileup tensors through
+    counts_from_host, ranks the same variant candidates as the host
+    (float64 numpy) model."""
+    import numpy as np
+    from uvc_tpu import calling
+    from uvc_tpu.config import UVCConfig
+    from uvc_tpu.constants import CHAR_TO_SYMBOL
+    from uvc_tpu.io import bam, simulate
+    from uvc_tpu.model import device
+
+    d = str(tmp_path)
+    ref = simulate.random_ref(3000, 77)
+    variants = [simulate.Variant(800, f"{ref[800]}>"
+                                 + ("A" if ref[800] != "A" else "C"), 0.35),
+                simulate.Variant(2000, f"{ref[2000]}>"
+                                 + ("G" if ref[2000] != "G" else "T"), 0.35)]
+    path = d + "/dv.bam"
+    simulate.build_bam(path, ref, depth=120, variants=variants, seed=5)
+    hdr, batch = bam.read_bam(path)
+    cfg = UVCConfig()
+    cfg.central_readlen = 100
+    syms = CHAR_TO_SYMBOL[np.frombuffer(ref.encode(), np.uint8)]
+    ctx = calling.prepare_region(batch, syms, 0, cfg)
+    calling.model_stage(ctx["F"], ctx["cand"], cfg, True, None, None)
+    F = ctx["F"]
+    counts = device.counts_from_host(F)[None, ...]  # [1, P, C, 14]
+    out = device.quality_model(counts)
+    dev_cvq1 = np.asarray(out["cVQ1"])[0]
+    host_cvq1 = np.asarray(F["cVQ1"], dtype=np.float64)
+    # the device model is the throughput mirror (f32, principal terms):
+    # it must rank the true variant columns at the top like the host
+    for v in variants:
+        alt = v.spec.split(">")[1]
+        s = "ACGT".index(alt)
+        assert host_cvq1[v.pos, s] > 40
+        assert dev_cvq1[v.pos, s] > 40, (v.pos, s, dev_cvq1[v.pos, s])
+    # and keep non-variant substitution columns quiet where the host does
+    quiet = (host_cvq1[:, :4] <= 5)
+    frac_quiet_dev = float((dev_cvq1[:, :4][quiet] <= 15).mean())
+    assert frac_quiet_dev > 0.98, frac_quiet_dev
