@@ -1416,3 +1416,24 @@ void dp4_stage3(const double *e, const double *n_nats, double *pc_out) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Per-read qname FNV-1a 64-bit hashes (fragment grouping key; the
+// reference groups reads into fragments by qname HASH, grouping.cpp:925
+// map<qnamehash, vector<bam1_t*>>).
+
+extern "C" {
+
+void qname_hash64(const uint8_t *data, const int64_t *off, int64_t n,
+                  uint64_t *out) {
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t h = 1469598103934665603ULL;
+        for (int64_t j = off[i]; j < off[i + 1]; j++) {
+            h ^= (uint64_t)data[j];
+            h *= 1099511628211ULL;
+        }
+        out[i] = h;
+    }
+}
+
+}  // extern "C"

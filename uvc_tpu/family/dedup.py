@@ -159,24 +159,54 @@ def detect_amplicon(frag_beg, frag_end, lane, cfg):
     return is_amp, beg_w, end_w, beg_s, end_s, beg2count, end2count
 
 
+def _group_by_qname(batch):
+    """(frag_of_read [n], first_read [n_frags]) with fragment ids in
+    first-occurrence order; grouping key is the qname FNV-1a 64-bit hash
+    (the reference's map<qnamehash, ...>, grouping.cpp:925)."""
+    n = batch.n
+    from ..ops import native_rowpile as _nr
+    lib = _nr._load()
+    if lib is not None and hasattr(lib, "qname_hash64") and n:
+        import ctypes
+        h = np.empty(n, dtype=np.uint64)
+        qd = np.frombuffer(bytes(batch.qname_data), dtype=np.uint8)
+        qo = np.ascontiguousarray(batch.qname_off, dtype=np.int64)
+        lib.qname_hash64(qd.ctypes.data_as(ctypes.c_void_p),
+                         qo.ctypes.data_as(ctypes.c_void_p),
+                         ctypes.c_int64(n),
+                         h.ctypes.data_as(ctypes.c_void_p))
+        _, first_idx, inv = np.unique(h, return_index=True,
+                                      return_inverse=True)
+        order = np.argsort(first_idx, kind="stable")
+        rank = np.empty(len(order), dtype=np.int64)
+        rank[order] = np.arange(len(order))
+        frag_of_read = rank[inv]
+        first_read = first_idx[order].astype(np.int64)
+        return frag_of_read, first_read
+    qd = batch.qname_data
+    off = batch.qname_off
+    uniq = {}
+    frag_of_read = np.empty(n, dtype=np.int64)
+    first_read = []
+    for i in range(n):
+        q = bytes(qd[off[i]:off[i + 1]])
+        j = uniq.setdefault(q, len(uniq))
+        frag_of_read[i] = j
+        if j == len(first_read):
+            first_read.append(i)
+    return frag_of_read, np.asarray(first_read, dtype=np.int64)
+
+
 def group_families(batch, table, cfg,
                    assay_type=AssayType.CAPTURE,
                    platform=SequencingPlatform.ILLUMINA) -> FamilyGrouping:
     """Build fragments (by QNAME) and families (by dedup key)."""
     n = batch.n
-    qn = batch.qnames()
-    # fragments: group reads by QNAME
-    uniq = {}
-    frag_of_read = np.empty(n, dtype=np.int64)
-    frag_reads = []
-    for i, q in enumerate(qn):
-        j = uniq.setdefault(q, len(uniq))
-        frag_of_read[i] = j
-        if j == len(frag_reads):
-            frag_reads.append([i])
-        else:
-            frag_reads[j].append(i)
-    n_frags = len(frag_reads)
+    # fragments: group reads by QNAME hash (the reference's fragment map
+    # is keyed by qnamehash, grouping.cpp:925); fragment ids keep
+    # first-occurrence order like the previous dict-based grouping
+    frag_of_read, first_read = _group_by_qname(batch)
+    n_frags = len(first_read)
 
     r = table.reads
     frag_strand = np.zeros(n_frags, dtype=np.int64)
@@ -189,10 +219,12 @@ def group_families(batch, table, cfg,
     frag_strand[frag_of_read] = r.strand.astype(np.int64)
 
     # UMI per fragment (from the first read's qname)
-    first_read = np.zeros(n_frags, dtype=np.int64)
-    for j, rids in enumerate(frag_reads):
-        first_read[j] = rids[0]
-    umis, is_dupx = parse_umis([qn[int(i)] for i in first_read])
+    qd, qoff = batch.qname_data, batch.qname_off
+
+    def _qname(i):
+        return bytes(qd[qoff[i]:qoff[i + 1]])
+
+    umis, is_dupx = parse_umis([_qname(int(i)) for i in first_read])
 
     has_umi = any(len(u) > 0 for u in umis)
     molecule_tag = cfg.molecule_tag
@@ -270,7 +302,7 @@ def group_families(batch, table, cfg,
         key = (int(frag_strand[j]),
                int(beg_s[j]) if idflag & 0x1 else -1,
                int(end_s[j]) if idflag & 0x2 else -1,
-               qn[int(first_read[j])] if idflag & 0x4 else b"",
+               _qname(int(first_read[j])) if idflag & 0x4 else b"",
                umi_norm if idflag & 0x8 else b"")
         f = fam_keys.setdefault(key, len(fam_keys))
         fam_of_frag[j] = f
