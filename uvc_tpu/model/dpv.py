@@ -532,17 +532,19 @@ def calc_dpv(F, cfg, is_tumor_only=True, tpfa=None):
                      np.round(100.0 * biasFA / refFA).astype(np.int64))
     F["FTS"] = fts
     # nNFA/nAFA/nBCFA deciphred diagnostics (bcf_formats_generator1.cpp:
-    # 482-486): allele fractions as -10*100*log10 values
-    def _deciphred(xs):
-        return [(-np.round(100.0 / math.log(10.0)
-                           * np.log(np.maximum(x, 1e-12))).astype(np.int64))
-                for x in xs]
-
-    F["nNFA"] = _deciphred((counterbias_P_FA, counterbias_BQ_FA, aDPFA, bFA,
-                            cFA0, cFA2))
-    F["nAFA"] = _deciphred((aDPFA, aLPFA2, aRPFA2, aLBFA2, aRBFA2,
-                            aLIFA2, aRIFA2, aSSFA2, aPFFA))
-    F["nBCFA"] = _deciphred((bFA, cFA0, cFA2, cFA3, cROFA1, cROFA2))
+    # 482-486): allele fractions as -10*100*log10 values; ONE stacked log
+    # pass over all 21 planes instead of 21 separate ufunc dispatches
+    _dp_src = (counterbias_P_FA, counterbias_BQ_FA, aDPFA, bFA, cFA0, cFA2,
+               aDPFA, aLPFA2, aRPFA2, aLBFA2, aRBFA2, aLIFA2, aRIFA2,
+               aSSFA2, aPFFA,
+               bFA, cFA0, cFA2, cFA3, cROFA1, cROFA2)
+    _dp_stack = np.stack([np.broadcast_to(x, aDPFA.shape) for x in _dp_src])
+    _dp_all = (-np.round(100.0 / math.log(10.0)
+                         * np.log(np.maximum(_dp_stack, 1e-12)))
+               .astype(np.int64))
+    F["nNFA"] = [_dp_all[i] for i in range(6)]
+    F["nAFA"] = [_dp_all[i] for i in range(6, 15)]
+    F["nBCFA"] = [_dp_all[i] for i in range(15, 21)]
 
     aNCFA = np.where(
         is_tumor_only & short_frag & is_indel
