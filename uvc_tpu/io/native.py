@@ -24,6 +24,9 @@ def _load():
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__)))), "bin", "bamdec.so")
     if not os.path.exists(path):
+        from ..utils.nativebuild import ensure_built
+        ensure_built()
+    if not os.path.exists(path):
         return None
     lib = ctypes.CDLL(path)
     lib.bgzf_decompress.restype = ctypes.c_int64

@@ -35,6 +35,9 @@ def _load():
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__)))), "bin",
         f"rowpile{suffix}.so")
+    if not os.path.exists(path) and not suffix:
+        from ..utils.nativebuild import ensure_built
+        ensure_built()
     if not os.path.exists(path):
         return None
     lib = ctypes.CDLL(path)
