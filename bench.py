@@ -96,7 +96,7 @@ def bench_device_model():
     return cols_per_s, dt
 
 
-def bench_device_model_guarded(timeout_s=240):
+def bench_device_model_guarded(timeout_s=540):
     """Device metric in a watchdog subprocess: the device tunnel can stall
     for minutes under contention, and a hung device probe must not take
     the host metric down with it."""

@@ -150,20 +150,9 @@ def test_multi_contig_cli(tmp_path):
     ref2 = simulate.random_ref(2500, 6)
     v1 = [simulate.Variant(1000, f"{ref1[1000]}>" + ("T" if ref1[1000] != "T" else "A"), 0.35)]
     v2 = [simulate.Variant(800, f"{ref2[800]}>" + ("C" if ref2[800] != "C" else "G"), 0.35)]
-    recs = []
-    for chrom, ref, vs, seed in (("chrA", ref1, v1, 5), ("chrB", ref2, v2, 7)):
-        tid = 0 if chrom == "chrA" else 1
-        for r in simulate.simulate_reads(ref, depth=80, variants=vs, seed=seed):
-            qname, flag, pos, cig, seq, qual, mpos, isize = r
-            recs.append((chrom + "_" + qname, flag, tid, pos, 60, cig,
-                         tid, mpos, isize, seq, qual))
-    recs.sort(key=lambda r: (r[2], r[3]))
     path = str(tmp_path / "mc.bam")
-    hdr_text = ("@HD\tVN:1.6\tSO:coordinate\n"
-                f"@SQ\tSN:chrA\tLN:{len(ref1)}\n"
-                f"@SQ\tSN:chrB\tLN:{len(ref2)}\n")
-    bam_mod.write_bam(path, hdr_text,
-                      [("chrA", len(ref1)), ("chrB", len(ref2))], recs)
+    simulate.build_bam_multi(path, [("chrA", ref1, v1), ("chrB", ref2, v2)],
+                             depth=80, seed=5)
     fa = str(tmp_path / "mc.fa")
     open(fa, "w").write(f">chrA\n{ref1}\n>chrB\n{ref2}\n")
     out = str(tmp_path / "mc.vcf.gz")

@@ -185,6 +185,29 @@ def build_bam(path: str, ref: str, chrom: str = "chr1", **sim_kwargs):
     return len(records)
 
 
+def build_bam_multi(path: str, contigs, **sim_kwargs):
+    """Multi-contig coordinate-sorted BAM.
+
+    contigs: list of (chrom, ref_seq, variants) triples; reads are
+    simulated per contig and written in (tid, pos) order, mirroring the
+    reference's whole-genome BAM layout (one @SQ per chromosome)."""
+    sq = "".join(f"@SQ\tSN:{c}\tLN:{len(r)}\n" for c, r, _ in contigs)
+    header = ("@HD\tVN:1.6\tSO:coordinate\n" + sq
+              + "@PG\tID:uvc_tpu_sim\tPN:uvc_tpu_sim\n")
+    records = []
+    base_seed = sim_kwargs.pop("seed", 0)
+    for tid, (chrom, ref, variants) in enumerate(contigs):
+        reads = simulate_reads(ref, variants=variants,
+                               seed=base_seed + tid, **sim_kwargs)
+        reads.sort(key=lambda r: r[2])
+        for (qname, flag, pos, cigar, seq, qual, mpos, isize) in reads:
+            records.append((f"t{tid}-{qname}", flag, tid, pos, 60, cigar,
+                            tid, mpos, isize, seq, qual))
+    bam.write_bam(path, header, [(c, len(r)) for c, r, _ in contigs],
+                  records)
+    return len(records)
+
+
 def build_test_dataset(dirpath: str, seed: int = 0):
     """Reference FASTA + tumor BAM with planted SNV/ins/del."""
     import os
