@@ -148,9 +148,20 @@ def _process_region_chunk(idxs):
             np.frombuffer(refstring, dtype=np.uint8) & 0x7F]
         tki_map = None
         if is_normal:
-            tki_map = {k: v for k, v in ctx["tki_all"].items()
-                       if k[0] == plan.tid
-                       and plan.ext_beg <= k[1] < plan.ext_end}
+            # per-tid pos-sorted index: O(log n + hits) per region instead
+            # of a full scan of the tumor VCF for every region (the
+            # reference's rescue reader is likewise region-streamed via
+            # bcf_sr_seek, main.cpp:184-398)
+            import bisect
+            idx = ctx["tki_index"].get(plan.tid)
+            tki_map = {}
+            if idx is not None:
+                poss, keys = idx
+                lo = bisect.bisect_left(poss, plan.ext_beg)
+                hi = bisect.bisect_left(poss, plan.ext_end)
+                tki_all = ctx["tki_all"]
+                for k in keys[lo:hi]:
+                    tki_map[k] = tki_all[k]
         rctx = calling.prepare_region(
             sub, ref_syms, plan.ext_beg, cfg,
             is_tumor_only=not is_normal, tki_map=tki_map)
@@ -326,9 +337,17 @@ def run(argv=None):
         out = vcf_writer.VcfWriter(cfg.vcf_out_pass_fname)
         out.write(header_text)
 
+    tki_index = {}
+    if tki_all:
+        by_tid = {}
+        for k in tki_all:
+            by_tid.setdefault(k[0], []).append(k)
+        for tid, keys in by_tid.items():
+            keys.sort(key=lambda k: k[1])
+            tki_index[tid] = ([k[1] for k in keys], keys)
     work_ctx = dict(batch=batch, header=header, fa=fa, cfg=cfg,
                     plans=plans, is_normal_run=is_normal_run,
-                    tki_all=tki_all)
+                    tki_all=tki_all, tki_index=tki_index)
     n_shard = shard_hi - shard_lo
     n_workers = min(cfg.max_cpu_num, os.cpu_count() or 1, n_shard) \
         if n_shard > 1 else 1
