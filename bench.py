@@ -68,6 +68,16 @@ def bench_host_pipeline():
 
 def bench_device_model():
     import jax
+
+    # persistent local compilation cache: the big jitted model compiles in
+    # seconds when warm but can take many minutes cold under tunnel/compiler
+    # contention; the cache dir lives in the workspace and survives rounds
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from uvc_tpu.model import device
 
