@@ -229,26 +229,41 @@ def test_model_stage_batched_parity(tmp_path):
         calling.model_stage(c["F"], c["cand"], cfg, True, None, None)
     calling.model_stage_batched(B, cfg, True)
 
-    def cmp(pa, pb, path):
+    def cmp(pa, pb, rows, path):
         if isinstance(pa, np.ndarray):
             assert isinstance(pb, np.ndarray) and pa.shape == pb.shape, path
-            assert np.array_equal(pa, pb,
-                                  equal_nan=(pa.dtype.kind == "f")), path
+            # the batched stage is row-sparse: only rows consumed
+            # downstream (positions with >= 1 candidate) must match
+            a, b = pa[rows], pb[rows]
+            assert np.array_equal(a, b,
+                                  equal_nan=(a.dtype.kind == "f")), path
         elif isinstance(pa, dict):
             assert set(pa) == set(pb), path
             for k in pa:
-                cmp(pa[k], pb[k], f"{path}.{k}")
+                cmp(pa[k], pb[k], rows, f"{path}.{k}")
         elif isinstance(pa, (tuple, list)):
             assert len(pa) == len(pb), path
             for j, (x, y) in enumerate(zip(pa, pb)):
-                cmp(x, y, f"{path}[{j}]")
+                cmp(x, y, rows, f"{path}[{j}]")
 
     for a, b in zip(A, B):
+        rows = np.flatnonzero(a["cand"].any(axis=1))
         for key in set(a["F"]) | set(b["F"]):
             if key == "gapSa":
                 assert a["F"][key] == b["F"][key]
                 continue
-            cmp(a["F"][key], b["F"][key], f"F.{key}")
+            cmp(a["F"][key], b["F"][key], rows, f"F.{key}")
+
+    # end-to-end: the assembled records must be byte-identical
+    from uvc_tpu.vcfout import writer as vcf_writer
+    for a, b, plan in zip(A, B, plans):
+        ra = calling.assemble_records(a, refb[plan.ext_beg:plan.ext_end],
+                                      plan.ext_beg, "chr1", cfg)
+        rb = calling.assemble_records(b, refb[plan.ext_beg:plan.ext_end],
+                                      plan.ext_beg, "chr1", cfg)
+        ta = [vcf_writer.render_record("chr1", r) for r in ra]
+        tb = [vcf_writer.render_record("chr1", r) for r in rb]
+        assert ta == tb
 
 
 def test_multiallele_exact_indels(tmp_path):

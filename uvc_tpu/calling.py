@@ -241,24 +241,64 @@ def _slice_model_val(v, lo, hi, bigP):
     return v
 
 
-def model_stage_batched(ctxs, cfg, is_tumor_only=True):
-    """Run model_stage ONCE over the concatenation of several prepared
-    regions, then split every produced plane back per region.  Exactly
-    equivalent to per-region calls (the model has no cross-position ops)
-    while amortizing the numpy per-op dispatch cost across regions."""
-    if len(ctxs) == 1:
-        c = ctxs[0]
-        model_stage(c["F"], c["cand"], cfg, is_tumor_only,
-                    c["tpfa_dpv"], c["tpfa_qual"])
-        return
-    Ps = [c["F"]["P"] for c in ctxs]
-    offs = np.concatenate([[0], np.cumsum(Ps)])
-    bigP = int(offs[-1])
+def _scatter_model_val(v, lo, hi, bigR, rows, P):
+    """Expand a row-gathered model output back to a full [P, ...] plane
+    (zeros at rows no consumer reads)."""
+    if isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] == bigR:
+        out = np.zeros((P,) + v.shape[1:], dtype=v.dtype)
+        out[rows] = v[lo:hi]
+        return out
+    if isinstance(v, dict):
+        return {k: _scatter_model_val(x, lo, hi, bigR, rows, P)
+                for k, x in v.items()}
+    if isinstance(v, tuple):
+        return tuple(_scatter_model_val(x, lo, hi, bigR, rows, P) for x in v)
+    if isinstance(v, list):
+        return [_scatter_model_val(x, lo, hi, bigR, rows, P) for x in v]
+    return v
 
-    class _LazyConcat(dict):
-        """Concatenates an input plane across regions on FIRST read, so
-        only the planes the model actually consumes are copied (the F
-        dict carries ~200 planes; the model reads well under half)."""
+
+def model_stage_batched(ctxs, cfg, is_tumor_only=True):
+    """Run model_stage ONCE over the row-sparse concatenation of several
+    prepared regions, then scatter every produced plane back per region.
+
+    Two exact-equivalence properties make this both batched and sparse
+    (the reference likewise only evaluates the quality model at gated
+    candidates, main.cpp:832-841):
+    - the model has no cross-position data flow, so positions may be
+      concatenated across regions and evaluated together;
+    - every downstream consumer (assemble_records work pairs, rank/vac,
+      emit_germline's ``visit & has_cand`` gate, the vNLODQ/ref_fmt
+      lookups) reads model outputs ONLY at positions with at least one
+      candidate symbol — MGVCF/indel-candidate emitters read pileup
+      planes, not model outputs — so only candidate rows are computed
+      and non-candidate rows of the scattered planes are zeros.
+    The full-locus debug dump wants every row, so --debug-tid forces the
+    dense path; should_output_all makes every row a candidate anyway."""
+    Ps = [c["F"]["P"] for c in ctxs]
+    rows_l = [np.flatnonzero(c["cand"].any(axis=1)) for c in ctxs]
+    if not any(len(r) for r in rows_l):
+        # keep one row so the model-output planes exist downstream
+        rows_l[0] = np.zeros(1 if Ps[0] else 0, dtype=np.int64)
+    Rs = [len(r) for r in rows_l]
+    bigR = int(sum(Rs))
+    sparse = (cfg.debug_tid < 0) and (bigR * 2 < sum(Ps))
+    if not sparse:
+        rows_l = [np.arange(p) for p in Ps]
+        Rs = Ps
+        bigR = int(sum(Ps))
+    offs = np.concatenate([[0], np.cumsum(Rs)])
+
+    class _LazyGather(dict):
+        """Gathers an input plane's candidate rows across regions on
+        FIRST read, so only the planes the model actually consumes are
+        copied (the F dict carries ~200 planes; the model reads well
+        under half).  Tracks gathered objects so writes that REPLACE an
+        input plane are scattered back while pure reads are not."""
+
+        def __init__(self):
+            super().__init__()
+            self.gathered = {}
 
         def __missing__(self, k):
             v0 = ctxs[0]["F"][k]    # missing keys raise KeyError loudly
@@ -266,29 +306,35 @@ def model_stage_batched(ctxs, cfg, is_tumor_only=True):
                     and v0.shape[0] == Ps[0]):
                 raise KeyError(
                     f"model read non-concatenatable plane {k!r}")
-            v = np.concatenate([c["F"][k] for c in ctxs], axis=0)
+            v = np.concatenate([c["F"][k][r] for c, r in zip(ctxs, rows_l)],
+                               axis=0)
             self[k] = v
+            self.gathered[k] = v
             return v
 
-    Fb = _LazyConcat()
-    Fb["P"] = bigP
-    cand_b = np.concatenate([c["cand"] for c in ctxs], axis=0)
+    Fb = _LazyGather()
+    Fb["P"] = bigR
+    cand_b = np.concatenate([c["cand"][r] for c, r in zip(ctxs, rows_l)],
+                            axis=0)
     tp_d = tp_q = None
     if not is_tumor_only:
         tp_d = np.concatenate(
-            [c["tpfa_dpv"] if c["tpfa_dpv"] is not None
-             else np.full((p, NS), -1.0) for c, p in zip(ctxs, Ps)], axis=0)
+            [(c["tpfa_dpv"] if c["tpfa_dpv"] is not None
+              else np.full((p, NS), -1.0))[r]
+             for c, p, r in zip(ctxs, Ps, rows_l)], axis=0)
         tp_q = np.concatenate(
-            [c["tpfa_qual"] if c["tpfa_qual"] is not None
-             else np.full((p, NS), -1.0) for c, p in zip(ctxs, Ps)], axis=0)
+            [(c["tpfa_qual"] if c["tpfa_qual"] is not None
+              else np.full((p, NS), -1.0))[r]
+             for c, p, r in zip(ctxs, Ps, rows_l)], axis=0)
     model_stage(Fb, cand_b, cfg, is_tumor_only, tp_d, tp_q)
     for i, c in enumerate(ctxs):
         lo, hi = int(offs[i]), int(offs[i + 1])
         F = c["F"]
+        rows, P = rows_l[i], Ps[i]
         for k, v in Fb.items():
-            if k == "P":
-                continue
-            F[k] = _slice_model_val(v, lo, hi, bigP)
+            if k == "P" or Fb.gathered.get(k) is v:
+                continue    # pure read of an input plane: keep the original
+            F[k] = _scatter_model_val(v, lo, hi, bigR, rows, P)
         F["_cand"] = c["cand"]
 
 
