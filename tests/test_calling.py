@@ -294,3 +294,28 @@ def test_multiallele_exact_indels(tmp_path):
     # each record carries its own allele's exact-indel depths
     by_alt = {r.alt[1:]: r for r in ins_recs}
     assert by_alt["CT"].fmt["cVQSM"] != "" and by_alt["GA"].fmt["gapSeq"]
+
+
+def test_zero_candidate_regions_cli(tmp_path):
+    """End-to-end CLI run on a variant-free BAM: the row-sparse batched
+    model must handle regions with ZERO candidate positions (no records,
+    but MGVCF <NON_REF> blocks still emitted from the pileup planes)."""
+    import gzip
+    from uvc_tpu.io import simulate
+    from uvc_tpu.cli import uvc1 as uvc1_cli
+
+    d = str(tmp_path)
+    ref = simulate.random_ref(4000, 77)
+    bam_path = d + "/clean.bam"
+    simulate.build_bam(bam_path, ref, depth=60, variants=[], seed=77)
+    fa = d + "/ref.fa"
+    with open(fa, "w") as fh:
+        fh.write(">chr1\n" + ref + "\n")
+    out = d + "/clean.vcf.gz"
+    rc = uvc1_cli.run(["-f", fa, "-o", out, "-t", "1", bam_path])
+    assert rc == 0
+    body = gzip.decompress(open(out, "rb").read()).decode()
+    data_lines = [l for l in body.splitlines() if l and not l.startswith("#")]
+    assert data_lines, "MGVCF blocks expected even without variants"
+    assert all("<NON_REF>" in l or "ADDITIONAL_INDEL_CANDIDATE" in l
+               or "GERMLINE" in l for l in data_lines), data_lines[:5]
