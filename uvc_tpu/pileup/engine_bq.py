@@ -595,11 +595,18 @@ def compute_event_values(table, batch, ref_syms, tracks, baq, baq2,
         b_val = np.where(boundary,
                          np.minimum(b.bq.astype(np.int64), nb_bq) + add_b,
                          b_val)
-    prev, nxt = _searchsorted_per_read(iv, ioffs, b.read, b.rpos, n)
-    b_dist = np.where(r.nge_cnt[b.read] > 0,
-                      _dist_to_interfering(table, tracks, thres, prev, nxt,
-                                           b.rpos, off, cfg),
-                      10000)
+    # the distance only matters for events of reads that contain indels
+    # (main.hpp:1897: dist_to_interfering_indel is queried under
+    # bam_aux_get NGE>0); computing it just for those rows is exactly
+    # equivalent to the dense np.where and skips the per-event
+    # searchsorted entirely on indel-free pileups
+    need = np.flatnonzero(r.nge_cnt[b.read] > 0)
+    b_dist = np.full(len(b.read), 10000, dtype=np.int64)
+    if len(need):
+        prev, nxt = _searchsorted_per_read(iv, ioffs, b.read[need],
+                                           b.rpos[need], n)
+        b_dist[need] = _dist_to_interfering(table, tracks, thres, prev, nxt,
+                                            b.rpos[need], off, cfg)
     base_ev = EventValues(pos=b_pos, sym=b.sym.astype(np.int64), val=b_val,
                           read=b.read, is_gap=np.zeros(len(b_pos), bool),
                           cigar_op=np.zeros(len(b_pos), np.int64),
