@@ -99,8 +99,10 @@ def bench_device_model():
         return jax.lax.fori_loop(0, n_iter, body, jnp.float32(0.0))
 
     float(steps(counts))  # compile + warm
+    from uvc_tpu.utils.profiling import maybe_trace
     t0 = time.time()
-    float(steps(counts))  # scalar device_get = true completion
+    with maybe_trace("device_quality_model"):  # UVC_TPU_JAX_TRACE_DIR
+        float(steps(counts))  # scalar device_get = true completion
     dt = (time.time() - t0) / n_iter
     cols_per_s = B * P / dt
     return cols_per_s, dt

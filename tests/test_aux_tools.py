@@ -114,3 +114,22 @@ def test_active_region_bed(tmp_path):
     assert rc == 0 or rc is None
     lines = [l.split("\t") for l in buf.getvalue().splitlines() if l]
     assert any(int(l[1]) <= 2000 < int(l[2]) for l in lines), lines
+
+
+def test_jax_trace_hook(tmp_path, monkeypatch):
+    """UVC_TPU_JAX_TRACE_DIR captures an XLA trace; unset it's a no-op."""
+    import jax
+    import jax.numpy as jnp
+    from uvc_tpu.utils import profiling
+
+    # no-op path
+    with profiling.maybe_trace("noop"):
+        pass
+    # tracing path (CPU backend in tests)
+    d = str(tmp_path / "trace")
+    monkeypatch.setenv(profiling.ENV_VAR, d)
+    with profiling.maybe_trace("unit"):
+        float(jax.jit(lambda x: (x * 2).sum())(jnp.arange(8.0)))
+    import os
+    found = [os.path.join(r, f) for r, _, fs in os.walk(d) for f in fs]
+    assert found, "expected trace artifacts under UVC_TPU_JAX_TRACE_DIR"
