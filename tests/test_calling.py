@@ -72,8 +72,8 @@ def test_info_and_fmt_fields(tmp_path):
     ref, variants, recs = _call(tmp_path)
     r = recs[0]
     assert r.info["TLODQ"] == r.fmt["cVQ1"] or r.info["TLODQ"] >= 0
-    assert r.fmt["DP"] >= r.fmt["AD"] > 0
-    assert r.fmt["bDP"] >= r.fmt["bAD"] > 0
+    assert r.fmt["DP"] >= r.fmt["AD"][1] > 0
+    assert r.fmt["bDP"] >= r.fmt["bAD"][1] > 0
     assert r.fmt["FTS"] == "PASS"
     assert r.info["SomaticQ"] == min(r.info["TLODQ"], r.info["NLODQ"])
 
@@ -293,7 +293,7 @@ def test_multiallele_exact_indels(tmp_path):
                                          for r in recs])
     # each record carries its own allele's exact-indel depths
     by_alt = {r.alt[1:]: r for r in ins_recs}
-    assert by_alt["CT"].fmt["cVQSM"] != "" and by_alt["GA"].fmt["gapSeq"]
+    assert by_alt["CT"].fmt["cVQSM"][0] != "" and by_alt["GA"].fmt["gapSeq"]
 
 
 def test_zero_candidate_regions_cli(tmp_path):

@@ -338,6 +338,115 @@ def model_stage_batched(ctxs, cfg, is_tumor_only=True):
         F["_cand"] = c["cand"]
 
 
+# ---------------------------------------------------------------------------
+# per-record FORMAT fill, keyed by the reference schema tags (PER_REC_PLAN)
+
+# capital tags printed as [symboltype-sum, NN-symbol value]
+# (fill_symboltype_fmt / filla_symboltype_fmt, main.hpp:3745-3795): the F
+# capital plane holds the broadcast type-sum, the lowercase plane at the
+# type's ambiguous symbol supplies the second entry
+CAP_SUM_NN = {
+    "AMQs": "aMQs", "A1BQf": "a1BQf", "A1BQr": "a1BQr",
+    "ADPff": "aDPff", "ADPfr": "aDPfr", "ADPrf": "aDPrf", "ADPrr": "aDPrr",
+    "ALP1": "aLP1", "ALP2": "aLP2", "ALPL": "aLPL",
+    "ARP1": "aRP1", "ARP2": "aRP2", "ARPL": "aRPL",
+    "ALB2": "aLB2", "ALBL": "aLBL", "ARB2": "aRB2", "ARBL": "aRBL",
+    "ALI2": "aLI2", "ALIr": "aLIr", "ARI2": "aRI2", "ARIf": "aRIf",
+    "ABQ2": "aBQ2", "APF2": "aPF2", "AP1": "aP1", "AP2": "aP2",
+    "C2BQ2": "c2BQ2", "C2LP0": "c2LP0", "C2RP0": "c2RP0",
+    "DDP1": "dDP1", "DDP2": "dDP2",
+}
+
+# capital tags printed as [forward-strand type-sum, reverse-strand type-sum]
+# (fill_symboltype_fr_fmt, main.hpp:3760-3772)
+CAP_FR = {
+    "BDPb": ("BDPb_l", "BDPb_r"), "BTAb": ("BTAf", "BTAr"),
+    "BTBb": ("BTBf", "BTBr"),
+    "CDP1b": ("CDP1b_l", "CDP1b_r"), "CDP12b": ("CDP12b_l", "CDP12b_r"),
+    "CDP2b": ("CDP2b_l", "CDP2b_r"), "CDP3b": ("CDP3b_l", "CDP3b_r"),
+    "CDP21b": ("CDP21b_l", "CDP21b_r"), "CDPMb": ("CDPMb_l", "CDPMb_r"),
+    "CDPmb": ("CDPmb_l", "CDPmb_r"), "CDPDb": ("CDPDb_l", "CDPDb_r"),
+}
+
+# Number=R tags whose per-allele plane lives in F under the same name;
+# emitted as [REF-symbol value, ALT-symbol value] like the
+# streamFrontPushBcfFormatR rotation before output (main.cpp:1017-1032)
+R_PLANE_TAGS = (
+    "AD bAD c2AD aMQs a1BQf a1BQr aDPff aDPfr aDPrf aDPrr "
+    "aLP1 aLP2 aLPL aRP1 aRP2 aRPL aLB1 aLB2 aLBL aRB1 aRB2 aRBL "
+    "aLI1 aLI2 aLIr aRI1 aRI2 aRIf aBQ2 aPF2 aP1 aP2 aPF1 aLIT aRIT aP3 aNC "
+    "bDPf bDPr bTAf bTAr bTBf bTBr cDP1f cDP1r cDP12f cDP12r cDP2f cDP2r "
+    "c2BQ2 c2LP0 c2RP0 c2LP1 c2LP2 c2RP1 c2RP2 c2LPL c2RPL "
+    "c2LB1 c2LB2 c2RB1 c2RB2 c2LBL c2RBL "
+    "cDP3f cDP3r cDP21f cDP21r cDPMf cDPMr cDPmf cDPmr cDPDf cDPDr "
+    "dDP1 dDP2 aBQ a2BQf a2BQr a2XM2 a2BM2 aBQQ bMQ aAaMQ bNMQ bNMa bNMb "
+    "bMQQ bIAQb bIADb bIDQb cIAQf cIADf cIDQf cIAQr cIADr cIDQr "
+    "bIAQ cIAQ bTINQ cTINQ cPCQ1 cPLQ1 cVQ1 gVQ1 cPCQ2 cPLQ2 cVQ2 cMmQ "
+    "dVQinc cDP1v cDP1w cDP1x cDP2v cDP2w cDP2x CONTQ bDPa cDP0a").split()
+
+# the six effective-depth capitals print [candidate type-sum, candidate NN
+# value] computed by sum_dpv (BcfFormat_symbol_sum_DPv, main.hpp:4888-4906)
+CAP_DPV = ("CDP1v", "CDP1w", "CDP1x", "CDP2v", "CDP2w", "CDP2x")
+
+
+def _gap_str(v):
+    if v is None:
+        return ""
+    return v.decode() if isinstance(v, bytes) else str(v)
+
+
+def plan_fmt(F, res, p, s, ref_link, nlodq_ss):
+    """Fill every generic PER_REC_PLAN tag for one (pos, symbol) from the
+    dense F planes; the bespoke tags (FTS, gap*, Hap, note, cVQ*M, vAC,
+    vNLODQ, _sscs) are overridden by the caller."""
+    nn = 5 if s < 6 else 13        # BASE_NN / LINK_NN of the symboltype
+    F.setdefault("c2AD", F["cDP2f"] + F["cDP2r"])
+    fmt = {
+        # never set for somatic records in the reference -> struct defaults
+        "GT": "./1", "GQ": 0, "HQ": (0, 0), "FT": "",
+        "DP": int(F["CDP1"][p, s]), "bDP": int(F["BDP"][p, s]),
+        "c2DP": int(F["CDP2"][p, s]),
+        "vHGQ": nlodq_ss,
+        "VTI": (int(F["ref_syms"][p]) if s < 6 else int(Symbol.LINK_M), s),
+        "VTD": (SYMBOL_TO_DESC[ref_link], SYMBOL_TO_DESC[s]),
+        # never filled in the reference (struct default {{0, 0}})
+        "BDPd": (0, 0), "CDP2d": (0, 0),
+        # fill_symboltype_nn_fmt passes strand 0 twice (main.hpp:3775-3786)
+        "CDP1d": (int(F["CDP1d"][p, s]), int(F["CDP1d"][p, s])),
+        "nPF": (int(F["nPF_P"][p, s]), int(F["nPF_B"][p, s])),
+        "nNFA": tuple(int(a[p, s]) for a in F["nNFA"]),
+        "nAFA": tuple(int(a[p, s]) for a in F["nAFA"]),
+        "nBCFA": tuple(int(a[p, s]) for a in F["nBCFA"]),
+        "note": "",
+        # Number=D exact-indel tables default to empty ("." on output)
+        "gapNf": ".", "gapNr": ".", "gapSeq": ".", "gapbAD1": ".",
+        "gapcAD1": ".", "gc2AD": ".", "gc2dAD": ".",
+        "gapSa": (_gap_str(F["gapSa"].get((p, ref_link))),
+                  _gap_str(F["gapSa"].get((p, s)))),
+    }
+    for k in R_PLANE_TAGS:
+        fmt[k] = (int(F[k][p, ref_link]), int(F[k][p, s]))
+    for k, low in CAP_SUM_NN.items():
+        fmt[k] = (int(F[k][p, s]), int(F[low][p, nn]))
+    for k, (lk, rk) in CAP_FR.items():
+        fmt[k] = (int(F[lk][p, s]), int(F[rk][p, s]))
+    for k in CAP_DPV:
+        fmt[k] = (int(F[k][p, s]), int(F[k + "_nn"][p, s]))
+    for k in ("APDP", "APXM", "APLRID", "APLRI", "APLRP"):
+        fmt[k] = tuple(int(x) for x in F[k][p])
+    th = res.bq.thres
+    fmt["ALRPxT"] = (int(th.aLPxT[p]), int(th.aRPxT[p]))
+    fmt["ALRIT"] = tuple(int(a[p]) for a in
+                         (th.aLI1T, th.aLI2T, th.aRI1T, th.aRI2T))
+    fmt["ALRIt"] = tuple(int(a[p]) for a in
+                         (th.aLI1t, th.aLI2t, th.aRI1t, th.aRI2t))
+    fmt["ALRPt"] = tuple(int(a[p]) for a in
+                         (th.aLP1t, th.aLP2t, th.aRP1t, th.aRP2t))
+    fmt["ALRBt"] = tuple(int(a[p]) for a in
+                         (th.aLB1t, th.aLB2t, th.aRB1t, th.aRB2t))
+    return fmt
+
+
 def assemble_records(ctx, refstring, region_offset, chrom, cfg,
                      is_tumor_only=True, only_pair=None):
     """Phase C: per-candidate VariantRecord assembly from the model planes.
@@ -529,57 +638,11 @@ def assemble_records(ctx, refstring, region_offset, chrom, cfg,
             info["nDP"] = int(F["CDP1"][p, s])
             info["nAD"] = (int(F["AD"][p, ref_link]), int(F["AD"][p, s]))
             info["n2AD"] = t2ad
-        fmt = {
-            "GT": "./1",
-            "VTI": s, "VTD": SYMBOL_TO_DESC[s],
-            "DP": int(F["CDP1"][p, s]), "AD": int(F["AD"][p, s]),
-            "bDP": int(F["BDP"][p, s]), "bAD": int(F["bAD"][p, s]),
-            "bDPf": int(F["bDPf"][p, s]), "bDPr": int(F["bDPr"][p, s]),
-            "BDPb": f"{int(F['BDPb_l'][p, s])},{int(F['BDPb_r'][p, s])}",
-            "cVQ1": int(F["cVQ1"][p, s]), "cVQ2": int(F["cVQ2"][p, s]),
-            "cPCQ1": int(F["cPCQ1"][p, s]), "cPCQ2": int(F["cPCQ2"][p, s]),
-            "gVQ1": int(F["gVQ1"][p, s]), "CONTQ": int(F["CONTQ"][p, s]),
-            "bIAQ": int(F["bIAQ"][p, s]), "cPLQ1": int(F["cPLQ1"][p, s]),
-            "bMQQ": int(F["bMQQ"][p, s]), "aBQQ": int(F["aBQQ"][p, s]),
-            "bNMQ": int(F["bNMQ"][p, s]),
-            "cDP1v": int(F["cDP1v"][p, s]), "CDP1v": int(F["CDP1v"][p, s]),
-            "cDP1x": int(F["cDP1x"][p, s]), "CDP1x": int(F["CDP1x"][p, s]),
-            "cDP2x": int(F["cDP2x"][p, s]), "CDP2x": int(F["CDP2x"][p, s]),
-            "vHGQ": nlodq_ss,
-            "FTS": "|".join(nm for nm, (flag, _) in F["FTS"].items()
-                            if flag[p, s]) or "PASS",
-        }
-        # bulk schema tags (bcf_formats_generator1.cpp order; writer.py
-        # holds the shared tag lists)
-        from .vcfout import writer as _w
-        for k in _w.SCALAR_TAGS:
-            fmt[k] = int(F[k][p, s])
-        for k, fk in _w.MAPPED_TAGS.items():
-            fmt[k] = int(F[fk][p, s])
-        for k, (lk, rk) in _w.PAIR_TAGS.items():
-            fmt[k] = f"{int(F[lk][p, s])},{int(F[rk][p, s])}"
-        for k in _w.NN_PAIR_TAGS:
-            v = int(F[k][p, s]) // 2
-            fmt[k] = f"{v},{v}"
-        for k in _w.ARRAY_TAGS:
-            fmt[k] = ",".join(str(int(x)) for x in np.atleast_1d(F[k][p]))
-        th = res.bq.thres
-        fmt["ALRPxT"] = f"{int(th.aLPxT[p])},{int(th.aRPxT[p])}"
-        fmt["ALRIT"] = ",".join(str(int(a[p])) for a in
-                                (th.aLI1T, th.aLI2T, th.aRI1T, th.aRI2T))
-        fmt["ALRIt"] = ",".join(str(int(a[p])) for a in
-                                (th.aLI1t, th.aLI2t, th.aRI1t, th.aRI2t))
-        fmt["ALRPt"] = ",".join(str(int(a[p])) for a in
-                                (th.aLP1t, th.aLP2t, th.aRP1t, th.aRP2t))
-        fmt["nPF"] = f"{int(F['nPF_P'][p, s])},{int(F['nPF_B'][p, s])}"
-        fmt["nNFA"] = ",".join(str(int(a[p, s])) for a in F["nNFA"])
-        fmt["nAFA"] = ",".join(str(int(a[p, s])) for a in F["nAFA"])
-        fmt["nBCFA"] = ",".join(str(int(a[p, s])) for a in F["nBCFA"])
-        fmt["GQ"] = max(0, nlodq_ss)
-        fmt["HQ"] = "0,0"
-        fmt["FT"] = "PASS"
-        fmt["c2DP"] = int(F["CDP2"][p, s])
-        fmt["c2AD"] = int(F["cDP2f"][p, s] + F["cDP2r"][p, s])
+        fmt = plan_fmt(F, res, p, s, ref_link, nlodq_ss)
+        fmt["_sscs"] = (bool(tki.enable_tier2) if tki is not None
+                        else bool(F["enable_tier2"][p, s]))
+        fmt["FTS"] = "|".join(nm for nm, (flag, _) in F["FTS"].items()
+                              if flag[p, s]) or "PASS"
         # per-strand exact-indel tables (fill_by_indel_info,
         # instcode.hpp:12-90): Number=D vectors, strand-0 entries then
         # strand-1; "." when empty
@@ -593,14 +656,6 @@ def assemble_records(ctx, refstring, region_offset, chrom, cfg,
             fmt["gapcAD1"] = ",".join(str(x) for x in cads)
             fmt["gc2AD"] = ",".join(str(x) for x in c2ads)
             fmt["gc2dAD"] = ",".join(str(x) for x in c2dads)
-        else:
-            fmt["gapNf"] = "."
-            fmt["gapNr"] = "."
-            fmt["gapSeq"] = "."
-            fmt["gapbAD1"] = "."
-            fmt["gapcAD1"] = "."
-            fmt["gc2AD"] = "."
-            fmt["gc2dAD"] = "."
         if cfg.should_add_note:
             # --should-add-note diagnostics (reference embeds its decision
             # breadcrumbs in the note field; we embed the main quality
@@ -618,19 +673,25 @@ def assemble_records(ctx, refstring, region_offset, chrom, cfg,
         fmt["bHap"] = _phase_string(res.bq.mutforms, p, s, region_offset)
         fmt["cHap"] = _phase_string(res.fq.mutforms_fq, p, s, region_offset)
         fmt["c2Hap"] = _phase_string(res.fq.mutforms_f2q, p, s, region_offset)
+        # top-2 consensus alleles (main.cpp:1000-1015; array defaults
+        # {{-999}}, {{DESC[END]}}, {{""}} leave the second entry 0 / "")
         ranked = rank.get((p, st), [])
-        fmt["cVQ1M"] = ranked[0][1] if ranked else -999
-        fmt["cVQ2M"] = ranked[0][2] if ranked else -999
-        fmt["cVQAM"] = SYMBOL_TO_DESC[ranked[0][3]] if ranked else SYMBOL_TO_DESC[NS]
-        fmt["cVQSM"] = ranked[0][4] if ranked else ""
-        fmt["vAC"] = f"{vac.get((p, 0), 0)},{vac.get((p, 1), 0)}"
-        fmt["vNLODQ"] = f"{int(germ[0]['nlodq'][p])},{int(germ[1]['nlodq'][p])}"
+        fmt["cVQ1M"] = (ranked[0][1] if ranked else -999,
+                        ranked[1][1] if len(ranked) > 1 else 0)
+        fmt["cVQ2M"] = (ranked[0][2] if ranked else -999,
+                        ranked[1][2] if len(ranked) > 1 else 0)
+        fmt["cVQAM"] = (SYMBOL_TO_DESC[ranked[0][3]] if ranked
+                        else SYMBOL_TO_DESC[NS],
+                        SYMBOL_TO_DESC[ranked[1][3]] if len(ranked) > 1
+                        else "")
+        fmt["cVQSM"] = (ranked[0][4] if ranked else "",
+                        ranked[1][4] if len(ranked) > 1 else "")
+        fmt["vAC"] = (vac.get((p, 0), 0), vac.get((p, 1), 0))
+        fmt["vNLODQ"] = (int(germ[0]["nlodq"][p]), int(germ[1]["nlodq"][p]))
         records.append(VariantRecord(
             pos=p, symbol=s, vcfpos=vcfpos + region_offset, ref=ref_a,
             alt=alt_a, qual=round(q, 4), filter=filt, info=info, fmt=fmt,
-            tumor_fmt=(tki.tumor_format_text if tki else ""),
-            ref_fmt={k: int(F[k][p, ref_link])
-                     for k in ("AD", "bAD", "bDPf", "bDPr")}))
+            tumor_fmt=(tki.tumor_format_text if tki else "")))
     # extra qualifying exact-indel alleles (indel_get_majority can return
     # several strings, main.hpp:5406-5455 + main.cpp:883-905): rerun the
     # model with that allele's bDPa/cDP0a/gapLen/gapSa substituted and emit

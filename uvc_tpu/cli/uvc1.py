@@ -245,7 +245,7 @@ def run(argv=None):
     if cfg.bam_input_fname == "/only-print-vcf-header/":
         cmdline = " ".join(argv if argv is not None else sys.argv[1:])
         sys.stdout.write(vcf_writer.generate_header(
-            cmdline, [], cfg.sample_name))
+            cmdline, [], cfg.sample_name, cfg=cfg))
         return 0
     if cfg.bam_input_fname == "/only-print-debug-detail/":
         from ..schedule.regions import (NUM_BYTES_PER_REF_POS,
@@ -330,7 +330,7 @@ def run(argv=None):
     cmdline = " ".join(argv if argv is not None else sys.argv[1:])
     header_text = vcf_writer.generate_header(
         cmdline, list(zip(header.ref_names, header.ref_lens)),
-        cfg.sample_name,
+        cfg.sample_name, cfg=cfg,
         tumor_sample="TUMOR" if is_normal_run else None)
     out = None
     if not dist_on:

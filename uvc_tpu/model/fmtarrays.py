@@ -100,11 +100,11 @@ def build(res, cfg, minABQ_snv, minABQ_indel):
     for tier, arr in tiers:
         F["C" + tier[1:]] = (F["C" + tier[1:] + "b_l"]
                              + F["C" + tier[1:] + "b_r"])
-    F["CDP1d"] = 2 * nn_broadcast(fq.cdp1[:, :, 0])  # quirk: strand 0 twice
-    # padded-deletion-allele depths (fill_symboltype_nn_fmt quirk: the
-    # reference passes strand 0 twice, main.hpp:3745-3765)
-    F["BDPd"] = 2 * nn_broadcast(res.bq.bdp[:, :, 0])
-    F["CDP2d"] = 2 * nn_broadcast(fq.cdp2[:, :, 0])
+    # padded-deletion-allele depth (fill_symboltype_nn_fmt quirk: the
+    # reference passes strand 0 twice, main.hpp:3775-3786, so the emitted
+    # pair is this value printed twice; BDPd/CDP2d are never filled by the
+    # reference and print their {{0,0}} defaults)
+    F["CDP1d"] = nn_broadcast(fq.cdp1[:, :, 0])
 
     F["bIAQb"] = res.bq.vq_bIAQ
     F["bIADb"] = res.bq.vq_bIAD

@@ -253,7 +253,7 @@ def emit_germline(F, germ, cand, cfg, chrom, refstring, region_offset,
                 "PASS", "GERMLINE", "GT:GQ:HQ:FT:CDP1:cDP1:GL4:GST:note",
                 ":".join([
                     GTs[GLidx], str(germ_GQ), "0,0", "PASS",
-                    f"{cdp1b},{int(F['CDP1d'][p, refsym])}",
+                    f"{cdp1b},{2 * int(F['CDP1d'][p, refsym])}",
                     ",".join(str(x) for x in adr),
                     ",".join(str(int(x)) for x in gl),
                     ",".join(str(int(x)) for x in

@@ -1,233 +1,130 @@
 """VCF output: header generation and bgzipped record emission.
 
-Header structure follows generate_vcf_header (main.hpp:5778-5883): fileformat,
-provenance (command line, version, inferred parameters), contigs, the 28
-FILTERs of bcf_formats_generator1.cpp:66-107, and the INFO/FORMAT
-declarations for the emitted tags. The full ~110-tag FORMAT block is being
-grown tag-by-tag toward byte parity; the schema table here is the single
-source of truth (the declarative equivalent of bcf_formats_generator1.cpp).
+Byte-faithful to the reference's output layer:
+- the header reproduces generate_vcf_header (main.hpp:5778-5883) line by
+  line: fileformat/fileDate/reference, contigs, the NON_REF ALT line, the
+  28 FILTER lines and 258 FORMAT lines emitted by the compiled schema
+  generator (bcf_formats_generator1.cpp, extracted into schema.py), the 22
+  INFO lines, the germline/MGVCF/clip FORMAT extras, and the provenance
+  trailer;
+- each record's FORMAT column is FORMAT_STRING_PER_REC or
+  FORMAT_STRING_PER_REC_WITHOUT_SSCS (main.hpp:6264) and the sample column
+  is rendered by walking PER_REC_PLAN exactly like the generated
+  streamAppendBcfFormat (bcf_formats_generator1.cpp:644-688): separator
+  tags print their own ID, Number=R vectors print [REF,ALT] (the
+  streamFrontPushBcfFormatR rotation, main.cpp:1031), fixed arrays print
+  out_num_2 entries, empty strings/vectors print ".".
 """
 
 import time
 
 from .. import __version__
 from ..io import bgzf
+from . import schema
 
-FILTERS = [
-    ("noVar", "Not a variant (for example, when REF and ALT are the same), but still included to get all statistics. "),
-    ("upstreamDel", "Deletion extended from another upstream deletion. "),
-    ("s50", "Less than 50% of samples have data. "),
-    ("Q10", "Quality below 10 and no other filters. "),
-    ("Q20", "Quality below 20 and no other filters. "),
-    ("Q30", "Quality below 30 and no other filters. "),
-    ("Q40", "Quality below 40 and no other filters. "),
-    ("Q50", "Quality below 50 and no other filters. "),
-    ("Q60", "Quality below 60 and no other filters. "),
-    ("aInsertSize", "For FORMAT/FTS: Stranded insert bias, meaning the most-supported strand has abnormal insert size at either the left or right end. "),
-    ("aBQXM", "For FORMAT/FTS: Passing-filter bias, meaning the variant allele is supported by reads with low base qualities at the variant site and/or with high number of mismatches relative to all alleles. "),
-    ("bcDup", "For FORMAT/FTS: Duplication bias for less-than-expected amplification of variant reads, meaning the variant is under-amplified by PCR relative to all alleles. "),
-    ("cbDup", "For FORMAT/FTS: Duplication bias for more-than-expected amplification of variant reads, meaning the variant is over-amplified by PCR relative to all alleles. "),
-    ("aAlignL", "For FORMAT/FTS: Alignment bias on the left mapping coordinate of the sequenced segment relative to all alleles. "),
-    ("aAlignR", "For FORMAT/FTS: Alignment bias on the right mapping coordinate of the sequenced segment relative to all alleles. "),
-    ("aPositionL", "For FORMAT/FTS: Position bias on the left mapping coordinate of the sequenced segment relative to all alleles. "),
-    ("aPositionR", "For FORMAT/FTS: Position bias on the right mapping coordinate of the sequenced segment relative to all alleles. "),
-    ("abPositionL", "For FORMAT/FTS: Position bias on the left mapping coordinate of the insert relative to all alleles. "),
-    ("abPositionR", "For FORMAT/FTS: Position bias on the right mapping coordinate of the insert relative to all alleles. "),
-    ("aStrand", "For FORMAT/FTS: Strand bias relative to all alleles. "),
-    ("c0Orientation", "For FORMAT/FTS: Read-orientation bias using de-duplicated reads families passing the base-quality threshold for generating UMI-barcode families relative to all alleles. "),
-    ("c2Orientation", "For FORMAT/FTS: Read-orientation bias using tier-2 UMI-barcode families relative to all alleles. "),
-    ("c2AlignL", "For FORMAT/FTS: Alignment bias on the left mapping coordinate of the tier-2 single-strand consensus sequence (SSCS) relative to all alleles. "),
-    ("c2AlignR", "For FORMAT/FTS: Alignment bias on the right mapping coordinate of the tier-2 single-strand consensus sequence (SSCS) relative to all alleles. "),
-    ("c2PositionL", "For FORMAT/FTS: Position bias on the left mapping coordinate of the tier-2 single-strand consensus sequence (SSCS) relative to all alleles. "),
-    ("c2PositionR", "For FORMAT/FTS: Position bias on the right mapping coordinate of the tier-2 single-strand consensus sequence (SSCS) relative to all alleles. "),
-    ("c2StrictPosL", "For FORMAT/FTS: Strictly defined position bias (which has zero prior probability of not having bias) on the left mapping coordinate of the tier-2 single-strand consensus sequence (SSCS) relative to all alleles. "),
-    ("c2StrictPosR", "For FORMAT/FTS: Strictly defined position bias (which has zero prior probability of not having bias) on the right mapping coordinate of the tier-2 single-strand consensus sequence (SSCS) relative to all alleles. "),
+# ---------------------------------------------------------------------------
+# header (generate_vcf_header, main.hpp:5778-5883)
+
+ALT_LINE = (
+    '##ALT=<ID=NON_REF,Description="Represents any possible alternative '
+    'allele at this location, where POS (start position) is one-based '
+    'inclusive. CAVEAT: this VCF line record is similar to a GVCF block but '
+    'does not conform to the GVCF specifications. ">')
+
+# the INFO block of main.hpp:5805-5837, transcribed byte-for-byte with the
+# MGVCF_REGION_MAX_SIZE constant interpolated
+INFO_LINES = [
+    '##INFO=<ID=ANY_VAR,Number=0,Type=Flag,Description="Any type of variant which may be caused by germline polymorphism and/or somatic mutation">',
+    '##INFO=<ID=GERMLINE,Number=0,Type=Flag,Description="germline variant">',
+    '##INFO=<ID=SOMATIC,Number=0,Type=Flag,Description="Somatic variant">',
+    '##INFO=<ID=MGVCF_BLOCK,Number=0,Type=Flag,Description="Multi-sample GVCF-like genomic regions consisting of 1000 consecutive positions. '
+    'MGVCF is modified from GVCF to allow for easy comparison of sequencing depths of multiple samples at any arbitrary position. '
+    'More detail is described in FORMAT/POS_VT_BDP_CDP_HomRefQ. ">',
+    '##INFO=<ID=ADDITIONAL_INDEL_CANDIDATE,Number=0,Type=Flag,Description="Position with an abnormally high number of (soft/hard)-clipped sequences adjacent to this position (which can be caused by long InDel, copy-number variation (CNV), structural variation (SV), etc.) or with a high STR track length after it">',
+    '##INFO=<ID=SomaticQ,Number=A,Type=Float,Description="Somatic quality of the variant, the Phred-scaled odds that this variant is not somatic. '
+    'CAVEAT: if only tumor bam file is provided, then this quality usually cannot reach 60 even with the help of a very big germline database because '
+    'germline and somatic variants share similar characteristics in the tumor. '
+    'Therefore, a matched normal is absolutely required to confidently determine the germline-vs-somatic origin of a biological variant. ">',
+    '##INFO=<ID=TLODQ,Number=A,Type=Float,Description="Tumor log-of-data-likelihood quality, the Phred-scaled odds that this variant is not of biological origin (i.e., artifactual). ">',
+    '##INFO=<ID=NLODQ,Number=A,Type=Float,Description="Normal log-of-data-likelihood quality, the Phred-scaled odds that this variant is of germline origin. ">',
+    '##INFO=<ID=NLODV,Number=A,Type=String,Description="The variant symbol that minimizes NLODQ. ">',
+    '##INFO=<ID=TNBQF,Number=4,Type=Float,Description="Binomial reward, power-law reward, systematic-error penalty, and normal-adjusted tumor variant quality computed using deduplicated read fragments. ">',
+    '##INFO=<ID=TNCQF,Number=4,Type=Float,Description="Binomial reward, power-law reward, systematic-error penalty, and normal-adjusted tumor variant quality computed using consensus families of read fragments. ">',
+    '##INFO=<ID=tbDP,Number=1,Type=Integer,Description="Tumor total non-deduped depth (deprecated, please see BDPb (previously named as BDPf and BDPr)). ">',
+    '##INFO=<ID=tDP,Number=1,Type=Integer,Description="Tumor total deduped depth (deprecated, please see CDP1b (previously named as CDP1f and CDP1r)). ">',
+    '##INFO=<ID=tAD,Number=R,Type=Integer,Description="Tumor deduped depth of each allele (deprecated, please see cDP1f and cDP1r). ">',
+    '##INFO=<ID=t2DP,Number=1,Type=Integer,Description="Tumor total UMI-barcoded-family depth for duplex-rescued SSCS (CDP2b + DDP2 (previously used CDP2f and CDP2r)). ">',
+    '##INFO=<ID=t2AD,Number=R,Type=Integer,Description="Tumor UMI-barcoded-family depth of each allele for duplex-rescued SSCS (cDP2b + dDP2 (previously used cDP2f and cDP2r)). ">',
+    '##INFO=<ID=nDP,Number=1,Type=Integer,Description="Normal total deduped depth (deprecated, please see CDP1b (previously named as CDP1f and CDP1r)). ">',
+    '##INFO=<ID=nAD,Number=R,Type=Integer,Description="Normal deduped depth of each allele (deprecated, please see cDP1f and cDP1r). ">',
+    '##INFO=<ID=n2AD,Number=R,Type=Integer,Description="Normal UMI-barcoded-family depth of each allele (deprecated, please see cDP2f and cDP2r). ">',
+    '##INFO=<ID=RU,Number=1,Type=String,Description="The shortest repeating unit in the reference">',
+    '##INFO=<ID=RC,Number=1,Type=Integer,Description="The number of non-interrupted RUs in the reference">',
+    '##INFO=<ID=R3X2,Number=6,Type=Integer,Description="Repeat start position, repeat track length, and repeat unit size at the two positions before and after this VCF position. ">',
 ]
 
-INFO_DEFS = [
-    ("ANY_VAR", 0, "Flag", "Any type of variant which may be caused by germline polymorphism and/or somatic mutation"),
-    ("SOMATIC", 0, "Flag", "Somatic variant"),
-    ("MGVCF_BLOCK", 0, "Flag", "Multi-sample gVCF-like block"),
-    ("ADDITIONAL_INDEL_CANDIDATE", 0, "Flag", "Position with signal of additional InDel candidates"),
-    ("SomaticQ", "A", "Float", "Somatic quality of the variant, the PHRED-scale probability that this variant is not somatic."),
-    ("TLODQ", "A", "Float", "Tumor log-of-data-likelihood quality, the PHRED-scale probability that this variant is not of biological origin (i.e., artifactual)."),
-    ("NLODQ", "A", "Float", "Normal log-of-data-likelihood quality, the PHRED-scale probability that this variant is of germline origin."),
-    ("NLODV", "A", "String", "The variant symbol that minimizes NLODQ"),
-    ("TNBQF", 4, "Float", "Binomial reward, power-law reward, systematic-error penalty, and normal-adjusted TLODQ for the de-duplicated fragment tier"),
-    ("TNCQF", 4, "Float", "Binomial reward, power-law reward, systematic-error penalty, and normal-adjusted TLODQ for the SSCS tier"),
-    ("tbDP", 1, "Integer", "Tumor total duped depth (number of read segments)"),
-    ("tDP", 1, "Integer", "Tumor total deduped depth"),
-    ("tAD", "R", "Integer", "Tumor deduped depths of the REF and ALT alleles"),
-    ("t2DP", 1, "Integer", "Tumor total SSCS depth"),
-    ("t2AD", "R", "Integer", "Tumor SSCS depths of the REF and ALT alleles"),
-    ("nDP", 1, "Integer", "Normal total deduped depth"),
-    ("nAD", "R", "Integer", "Normal deduped depths of the REF and ALT alleles"),
-    ("n2AD", "R", "Integer", "Normal SSCS depths of the REF and ALT alleles"),
-    ("RU", 1, "String", "The shortest repeating unit in the reference"),
-    ("RC", 1, "Integer", "The number of non-interrupted RUs in the reference"),
-    ("R3X2", 6, "Integer", "Repeat start position, repeat track length, and repeat unit size at the two positions before and after this VCF position"),
-]
 
-# FORMAT subset currently emitted (grown toward the full 110-tag schema)
-FORMAT_DEFS = [
-    ("GT", 1, "String", "Genotype"),
-    ("VTI", "P", "Integer", "Variant-type ID of the ALT allele"),
-    ("VTD", "P", "String", "Variant-type description of the ALT allele"),
-    ("FT", 1, "String", "Sample genotype filter indicating if this genotype was called"),
-    ("FTS", "P", "String", "Sample variant filter indicating if this variant was called"),
-    ("DP", 1, "Integer", "Fragment depth of coverage with duplicates removed"),
-    ("AD", "R", "Integer", "Fragment depths of the REF and ALT alleles with duplicates removed"),
-    ("bDP", 1, "Integer", "Fragment depth of coverage with duplicates kept"),
-    ("bAD", "R", "Integer", "Fragment depths of the REF and ALT alleles with duplicates kept"),
-    ("c2DP", 1, "Integer", "Consensus-family depth of coverage"),
-    ("c2AD", "R", "Integer", "Consensus-family depths of the REF and ALT alleles"),
-    ("cVQ1", "P", "Integer", "Variant quality of the de-duplicated fragment tier"),
-    ("cVQ2", "P", "Integer", "Variant quality of the SSCS tier"),
-    ("gVQ1", "P", "Integer", "Germline variant quality"),
-    ("CONTQ", "P", "Integer", "Likelihood of the variant signal if the variant signal is contaminated"),
-    ("bIAQ", "P", "Integer", "The averaged binomial variant allele quality of duped fragments"),
-    ("cPLQ1", "P", "Integer", "The power-law variant allele quality of deduped fragments"),
-    ("bMQQ", "P", "Integer", "Mapping-quality-derived systematic-error variant quality"),
-    ("aBQQ", "P", "Integer", "Base-quality-derived systematic-error variant quality"),
-    ("cDP1v", "P", "Integer", "Effective de-duplicated depth of the ALT allele x100 (bias-reduced)"),
-    ("CDP1v", 1, "Integer", "Effective de-duplicated depth of all alleles x100 (bias-reduced)"),
-    ("bNMQ", "P", "Integer", "Phred penalty inferred from mismatches"),
-    ("vHGQ", 1, "Integer", "Phred likelihood that the variant is an artifact given no germline nor somatic signal"),
-    ("bDPf", "R", "Integer", "Forward-strand fragment depths of the REF and ALT alleles with duplicates kept"),
-    ("bDPr", "R", "Integer", "Reverse-strand fragment depths of the REF and ALT alleles with duplicates kept"),
-    ("BDPb", 2, "Integer", "Total fragment depth on the forward and reverse strands with duplicates kept"),
-    ("cPCQ1", "P", "Integer", "Cap of the de-duplicated fragment tier variant quality not reduced by the matched normal"),
-    ("cPCQ2", "P", "Integer", "Cap of the SSCS tier variant quality not reduced by the matched normal"),
-    ("cDP1x", "P", "Integer", "Effective de-duplicated depth of the ALT allele x100 (passing-filter reduced)"),
-    ("CDP1x", 1, "Integer", "Effective de-duplicated depth of all alleles x100 (passing-filter reduced)"),
-    ("cDP2x", "P", "Integer", "Effective SSCS depth of the ALT allele x100 (passing-filter reduced)"),
-    ("CDP2x", 1, "Integer", "Effective SSCS depth of all alleles x100 (passing-filter reduced)"),
-    ("cVQ1M", "P", "Integer", "cVQ1 of the top-ranked consensus ALT allele at this position"),
-    ("cVQ2M", "P", "Integer", "cVQ2 of the top-ranked consensus ALT allele at this position"),
-    ("cVQAM", "P", "String", "Symbol description of the top-ranked consensus ALT allele"),
-    ("cVQSM", "P", "String", "Indel string of the top-ranked consensus ALT allele"),
-    ("vAC", 2, "Integer", "Number of SNV and InDel alleles at this position passing the triallelic quality"),
-    ("vNLODQ", 2, "Integer", "Phred likelihood of germline origin for SNVs and InDels at this position"),
-    ("bHap", 1, "String", "Duped haplotype phase signatures overlapping this variant with forward and reverse strand counts"),
-    ("cHap", 1, "String", "Deduped haplotype phase signatures overlapping this variant with strand counts"),
-    ("c2Hap", 1, "String", "SSCS haplotype phase signatures overlapping this variant with strand counts"),
-]
-
-# per-allele scalar tags gathered directly from the dense F arrays at
-# [pos, symbol] (bcf_formats_generator1.cpp:135-529; lowercase = ALT
-# allele, uppercase = per-symboltype sum).  Grouped as in the generator.
-SCALAR_TAGS = (
-    # _AQ/_ADP*: quality sums and strand-orientation quadrant depths
-    "aMQs AMQs a1BQf A1BQf a1BQr A1BQr "
-    "aDPff ADPff aDPfr ADPfr aDPrf ADPrf aDPrr ADPrr "
-    # _ALP/_ARP/_ALB/_ARB: tier-1/2 position- and BAQ-unbiased depths
-    "aLP1 ALP1 aLP2 ALP2 aLPL ALPL aRP1 ARP1 aRP2 ARP2 aRPL ARPL "
-    "aLB1 ALB1 aLB2 ALB2 aLBL ALBL aRB1 ARB1 aRB2 ARB2 aRBL ARBL "
-    # _ALI/_ARI: insert-end unbiased depths
-    "aLI1 ALI1 aLI2 ALI2 aLIr ALIr aRI1 ARI1 aRI2 ARI2 aRIf ARIf "
-    # _AX/_Ax: BQ-unbiased, PF-derated, eligibility counters
-    "aBQ2 ABQ2 aPF1 APF1 aPF2 APF2 aP1 AP1 aP2 AP2 aP3 aNC aLIT aRIT "
-    # _ea/_eb: systematic-error inputs
-    "aBQ a2BQf a2BQr a2XM2 a2BM2 bMQ aAaMQ bNMa bNMb "
-    # _eB/_eC/_eE: IID bucket qualities
-    "bIAQb bIADb bIDQb cIAQf cIADf cIDQf cIAQr cIADr cIDQr "
-    "cIAQ bTINQ cTINQ "
-    # _eQ2/_CDPxvx: SSCS quality + effective-depth tiers
-    "cPLQ2 cMmQ dVQinc cDP1w CDP1w cDP2v CDP2v cDP2w CDP2w "
-    # family-tier per-strand depths
-    "cDP1f cDP1r cDP12f cDP12r cDP2f cDP2r cDP3f cDP3r cDP21f cDP21r "
-    "cDPMf cDPMr cDPmf cDPmr cDPDf cDPDr dDP1 DDP1 dDP2 DDP2 "
-    # SSCS bias counters (c2*)
-    "c2BQ2 C2BQ2 c2LP0 C2LP0 c2RP0 C2RP0 c2LP1 c2LP2 C2LP2 "
-    "c2RP1 c2RP2 C2RP2 c2LPL C2LPL c2RPL C2RPL "
-    "c2LB1 c2LB2 C2LB2 c2RB1 c2RB2 C2RB2 c2LBL C2LBL c2RBL C2RBL "
-    # bTA/bTB per-strand
-    "bTAf BTAf bTAr BTAr bTBf BTBf bTBr BTBr "
-    # exact-indel majority depths
-    "bDPa cDP0a"
-).split()
-
-# Number=2 tags: pairs of per-strand capital sums (x,y per record)
-PAIR_TAGS = {
-    "CDP1b": ("CDP1b_l", "CDP1b_r"), "CDP12b": ("CDP12b_l", "CDP12b_r"),
-    "CDP2b": ("CDP2b_l", "CDP2b_r"), "CDP3b": ("CDP3b_l", "CDP3b_r"),
-    "CDP21b": ("CDP21b_l", "CDP21b_r"), "CDPMb": ("CDPMb_l", "CDPMb_r"),
-    "CDPmb": ("CDPmb_l", "CDPmb_r"), "CDPDb": ("CDPDb_l", "CDPDb_r"),
-    "BTAb": ("BTAf", "BTAr"), "BTBb": ("BTBf", "BTBr"),
-}
-
-# per-position array tags (comma-joined)
-ARRAY_TAGS = ("APDP", "APXM", "APLRID", "APLRI", "APLRP")
-
-# capital per-strand tags stored under _l/_r keys in F
-MAPPED_TAGS = {
-    "BDPf": "BDPb_l", "BDPr": "BDPb_r",
-    "CDP1f": "CDP1b_l", "CDP1r": "CDP1b_r",
-    "CDP12f": "CDP12b_l", "CDP12r": "CDP12b_r",
-    "CDP2f": "CDP2b_l", "CDP2r": "CDP2b_r",
-    "CDP3f": "CDP3b_l", "CDP3r": "CDP3b_r",
-    "CDP21f": "CDP21b_l", "CDP21r": "CDP21b_r",
-    "CDPMf": "CDPMb_l", "CDPMr": "CDPMb_r",
-    "CDPmf": "CDPmb_l", "CDPmr": "CDPmb_r",
-}
-
-# padded-deletion-allele depth pairs (stored as 2x the strand-0 value,
-# matching the reference's fill_symboltype_nn_fmt strand-0-twice quirk)
-NN_PAIR_TAGS = ("BDPd", "CDP1d", "CDP2d")
-
-# remaining non-scalar tags with bespoke fill in calling.py
-MISC_TAGS = ("GQ", "HQ", "FT", "c2DP", "c2AD", "ALRPxT", "ALRIT", "ALRIt",
-             "ALRPt", "nPF", "nNFA", "nAFA", "nBCFA", "gapNf", "gapNr",
-             "gapSeq", "gapbAD1", "gapcAD1", "gc2AD", "gc2dAD", "note")
-
-EXTRA_FORMAT_KEYS = (list(SCALAR_TAGS) + list(MAPPED_TAGS)
-                     + list(PAIR_TAGS) + list(NN_PAIR_TAGS)
-                     + list(ARRAY_TAGS) + list(MISC_TAGS))
+def _extra_format_lines(cfg):
+    """The post-schema FORMAT declarations (main.hpp:5841-5868): germline
+    (GL4/GST/CDP1/cDP1), MGVCF (POS_VT_BDP_CDP_HomRefQ) and indel-candidate
+    (clipDP) record layouts."""
+    indel_minus_snp = (cfg.germ_phred_hetero_indel - cfg.germ_phred_hetero_snp
+                       if cfg is not None else 9)
+    return [
+        '##FORMAT=<ID=GL4,Number=4,Type=Integer,Description="The four genotype likelihoods for 0/0, 0/1, 1/1, and 1/2">',
+        '##FORMAT=<ID=GST,Number=.,Type=Integer,Description="The genotype statistics">',
+        '##FORMAT=<ID=CDP1,Number=2,Type=Integer,Description="(CDP1f + CDP1r) for all alleles by sum and for the padded deletion allele">',
+        '##FORMAT=<ID=cDP1,Number=2,Type=Integer,Description="(cDP1f + cDP1r)">',
+        '##FORMAT=<ID=POS_VT_BDP_CDP_HomRefQ,Number=.,Type=Integer,Description="Summary of multiple GVCF regions in a line with INFO/MGVCF. '
+        'This field conforms to the following regular expression: ((<pos>,<postype>,<.>,<dup>,<dedup>,<dedupBQ>,<homrefQ>,<.>)+<endpos>) '
+        'where (x)+ means one or more occurrence of the expression x. '
+        'The integer <pos> denotes position (coordinate on the reference sequence) that separates adjacent regions on the reference sequence. '
+        'The integer <postype> denotes position type, where 1 and 2 mean SNV and InDel sub-positions, respectively. '
+        'The missing integer represented by the dot symbol <.> is a sentinel value that delimits region separators (aka positions) and region information. '
+        'The integer <dup> is the minimum non-deduplicated fragment depth of the region. '
+        'The integer <dedup> is the minimum deduplicated fragment depth (with duplicated fragments counted only once). '
+        'The integer <dedupBQ> is similar to <dedup> but is computed using only support with R1R2-adjusted BQ passing the threshold set by the command-line parameter --fam-thres-highBQ. '
+        'The integer <homrefQ> is the minimum likelihood of the homozygous-reference (homref) genotype (GT) in this region. '
+        'The integer <endpos> denotes the SNV ending sub-position of the set of regions on this VCF line, and <endpos> is the last number in this field. '
+        'The (inclusive) begin position of the current region is the (exclusive) end position of the previous region. '
+        'Each genomic position (e.g., chr1:99) is divided into (a) one SNV sub-position and (b) one InDel sub-position that is right after the SNV sub-position. '
+        'The SNV prior of homref GT is used here. '
+        'Thus, the actual InDel likelihood of homref GT is the one shown here plus '
+        f'{indel_minus_snp}. '
+        'CAVEAT: HomRefQ is computed by a very fast but imprecise algorithm, so it is not as accurate as GQ. ">',
+        '##FORMAT=<ID=clipDP,Number=2,Type=Integer,Description="Total segment depth and segment depth with adjacent long clips '
+        '(for the <ADDITIONAL_INDEL_CANDIDATE> symbolic ALT allele indicating that this position has a lot of long (soft/hard) clips nearby) or that this position is at the beginning of a long STR track">',
+    ]
 
 
 def generate_header(cmdline, contigs, sample_name, cfg=None,
                     tumor_sample=None):
+    platform_names = ["AUTO", "Illumina/BGI",
+                      "IonTorrent/LifeTechnologies/ThermoFisher",
+                      "OtherSequencingPlatform"]
     lines = ["##fileformat=VCFv4.2"]
-    lines.append("##fileDate=" + time.strftime("%Y%m%d"))
-    lines.append(f"##variantCallerVersion=uvc_tpu-{__version__}")
-    lines.append(f"##variantCallerCommand={cmdline}")
-    for fid, desc in FILTERS:
-        lines.append(f'##FILTER=<ID={fid},Description="{desc}">')
+    lines.append("##fileDate=" + time.strftime("%Y-%m-%d %H:%M:%S"))
+    lines.append("##reference="
+                 + (cfg.fasta_ref_fname if cfg is not None else ""))
     for name, length in contigs:
         lines.append(f"##contig=<ID={name},length={length}>")
-    for iid, num, typ, desc in INFO_DEFS:
-        lines.append(f'##INFO=<ID={iid},Number={num},Type={typ},Description="{desc}">')
-    for fid, num, typ, desc in FORMAT_DEFS:
-        n = 1 if num == "P" else num
-        lines.append(f'##FORMAT=<ID={fid},Number={n},Type={typ},Description="{desc}">')
-    declared = {f[0] for f in FORMAT_DEFS}
-    for fid in EXTRA_FORMAT_KEYS:
-        if fid in declared:
-            continue
-        if fid in SCALAR_TAGS or fid in MAPPED_TAGS:
-            num, typ = 1, "Integer"
-        elif fid in PAIR_TAGS or fid in NN_PAIR_TAGS:
-            num, typ = 2, "Integer"
-        elif fid in ARRAY_TAGS or fid in ("nNFA", "nAFA", "nBCFA"):
-            num, typ = ".", "Integer"
-        elif fid in ("GQ", "c2DP", "c2AD"):
-            num, typ = 1, "Integer"
-        elif fid in ("gapNf", "gapNr", "gapbAD1", "gapcAD1", "gc2AD",
-                     "gc2dAD"):
-            num, typ = ".", "Integer"   # Number=D in the reference schema
-        elif fid == "gapSeq":
-            num, typ = ".", "String"
-        elif fid in ("ALRPxT",):
-            num, typ = 2, "Integer"
-        elif fid in ("ALRIT", "ALRIt", "ALRPt"):
-            num, typ = 4, "Integer"
-        elif fid in ("nPF", "HQ"):
-            num, typ = 2, "Integer"
-        else:
-            num, typ = 1, "String"
-        lines.append(f'##FORMAT=<ID={fid},Number={num},Type={typ},'
-                     f'Description="See the corresponding tag in the '
-                     f'reference uvc1 schema (bcf_formats_generator1.cpp)">')
+    lines.append(ALT_LINE)
+    lines.extend(schema.FILTER_LINES)
+    lines.extend(INFO_LINES)
+    lines.extend(schema.FORMAT_LINES)
+    lines.extend(_extra_format_lines(cfg))
+    lines.append("##phasing=partial")
+    lines.append(f"##variantCallerVersion=uvc_tpu-{__version__}")
+    # the reference joins argv with two trailing spaces per token
+    # (main.hpp:5874-5877)
+    lines.append("##variantCallerCommand="
+                 + "".join(tok + "  " for tok in cmdline.split()).rstrip())
+    plat = (platform_names[int(cfg.inferred_sequencing_platform)]
+            if cfg is not None else "AUTO")
+    readlen = cfg.central_readlen if cfg is not None else 0
+    lines.append("##variantCallerInferredParameters=("
+                 f"inferred_sequencing_platform={plat}"
+                 f",central_readlen={readlen})")
     cols = "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t" + sample_name
     if tumor_sample:
         cols += "\t" + tumor_sample
@@ -235,9 +132,42 @@ def generate_header(cmdline, contigs, sample_name, cfg=None,
     return "\n".join(lines) + "\n"
 
 
+# ---------------------------------------------------------------------------
+# per-record FORMAT rendering (generated streamAppendBcfFormat semantics)
+
+def _fmt_one(v):
+    if isinstance(v, float):
+        # BCF_INTEGER fields are all python ints here; floats only appear
+        # in bespoke string fields which pre-format themselves
+        return f"{v:g}"
+    return str(v)
+
+
+def render_fmt_column(fmt, sscs_on):
+    """The sample column: walk PER_REC_PLAN like the generated
+    streamAppendBcfFormat.  fmt maps every non-separator plan tag to
+    int | str | tuple/list (joined by ','); missing tags raise KeyError
+    so schema drift fails loudly."""
+    parts = []
+    for tag, gated, kind, arity, _ctype in schema.PER_REC_PLAN:
+        if gated and not sscs_on:
+            continue
+        if kind == "sep":
+            parts.append(tag)
+            continue
+        v = fmt[tag]
+        if isinstance(v, (tuple, list)):
+            parts.append(",".join(_fmt_one(x) for x in v) if len(v) else ".")
+        elif isinstance(v, str):
+            parts.append(v if len(v) else ".")
+        else:
+            parts.append(_fmt_one(v))
+    return ":".join(parts)
+
+
 def render_record(chrom, rec, ref_fmt=None):
-    """One VCF line from a calling.VariantRecord (+ optional REF-allele fmt
-    values for Number=R tags)."""
+    """One VCF line from a calling.VariantRecord whose .fmt dict is keyed
+    by the reference schema tags (see calling.plan_fmt)."""
     info = rec.info
     parts = []
     if info.get("SOMATIC"):
@@ -271,27 +201,13 @@ def render_record(chrom, rec, ref_fmt=None):
     if "R3X2" in info:
         parts.append("R3X2=" + ",".join(str(x) for x in info["R3X2"]))
 
-    f = rec.fmt
-    keys = ["GT", "VTI", "VTD", "FTS", "DP", "AD", "bDP", "bAD",
-            "bDPf", "bDPr", "BDPb", "cVQ1", "cVQ2", "cPCQ1", "cPCQ2",
-            "gVQ1", "CONTQ", "bIAQ", "cPLQ1", "bMQQ", "aBQQ", "bNMQ",
-            "cDP1v", "CDP1v", "cDP1x", "CDP1x", "cDP2x", "CDP2x", "vHGQ",
-            "cVQ1M", "cVQ2M", "cVQAM", "cVQSM", "vAC", "vNLODQ",
-            "bHap", "cHap", "c2Hap"]
-    keys += [k for k in EXTRA_FORMAT_KEYS if k in f]
-    fmt_names = ":".join(keys)
-    vals = []
-    if ref_fmt is None:
-        ref_fmt = getattr(rec, "ref_fmt", None)
-    for k in keys:
-        v = f.get(k, ".")
-        if k in ("AD", "bAD", "bDPf", "bDPr") and ref_fmt is not None:
-            v = f"{ref_fmt.get(k, 0)},{v}"
-        vals.append(str(v))
+    sscs_on = bool(rec.fmt.get("_sscs", False))
+    fmt_names = (schema.FORMAT_STRING_PER_REC if sscs_on
+                 else schema.FORMAT_STRING_PER_REC_WITHOUT_SSCS)
     line = "\t".join([
         chrom, str(rec.vcfpos), ".", rec.ref, rec.alt,
         f"{rec.qual:g}", rec.filter, ";".join(parts), fmt_names,
-        ":".join(vals)])
+        render_fmt_column(rec.fmt, sscs_on)])
     if getattr(rec, "tumor_fmt", ""):
         line += "\t" + rec.tumor_fmt
     return line
