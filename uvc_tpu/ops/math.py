@@ -65,13 +65,14 @@ def phred2prob(phred):
 
 
 def prob2phred(prob):
-    """floor(-10*log10(p)) as int (main_conversion.hpp:890-893).
+    """floor(-10*log(p)/log(10)) as int (main_conversion.hpp:890-893).
 
-    XLA's log is ~1ulp off libm, which flips floor() at exact powers of ten
-    (libm gives exactly 10.0 for p=0.1); the 1e-9 nudge restores libm's
-    boundary behavior without affecting non-boundary values.
+    Computed with numpy float64 so the floor at representation boundaries
+    (libm gives 89.999... for p=1e-9, i.e. 89) bit-matches the compiled
+    reference — verified by the tests/test_math_oracle.py sweep.
     """
-    return jnp.floor(-INV_LOG10 * jnp.log(prob) + 1e-9).astype(jnp.int32)
+    import numpy as _np
+    return _np.floor(-INV_LOG10 * _np.log(_np.asarray(prob, dtype=_np.float64))).astype(_np.int64)
 
 
 def prob2realphred(prob):
