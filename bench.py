@@ -79,32 +79,43 @@ def bench_device_model():
     except Exception:
         pass
     import jax.numpy as jnp
-    from uvc_tpu.model import device
+    from uvc_tpu import calling
+    from uvc_tpu.model.example import example_model_payload
 
-    B, P = 8, 16384
-    counts = jnp.asarray(device.synthetic_counts(B=B, P=P, seed=2))
+    # the PRODUCTION model program (calc_DPv -> calc_qual -> TLODQ, the
+    # same _model_core the CLI ships to the device) on real prepared
+    # pileup planes, padded to a large row bucket
+    P = 65536
+    arrays, cand, cfg = example_model_payload(n_pos=4096, seed=2, pad_to=4096)
+    reps = P // 4096
+    arrays = {k: np.concatenate([v] * reps, axis=0) for k, v in arrays.items()}
+    cand = np.concatenate([cand] * reps, axis=0)
 
     n_iter = 20
 
     @jax.jit
-    def steps(c):
+    def steps(a, c):
         # n_iter model evaluations chained on-device; the scalar readback
         # at the end forces true completion (block_until_ready does not
         # reliably block through the device tunnel, so we time a tiny
-        # host readback instead). The +acc*1e-30 data dependence keeps
-        # XLA from dead-code-eliminating or deduplicating iterations.
+        # host readback instead). The perturbation of one input plane
+        # keeps XLA from dead-code-eliminating or deduplicating
+        # iterations.
         def body(i, acc):
-            out = device.quality_model(c + acc * 1e-30)
-            return acc + jnp.sum(out["cVQ1"]) + jnp.sum(out["TLODQ"])
-        return jax.lax.fori_loop(0, n_iter, body, jnp.float32(0.0))
+            a2 = dict(a)
+            a2["aMQs"] = a["aMQs"] + (acc.astype(a["aMQs"].dtype) % 2)
+            out = calling._model_core(a2, c, None, None, cfg, True)
+            return acc + jnp.sum(out["cVQ1"]) + jnp.sum(out["_tlodq"])
+        return jax.lax.fori_loop(0, n_iter, body,
+                                 jnp.zeros((), jnp.int32))
 
-    float(steps(counts))  # compile + warm
+    int(steps(arrays, cand))  # compile + warm
     from uvc_tpu.utils.profiling import maybe_trace
     t0 = time.time()
     with maybe_trace("device_quality_model"):  # UVC_TPU_JAX_TRACE_DIR
-        float(steps(counts))  # scalar device_get = true completion
+        int(steps(arrays, cand))  # scalar device_get = true completion
     dt = (time.time() - t0) / n_iter
-    cols_per_s = B * P / dt
+    cols_per_s = P / dt
     return cols_per_s, dt
 
 
@@ -138,9 +149,10 @@ def main():
     n_reads, n_pos, n_recs, host_dt = bench_host_pipeline()
     reads_per_s = n_reads / host_dt
     cols_per_s, dev_dt, platform = bench_device_model_guarded()
-    # vs_baseline: reference target is >=10x reads/s vs 16-thread uvc1;
-    # no in-repo reference numbers exist (BASELINE.md), so report the ratio
-    # against the driver target floor of 10k reads/s as a provisional scale.
+    # vs_baseline is measured against a 10k reads/s DRIVER FLOOR, not a
+    # measured uvc1 run: the reference cannot be built in this environment
+    # (htslib tarballs need network access), so no uvc1 number exists to
+    # compare against (BASELINE.md documents the re-measurement procedure).
     baseline_reads_per_s = 10000.0
     print(json.dumps({
         "metric": "aligned_reads_per_second_host_pipeline",
@@ -148,6 +160,8 @@ def main():
         "unit": "reads/s",
         "vs_baseline": round(reads_per_s / baseline_reads_per_s, 4),
         "aux": {
+            "baseline_note": "ratio vs 10k reads/s driver floor; "
+                             "uvc1 not buildable in-env (no network)",
             "n_reads": n_reads, "n_pos": n_pos, "n_records": n_recs,
             "host_seconds": round(host_dt, 3),
             "device_pileup_columns_per_second": round(cols_per_s, 1),

@@ -319,3 +319,29 @@ def test_zero_candidate_regions_cli(tmp_path):
     assert data_lines, "MGVCF blocks expected even without variants"
     assert all("<NON_REF>" in l or "ADDITIONAL_INDEL_CANDIDATE" in l
                or "GERMLINE" in l for l in data_lines), data_lines[:5]
+
+
+def test_model_read_planes_matches_discovery(tmp_path):
+    """MODEL_READ_PLANES (the static list forked workers use to assemble
+    model requests without touching jax) must equal a fresh abstract-trace
+    discovery over both modes, plus cDP0a for the host germline stage."""
+    ref, variants, recs = _call(tmp_path)
+    # rebuild a prepared context to get a full F dict
+    import numpy as np
+    from uvc_tpu import calling
+    from uvc_tpu.config import UVCConfig
+    from uvc_tpu.constants import CHAR_TO_SYMBOL
+    from uvc_tpu.io.native import read_bam_native
+    from uvc_tpu.io import simulate
+    bam = str(tmp_path / "drift.bam")
+    simulate.build_bam(bam, ref, depth=50, variants=variants, seed=7)
+    _, batch = read_bam_native(bam)
+    ref_syms = CHAR_TO_SYMBOL[np.frombuffer(ref.encode(), np.uint8) & 0x7F]
+    cfg = UVCConfig()
+    ctx = calling.prepare_region(batch, ref_syms, 0, cfg)
+    arrays = calling._model_input_arrays(ctx["F"])
+    reads = set()
+    for ito, rescued in ((True, False), (False, True)):
+        reads |= set(calling._discover_model_reads(
+            arrays, ctx["F"]["P"], cfg, ito, rescued))
+    assert sorted(reads | {"cDP0a"}) == sorted(calling.MODEL_READ_PLANES)

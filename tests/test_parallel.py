@@ -19,23 +19,35 @@ def test_factor_mesh():
     assert mesh_mod.factor_mesh(6) == (2, 3)
 
 
-def test_make_mesh_and_sharded_step():
+def test_make_mesh_and_sharded_step(tmp_path):
+    """The UNIFIED production model (calling._model_core) sharded over the
+    8-device mesh on real prepared pileup planes gives the same records as
+    the replicated run."""
     m = mesh_mod.make_mesh()
     assert m.devices.size == 8
-    from uvc_tpu.model import device
     import jax.numpy as jnp
-    counts = jnp.asarray(device.synthetic_counts(B=4, P=512, seed=3))
-    counts = jax.device_put(counts, mesh_mod.counts_sharding(m))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from uvc_tpu import calling
+    from uvc_tpu.model.example import example_model_payload
+
+    arrays, cand, cfg = example_model_payload(n_pos=2048, seed=3,
+                                              pad_to=2048)
 
     @jax.jit
-    def step(c):
-        out = device.quality_model(c)
-        return jnp.sum((out["cVQ1"] >= 15).astype(jnp.int32))
+    def step(a, c):
+        out = calling._model_core(a, c, None, None, cfg, True)
+        return jnp.sum((c & (out["cVQ1"] >= 15)).astype(jnp.int32))
 
-    n = int(step(counts))
-    # same result replicated
-    n2 = int(step(jnp.asarray(device.synthetic_counts(B=4, P=512, seed=3))))
-    assert n == n2
+    axes = tuple(m.axis_names)
+
+    def shard(v):
+        return jax.device_put(
+            v, NamedSharding(m, P(axes, *([None] * (v.ndim - 1)))))
+
+    n_sharded = int(step({k: shard(v) for k, v in arrays.items()},
+                         shard(cand)))
+    n_repl = int(step(arrays, cand))
+    assert n_sharded == n_repl
 
 
 def test_plan_partition_balanced_and_complete():

@@ -9,17 +9,34 @@ QUAL/FILTER banding of append_vcf_record (main.hpp:6027-6272).
 
 from dataclasses import dataclass, field
 import math
+import os
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .constants import (Symbol, NUM_SYMBOLS, SYMBOL_TO_DESC, AssayType,
                         OUTVAR_ANY)
 from .model import dpv, fmtarrays, germline, qual
+from .model.dpv import _maxr
 from .pileup import region as region_mod
 from .pileup.consensus import sum_by_symboltype
 
 NS = NUM_SYMBOLS
 INV_LOG10 = 10.0 / math.log(10.0)
+
+
+def _binom_lr_host(prob, a, b):
+    """Host (numpy float64) calc_binom_10log10_likeratio for the per-record
+    scalar tumor-normal joins (main_conversion.hpp:222-237)."""
+    DBL_EPSILON = 2.220446049250313e-16
+    prob = (np.float64(prob) + DBL_EPSILON) / (1.0 + 2.0 * DBL_EPSILON)
+    a = np.float64(a) + DBL_EPSILON
+    b = np.float64(b) + DBL_EPSILON
+    A = prob * (a + b)
+    B = (1.0 - prob) * (a + b)
+    lr = INV_LOG10 * (a * np.log(a / A) + b * np.log(b / B))
+    return np.where(a > A, lr, 0.0)
 
 
 @dataclass
@@ -38,43 +55,45 @@ class VariantRecord:
 
 
 def tumor_only_tlodq(F, cfg):
-    """append_vcf_record's TLODQ with the all-zero normal (tumor-only)."""
+    """append_vcf_record's TLODQ with the all-zero normal (tumor-only).
+    Traceable: runs inside the jitted model program."""
+    ity = dpv._itype()
     prior_phred = 3  # Illumina
     tAD1 = (F["cDP1x"] + 0.5) / 100.0
     tDP1 = (F["CDP1x"] + 1.0) / 100.0
-    tn_dec = np.clip(F["bNMQ"],
-                     cfg.microadjust_syserr_MQ_NMR_tn_syserr_no_penal_qual_min,
-                     cfg.microadjust_syserr_MQ_NMR_tn_syserr_no_penal_qual_max) \
+    tn_dec = jnp.clip(F["bNMQ"],
+                      cfg.microadjust_syserr_MQ_NMR_tn_syserr_no_penal_qual_min,
+                      cfg.microadjust_syserr_MQ_NMR_tn_syserr_no_penal_qual_max) \
         - cfg.microadjust_syserr_MQ_NMR_tn_syserr_no_penal_qual_min
 
     def q4(tAD, tDP, tVQ, cap, nAD, nDP, nVQ, tn_dec_by_xm):
         # clip to keep the dense computation finite on non-candidate rows
         # (reference asserts cDPx <= CDPx for emitted alleles)
-        tAD = np.minimum(tAD, tDP)
-        binom = qual.binom_lr((tDP - tAD) / tDP, nDP - nAD, nAD).astype(np.int64)
-        nADplus = nAD * np.clip(nDP / tDP - 1.0, 0, 1)
+        tAD = jnp.minimum(tAD, tDP)
+        binom = qual.binom_lr((tDP - tAD) / tDP, nDP - nAD, nAD).astype(ity)
+        nADplus = nAD * jnp.clip(nDP / tDP - 1.0, 0, 1)
         bjp = ((tAD + 0.5) / (tDP + 1.0)) / ((nAD + 0.5 + nADplus) / (nDP + 1.0 + nADplus))
-        powl = np.round(cfg.powlaw_exponent * INV_LOG10 * np.log(bjp)).astype(np.int64)
+        powl = jnp.round(cfg.powlaw_exponent * INV_LOG10 * jnp.log(bjp)).astype(ity)
         # (-(uvc1_qual_t)nAD)*3 truncates the fractional normal AD to 0
-        inc = np.maximum.reduce([
-            np.full_like(binom, -prior_phred),
-            np.full_like(binom, -int(nAD) * 3),
-            np.minimum(binom - prior_phred, powl - prior_phred)])
-        dec = np.maximum(0, nVQ - np.maximum(0, np.minimum(
+        inc = _maxr([
+            jnp.full_like(binom, -prior_phred),
+            jnp.full_like(binom, -int(nAD) * 3),
+            jnp.minimum(binom - prior_phred, powl - prior_phred)])
+        dec = jnp.maximum(0, nVQ - jnp.maximum(0, jnp.minimum(
             binom - prior_phred,
-            (np.square(np.log(np.maximum(bjp, 1.001)) / math.log(2.0))
-             * cfg.tn_syserr_norm_devqual).astype(np.int64))))
-        dec = np.maximum(dec, np.minimum(nVQ + 9, tn_dec_by_xm))
-        return binom, powl, dec, np.minimum(cap, tVQ + inc) - dec
+            (jnp.square(jnp.log(jnp.maximum(bjp, 1.001)) / math.log(2.0))
+             * cfg.tn_syserr_norm_devqual).astype(ity))))
+        dec = jnp.maximum(dec, jnp.minimum(nVQ + 9, tn_dec_by_xm))
+        return binom, powl, dec, jnp.minimum(cap, tVQ + inc) - dec
 
     b4c = q4(tAD1, tDP1, F["cVQ1"], F["cPCQ1"], 0.005, 0.01, 0, tn_dec)
     tAD2 = (F["cDP2x"] + 0.5) / 100.0
     tDP2 = (F["CDP2x"] + 1.0) / 100.0
     c4c = q4(tAD2, tDP2, F["cVQ2"], F["cPCQ2"], 0.005, 0.01, 0,
-             np.maximum(tn_dec, 0))
+             jnp.maximum(tn_dec, 0))
     b4, c4 = b4c[3], c4c[3]
-    tlodq1 = np.maximum(b4, c4)
-    tlodq = np.where(tlodq1 >= 10, tlodq1, tlodq1 * 3 - 20)
+    tlodq1 = jnp.maximum(b4, c4)
+    tlodq = jnp.where(tlodq1 >= 10, tlodq1, tlodq1 * 3 - 20)
     return tlodq, b4c, c4c
 
 
@@ -116,7 +135,7 @@ def tn_join_quals(tki, nfm_vals, cfg, is_indel, gap_len):
 
     def q4(tAD, tDP, tVQ, cap, nAD, nDP, nVQ, dec_xm):
         tAD = min(tAD, tDP)
-        binom = int(qual.binom_lr((tDP - tAD) / tDP, nDP - nAD, nAD))
+        binom = int(_binom_lr_host((tDP - tAD) / tDP, nDP - nAD, nAD))
         nADplus = nAD * min(max(nDP / tDP - 1.0, 0.0), 1.0)
         bjp = ((tAD + 0.5) / (tDP + 1.0)) / ((nAD + 0.5 + nADplus) / (nDP + 1.0 + nADplus))
         powl = round(cfg.powlaw_exponent * INV_LOG10 * math.log(bjp))
@@ -190,43 +209,236 @@ def prepare_region(batch, ref_syms, region_offset, cfg,
                 tpfa_dpv=tpfa_dpv, tpfa_qual=tpfa_qual)
 
 
+class _WriteTrack:
+    """Dict facade over the model-input arrays that records every key the
+    traced model writes, so the jit boundary returns exactly the produced
+    planes (and nothing it merely read)."""
+
+    def __init__(self, base, P, read_log=None):
+        self.base = base
+        self.P = P
+        self.writes = {}
+        self.read_log = read_log
+
+    def __getitem__(self, k):
+        if k == "P":
+            return self.P
+        if k in self.writes:
+            return self.writes[k]
+        if self.read_log is not None:
+            self.read_log.add(k)
+        return self.base[k]
+
+    def __setitem__(self, k, v):
+        self.writes[k] = v
+
+    def __contains__(self, k):
+        return k == "P" or k in self.writes or k in self.base
+
+
+def _model_core(arrays, cand, tpfa_dpv, tpfa_qual, cfg, is_tumor_only,
+                read_log=None):
+    """The full per-column quality model as ONE traced program:
+    calc_DPv -> sum_DPv -> calc_qual -> TLODQ/lowestVAQ/vcfqual
+    (main.hpp:4253-5343 + 6194-6211)."""
+    P = arrays["ref_syms"].shape[0]
+    Fm = _WriteTrack(arrays, P, read_log)
+    dpv.calc_dpv(Fm, cfg, is_tumor_only, tpfa=tpfa_dpv)
+    dpv.sum_dpv(Fm, cand)
+    qual.calc_qual(Fm, cfg, is_tumor_only, tpfa=tpfa_qual)
+    tlodq, b4c, c4c = tumor_only_tlodq(Fm, cfg)
+
+    # lowestVAQ (main.hpp:6196-6201)
+    bDP_allele = Fm["bDPf"] + Fm["bDPr"]
+    refsym = Fm["ref_syms"][:, None]
+    sym = jnp.broadcast_to(jnp.arange(NS)[None, :], (P, NS))
+    is_deam = (((refsym == 1) & (sym == 3)) | ((refsym == 2) & (sym == 0)))
+    b_min = 2 + 3 - (-INV_LOG10 * jnp.log(
+        (bDP_allele + 1e-3) / (Fm["BDP"] + 1.0))) / 10.0
+    c2v_min = 2 + 5 - (-INV_LOG10 * jnp.log(
+        (Fm["cDP2x"] * 0.01 + 1e-5) / (Fm["CDP2x"] * 0.01 + 1.0)
+        / jnp.where(is_deam, 5.0, 1.0))) / 10.0
+    lowestVAQ = jnp.maximum(b_min, c2v_min)
+    raw_q = jnp.maximum(tlodq.astype(dpv._ftype()), lowestVAQ)
+    base10 = 10.0 ** 0.1
+    vcfqual = jnp.where(raw_q < 10.0,
+                        jnp.log1p(jnp.power(base10, raw_q)) / math.log(base10),
+                        raw_q)
+    out = dict(Fm.writes)
+    out["_tlodq"] = tlodq
+    out["_b4c"] = b4c
+    out["_c4c"] = c4c
+    out["_bDP_allele"] = bDP_allele
+    out["_vcfqual"] = vcfqual
+    return out
+
+
+_MODEL_JIT = {}
+
+
+def _get_model_jit(cfg, is_tumor_only, rescued):
+    key = (id(cfg), is_tumor_only, rescued)
+    fn = _MODEL_JIT.get(key)
+    if fn is None:
+        if rescued:
+            def fn(arrays, cand, tpfa_dpv, tpfa_qual):
+                return _model_core(arrays, cand, tpfa_dpv, tpfa_qual,
+                                   cfg, is_tumor_only)
+        else:
+            def fn(arrays, cand):
+                return _model_core(arrays, cand, None, None,
+                                   cfg, is_tumor_only)
+        fn = jax.jit(fn)
+        _MODEL_JIT[key] = fn
+    return fn
+
+
+def _model_input_arrays(F):
+    P = F["P"]
+    return {k: v for k, v in F.items()
+            if isinstance(v, np.ndarray) and v.ndim >= 1
+            and v.dtype != object and v.shape[0] == P}
+
+
+def _bucket(n):
+    """Pad row counts to coarse buckets so the jitted model compiles a
+    bounded number of shapes (the reference has no analog: it is scalar
+    code; this is the TPU-native static-shape discipline)."""
+    b = 128
+    while b < n:
+        b *= 2
+    return b
+
+
+def _pad0(a, B):
+    if a.shape[0] == B:
+        return a
+    return np.pad(a, [(0, B - a.shape[0])] + [(0, 0)] * (a.ndim - 1))
+
+
+# Every plane the jitted model consumes (union of tumor-only and rescued
+# traces, + cDP0a for the host germline stage).  Static so forked pileup
+# workers can assemble a model request WITHOUT touching jax (the parent
+# process owns the device and services requests; see cli/uvc1.py).
+# tests/test_calling.py asserts this list matches a fresh discovery trace.
+MODEL_READ_PLANES = (
+    "A1BQf A1BQr ABQ2 ADPff ADPfr ADPrf ADPrr ALB2 ALBL ALI2 ALIr ALP1 "
+    "ALP2 ALPL AMQs AP1 AP2 APDP APF2 APLRI APXM ARB2 ARBL ARI2 ARIf ARP2 "
+    "ARPL BDP BTA BTB C2BQ2 C2LB2 C2LBL C2LP0 C2LP2 C2LPL C2RB2 C2RBL "
+    "C2RP0 C2RP2 C2RPL CDP1 CDP12 CDP12b_l CDP12b_r CDP1b_l CDP1b_r CDP2 "
+    "CDP2b_l CDP2b_r CDP3 DDP1 a1BQf a1BQr a2XM2 aBQ aBQ2 aBQQ aDPff "
+    "aDPfr aDPrf aDPrr aLB1 aLB2 aLBL aLI1 aLI2 aLIT aLIr aLP1 aLP2 aLPL "
+    "aMQs aNC aP1 aP2 aP3 aPF1 aPF2 aRB1 aRB2 aRBL aRI1 aRI2 aRIT aRIf "
+    "aRP1 aRP2 aRPL bDPa bDPf bDPr bIADb bIAQb bMQ bTAf bTAr bTBf bTBr "
+    "c2BQ2 c2LB1 c2LB2 c2LBL c2LP0 c2LP1 c2LP2 c2LPL c2RB1 c2RB2 c2RBL "
+    "c2RP0 c2RP1 c2RP2 c2RPL cDP0a cDP12f cDP12r cDP1f cDP1r cDP2f cDP2r "
+    "cDP3f cDP3r cDPMf cDPMr cDPmf cDPmr cIADf cIADr cIAQf cIAQr cIDQf "
+    "cIDQr ctx_repeatnum ctx_unitlen dDP1 dDP2 del1_cdepth del_cdepth "
+    "gapLen ins1_cdepth ins_cdepth ref_syms rtr1_tracklen_3 "
+    "rtr1_unitlen_3 rtr2_anyTR_tracklen_3 rtr2_tracklen_3 rtr2_unitlen_3"
+).split()
+
+# In forked pileup workers this is bound to an RPC that ships the model
+# request to the parent (the single device owner) and blocks for the
+# output pytree; None means evaluate locally (single-process / tests).
+_MODEL_EVAL = None
+
+_MODEL_READS = {}
+_X64_CHECKED = False
+
+
+def _maybe_enable_x64():
+    """On a CPU backend, run the model in float64 so it is bit-comparable
+    with the reference's double math (tests, goldens); TPU stays f32."""
+    global _X64_CHECKED
+    if _X64_CHECKED:
+        return
+    _X64_CHECKED = True
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except RuntimeError:
+            pass  # backend already initialized with the right platforms
+    if jax.default_backend() == "cpu" and not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)
+    # persistent compile cache: the model program is identical across
+    # processes/runs, so recompiles (several seconds each) amortize away
+    cache_dir = os.environ.get(
+        "UVC_TPU_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "uvc_tpu_xla"))
+    if cache_dir != "0":
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        except Exception:
+            pass
+
+
+def _discover_model_reads(arrays, P, cfg, is_tumor_only, rescued):
+    """One abstract trace (jax.eval_shape: no compile, no compute) with a
+    read-recording dict, so the jit boundary passes exactly the planes the
+    model consumes — the F dict carries ~200, the model reads well under
+    half."""
+    key = (id(cfg), is_tumor_only, rescued)
+    ks = _MODEL_READS.get(key)
+    if ks is not None:
+        return ks
+    reads = set()
+    structs = {k: jax.ShapeDtypeStruct(v.shape, v.dtype)
+               for k, v in arrays.items()}
+    cand_s = jax.ShapeDtypeStruct((P, NS), np.bool_)
+    tp_s = jax.ShapeDtypeStruct((P, NS), np.float64)
+
+    def run(a, c, t1, t2):
+        return _model_core(a, c, t1 if rescued else None,
+                           t2 if rescued else None, cfg, is_tumor_only,
+                           read_log=reads)
+
+    jax.eval_shape(run, structs, cand_s, tp_s, tp_s)
+    ks = tuple(sorted(reads))
+    _MODEL_READS[key] = ks
+    return ks
+
+
 def model_stage(F, cand, cfg, is_tumor_only=True, tpfa_dpv=None,
                 tpfa_qual=None):
-    """Phase B: the dense per-column quality model.  Every computation is
-    per-position (no cross-position data flow), so regions may be batched
-    by concatenation along axis 0 (model_stage_batched) with results
-    identical to per-region evaluation."""
+    """Phase B: the dense per-column quality model, executed as ONE jitted
+    XLA program on the default backend (the TPU in production; CPU with
+    x64 in tests, where it is bit-comparable to the float64 reference
+    semantics).  Every computation is per-position (no cross-position data
+    flow), so regions may be batched by concatenation along axis 0
+    (model_stage_batched) with results identical to per-region evaluation.
+    Inputs are padded to power-of-two row buckets to bound the number of
+    compiled shapes."""
     P = F["P"]
-    dpv.calc_dpv(F, cfg, is_tumor_only, tpfa=tpfa_dpv)
-    dpv.sum_dpv(F, cand)
-    qual.calc_qual(F, cfg, is_tumor_only, tpfa=tpfa_qual)
+    rescued = tpfa_dpv is not None
+    B = _bucket(max(P, 1))
+    arrays = {k: _pad0(F[k], B) for k in MODEL_READ_PLANES}
+    cand_p = _pad0(np.asarray(cand), B)
+    tp_d = _pad0(np.asarray(tpfa_dpv), B) if rescued else None
+    tp_q = _pad0(np.asarray(tpfa_qual), B) if rescued else None
+    payload = (arrays, cand_p, tp_d, tp_q, is_tumor_only, rescued)
+    if _MODEL_EVAL is not None:
+        out = _MODEL_EVAL(payload)
+    else:
+        out = model_eval_local(payload, cfg)
+    out = jax.tree.map(lambda v: v[:P], out)
+    F.update(out)
     germ = germline.germline_nlodq(F, cand, cfg, is_tumor_only)
     F["_germ"] = germ
     F["_cand"] = cand
-    tlodq, b4c, c4c = tumor_only_tlodq(F, cfg)
-
-    # lowestVAQ (main.hpp:6196-6201)
-    bDP_allele = F["bDPf"] + F["bDPr"]
-    refsym = F["ref_syms"][:, None]
-    sym = np.broadcast_to(np.arange(NS)[None, :], (P, NS))
-    is_deam = (((refsym == 1) & (sym == 3)) | ((refsym == 2) & (sym == 0)))
-    b_min = 2 + 3 - (-INV_LOG10 * np.log(
-        (bDP_allele + 1e-3) / (F["BDP"] + 1.0))) / 10.0
-    c2v_min = 2 + 5 - (-INV_LOG10 * np.log(
-        (F["cDP2x"] * 0.01 + 1e-5) / (F["CDP2x"] * 0.01 + 1.0)
-        / np.where(is_deam, 5.0, 1.0))) / 10.0
-    lowestVAQ = np.maximum(b_min, c2v_min)
-    raw_q = np.maximum(tlodq.astype(np.float64), lowestVAQ)
-    base10 = 10.0 ** 0.1
-    vcfqual = np.where(raw_q < 10.0,
-                       np.log1p(np.power(base10, raw_q)) / math.log(base10),
-                       raw_q)
-    F["_tlodq"] = tlodq
-    F["_b4c"] = b4c
-    F["_c4c"] = c4c
-    F["_bDP_allele"] = bDP_allele
-    F["_vcfqual"] = vcfqual
     return F
+
+
+def model_eval_local(payload, cfg):
+    """Run one padded model request through the jitted program on this
+    process's default device and return a numpy output pytree.  Called by
+    the parent/device-owner process (or directly when single-process)."""
+    _maybe_enable_x64()
+    arrays, cand_p, tp_d, tp_q, is_tumor_only, rescued = payload
+    fn = _get_model_jit(cfg, is_tumor_only, rescued)
+    out = fn(arrays, cand_p, tp_d, tp_q) if rescued else fn(arrays, cand_p)
+    return jax.tree.map(np.asarray, out)
 
 
 def _slice_model_val(v, lo, hi, bigP):
@@ -289,30 +501,13 @@ def model_stage_batched(ctxs, cfg, is_tumor_only=True):
         bigR = int(sum(Ps))
     offs = np.concatenate([[0], np.cumsum(Rs)])
 
-    class _LazyGather(dict):
-        """Gathers an input plane's candidate rows across regions on
-        FIRST read, so only the planes the model actually consumes are
-        copied (the F dict carries ~200 planes; the model reads well
-        under half).  Tracks gathered objects so writes that REPLACE an
-        input plane are scattered back while pure reads are not."""
-
-        def __init__(self):
-            super().__init__()
-            self.gathered = {}
-
-        def __missing__(self, k):
-            v0 = ctxs[0]["F"][k]    # missing keys raise KeyError loudly
-            if not (isinstance(v0, np.ndarray) and v0.ndim >= 1
-                    and v0.shape[0] == Ps[0]):
-                raise KeyError(
-                    f"model read non-concatenatable plane {k!r}")
-            v = np.concatenate([c["F"][k][r] for c, r in zip(ctxs, rows_l)],
-                               axis=0)
-            self[k] = v
-            self.gathered[k] = v
-            return v
-
-    Fb = _LazyGather()
+    # gather exactly the planes the jitted model (plus the host germline
+    # stage) consumes; the F dict carries ~200 planes, the model reads
+    # well under half
+    Fb = {k: np.concatenate([c["F"][k][r] for c, r in zip(ctxs, rows_l)],
+                            axis=0)
+          for k in MODEL_READ_PLANES}
+    orig_ids = {k: id(v) for k, v in Fb.items()}
     Fb["P"] = bigR
     cand_b = np.concatenate([c["cand"][r] for c, r in zip(ctxs, rows_l)],
                             axis=0)
@@ -332,8 +527,8 @@ def model_stage_batched(ctxs, cfg, is_tumor_only=True):
         F = c["F"]
         rows, P = rows_l[i], Ps[i]
         for k, v in Fb.items():
-            if k == "P" or Fb.gathered.get(k) is v:
-                continue    # pure read of an input plane: keep the original
+            if k == "P" or orig_ids.get(k) == id(v):
+                continue    # unmodified gathered input: keep the original
             F[k] = _scatter_model_val(v, lo, hi, bigR, rows, P)
         F["_cand"] = c["cand"]
 
@@ -531,8 +726,8 @@ def assemble_records(ctx, refstring, region_offset, chrom, cfg,
                 tAD = (tki.cDP1x + 50) / 100.0
                 tDP = (tki.CDP1x + 100) / 100.0
                 bjpfrac = (tAD / tDP) / (nAD / nDP)
-                binom = int(qual.binom_lr((tDP - min(tAD, tDP)) / tDP,
-                                          nDP - nAD, nAD))
+                binom = int(_binom_lr_host((tDP - min(tAD, tDP)) / tDP,
+                                           nDP - nAD, nAD))
                 powl = int(cfg.powlaw_exponent * INV_LOG10 * math.log(bjpfrac))
                 tri_inc = 0
                 if norm_sym != s:

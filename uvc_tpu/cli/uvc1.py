@@ -127,6 +127,83 @@ def _dump_debug_locus(rctx, cfg):
             print(f"  {k} = {hits}", file=sys.stderr)
 
 
+def _worker_main(wid, task_q, req_q, resp_q, work_ctx):
+    """Forked pileup worker: pull region chunks, do host prepare/emit, and
+    route every model evaluation to the parent device owner."""
+    global _WORK_CTX
+    _WORK_CTX = work_ctx
+
+    def _eval_remote(payload):
+        req_q.put(("model", wid, payload))
+        out = resp_q.get()
+        if isinstance(out, BaseException):
+            raise out
+        return out
+
+    calling._MODEL_EVAL = _eval_remote
+    while True:
+        task = task_q.get()
+        if task is None:
+            break
+        ci, chunk = task
+        try:
+            req_q.put(("done", ci, _process_region_chunk(chunk)))
+        except BaseException as e:  # noqa: BLE001 - relayed to the parent
+            import traceback
+            req_q.put(("error", ci, traceback.format_exc()))
+            raise
+
+
+def _run_device_server_pipeline(work_ctx, chunks, n_workers, cfg):
+    """Fork n_workers prepare/emit processes BEFORE any jax use, then serve
+    their model requests from this process (the one device owner), yielding
+    per-chunk results in order.  This is the TPU-native replacement for the
+    reference's OpenMP pool (main.cpp:1478-1539): host parallelism for the
+    pileup, one jitted program stream for the model."""
+    import multiprocessing as mp
+    ctx = mp.get_context("fork")
+    task_q = ctx.SimpleQueue()
+    req_q = ctx.SimpleQueue()
+    resp_qs = [ctx.SimpleQueue() for _ in range(n_workers)]
+    workers = [ctx.Process(target=_worker_main,
+                           args=(w, task_q, req_q, resp_qs[w], work_ctx),
+                           daemon=True)
+               for w in range(n_workers)]
+    for w in workers:
+        w.start()
+    for ci, chunk in enumerate(chunks):
+        task_q.put((ci, chunk))
+    for _ in workers:
+        task_q.put(None)
+
+    done = {}
+    next_ci = 0
+    pending = len(chunks)
+    while pending:
+        kind, key, payload = req_q.get()
+        if kind == "model":
+            try:
+                out = calling.model_eval_local(payload, work_ctx["cfg"])
+            except BaseException as e:  # noqa: BLE001 - relayed to worker
+                out = e
+            resp_qs[key].put(out)
+        elif kind == "error":
+            for w in workers:
+                w.terminate()
+            raise RuntimeError(f"worker failed on chunk {key}:\n{payload}")
+        else:
+            done[key] = payload
+            pending -= 1
+            while next_ci in done:
+                yield done.pop(next_ci)
+                next_ci += 1
+    for w in workers:
+        w.join()
+    while next_ci in done:
+        yield done.pop(next_ci)
+        next_ci += 1
+
+
 def _process_region_chunk(idxs):
     """Process a chunk of region plans; the per-column quality model runs
     ONCE over the concatenated chunk (calling.model_stage_batched — exact
@@ -381,17 +458,18 @@ def run(argv=None):
     if n_workers > 1:
         # data-parallel region processing with ordered serial output,
         # mirroring the reference's dynamic thread pool + serial concat
-        # (main.cpp:1478-1551); fork shares the batch copy-on-write
-        import multiprocessing as mp
-        global _WORK_CTX
-        _WORK_CTX = work_ctx
-        ctx = mp.get_context("fork")
-        with ctx.Pool(n_workers) as pool:
-            for results, stage_t in pool.imap(_process_region_chunk, chunks):
-                _account(stage_t)
-                for nrec, text in results:
-                    _emit(nrec, text)
+        # (main.cpp:1478-1551); fork shares the batch copy-on-write.
+        # The PARENT is the single device owner: forked workers never touch
+        # jax (fork + live XLA threads deadlocks, and N processes must not
+        # fight over one TPU) — they ship padded model requests up a queue
+        # and block for the jitted outputs (calling._MODEL_EVAL).
+        for ci_results, stage_t in _run_device_server_pipeline(
+                work_ctx, chunks, n_workers, cfg):
+            _account(stage_t)
+            for nrec, text in ci_results:
+                _emit(nrec, text)
     else:
+        global _WORK_CTX
         _WORK_CTX = work_ctx
         for chunk in chunks:
             results, stage_t = _process_region_chunk(chunk)

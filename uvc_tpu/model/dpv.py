@@ -11,12 +11,20 @@ Dense tumor-only path (tpfa = -1 for all alleles); the rescued (normal)
 path reuses the same kernels with per-allele tpfa overrides.
 """
 
+import functools
 import math
 
-import numpy as np
+import jax.numpy as jnp
+import numpy as onp
 
 from ..constants import Symbol, NUM_SYMBOLS
-from .fmtarrays import tdiv
+
+# The whole DPv battery is pure [P,14] elementwise tensor math, so it is
+# written in jax.numpy and traced into ONE jitted program together with
+# calc_qual (see calling.model_stage): float64 on CPU (x64 enabled -> bit
+# comparable with the reference math), float32/int32 on TPU where the same
+# program is the production model stage.
+np = jnp  # module-wide alias: every op below traces
 
 NS = NUM_SYMBOLS
 INV_LOG10 = 10.0 / math.log(10.0)
@@ -24,22 +32,37 @@ DBL_EPSILON = 2.220446049250313e-16
 DBLFLT_EPS = 1.1920928955078125e-07
 
 
+def _minr(arrs):
+    return functools.reduce(jnp.minimum, arrs)
+
+
+def _maxr(arrs):
+    return functools.reduce(jnp.maximum, arrs)
+
+
+def _ftype():
+    return jnp.result_type(float)
+
+
+def _itype():
+    return jnp.result_type(int)
+
+
+def tdiv(a, b):
+    """C-style integer division truncating toward zero (traceable)."""
+    a = jnp.asarray(a, dtype=_itype())
+    b = jnp.asarray(b, dtype=_itype())
+    q = jnp.abs(a) // jnp.abs(b)
+    return jnp.where((a < 0) != (b < 0), -q, q)
+
+
 def _dp4(osf, adp, adf, dpp, dpf, pl_exp, n_nats, ad_avg=None, dp_avg=None,
          priorAD=0.5, priorDP=1.0, bidirectional=False, osf_disabled=False):
-    """numpy float64 dp4_to_pcFA (same semantics as ops.math.dp4_to_pcFA)."""
-    shape = np.broadcast_shapes(
-        np.shape(adp), np.shape(adf), np.shape(dpp), np.shape(dpf))
-    if int(np.prod(shape)) > 4096:
-        from ..ops import native_rowpile as _nr
-        nat = _nr.dp4_native(adp, adf, dpp, dpf, osf, pl_exp, n_nats,
-                             ad_avg, dp_avg, priorAD, priorDP,
-                             bidirectional, osf_disabled, shape)
-        if nat is not None:
-            return nat
-    adp = np.asarray(adp, np.float64)
-    adf = np.asarray(adf, np.float64)
-    dpp = np.asarray(dpp, np.float64)
-    dpf = np.asarray(dpf, np.float64)
+    """dp4_to_pcFA (main_conversion.hpp:798-849), traceable."""
+    adp = np.asarray(adp, _ftype())
+    adf = np.asarray(adf, _ftype())
+    dpp = np.asarray(dpp, _ftype())
+    dpf = np.asarray(dpf, _ftype())
     if not osf_disabled:
         dpf = dpf * osf
         dpp = dpp * osf
@@ -79,18 +102,18 @@ def _dp4(osf, adp, adf, dpp, dpf, pl_exp, n_nats, ad_avg=None, dp_avg=None,
 
 
 def phred2nat(x):
-    return np.asarray(x, np.float64) * (math.log(10.0) / 10.0)
+    return np.asarray(x, _ftype()) * (math.log(10.0) / 10.0)
 
 
 def numstates2phred(x):
     return INV_LOG10 * np.log(x)
 
 
-IS_SUBST = np.zeros(NS, dtype=bool)
+IS_SUBST = onp.zeros(NS, dtype=bool)
 IS_SUBST[:6] = True
-IS_INS = np.zeros(NS, dtype=bool)
+IS_INS = onp.zeros(NS, dtype=bool)
 IS_INS[[10, 11, 12]] = True
-IS_DEL = np.zeros(NS, dtype=bool)
+IS_DEL = onp.zeros(NS, dtype=bool)
 IS_DEL[[7, 8, 9]] = True
 IS_INDEL = IS_INS | IS_DEL
 
@@ -150,7 +173,7 @@ def calc_dpv(F, cfg, is_tumor_only=True, tpfa=None):
     is_nmore_amp = is_strong_amp if is_tumor_only else is_weak_amp
     gate_cb = ((is_nmore_amp & (0x2 == (0x2 & cfg.nobias_flag)))
                | ((~is_nmore_amp) & (0x1 == (0x1 & cfg.nobias_flag))))
-    if gate_cb.any():
+    if True:  # traced: np.where gates replace the host-side .any() skip
         using_bias_oddsA = ((aDP - F["aP1"] + 0.5) / (ADP - F["AP1"] + 1.0))
         using_bias_oddsA = using_bias_oddsA / (1.0 - np.minimum(using_bias_oddsA, 1 - 1e-12))
         using_nobias_oddsA = ((F["aP1"] + 0.5) / (F["AP1"] + 1.0))
@@ -247,8 +270,8 @@ def calc_dpv(F, cfg, is_tumor_only=True, tpfa=None):
     aBprior -= maxpf
     aPprior += allbias_allprior
     aBprior += allbias_allprior
-    F["nPF_P"] = np.round(aPprior).astype(np.int64)
-    F["nPF_B"] = np.round(aBprior).astype(np.int64)
+    F["nPF_P"] = np.round(aPprior).astype(_itype())
+    F["nPF_B"] = np.round(aBprior).astype(_itype())
 
     aIprior = np.where(is_subst, cfg.bias_priorfreq_ipos_snv,
                        cfg.bias_priorfreq_ipos_indel) + allbias_allprior
@@ -297,19 +320,15 @@ def calc_dpv(F, cfg, is_tumor_only=True, tpfa=None):
     F["enable_tier2"] = try_t2  # rescued mode overrides via tki
 
     cFA2L = np.where(try_t2,
-                     (np.square(F["c2LP0"].astype(np.float64)) * 2
+                     (np.square(F["c2LP0"].astype(_ftype())) * 2
                       / np.maximum(1, np.minimum(c2DP, F["c2LP0"] * 4)) + c2altpc)
                      / (F["C2LP0"] + 1.0), 1.0)
     cFA2R = np.where(try_t2,
-                     (np.square(F["c2RP0"].astype(np.float64)) * 2
+                     (np.square(F["c2RP0"].astype(_ftype())) * 2
                       / np.maximum(1, np.minimum(c2DP, F["c2RP0"] * 4)) + c2altpc)
                      / (F["C2RP0"] + 1.0), 1.0)
 
-    c2LPFA = np.ones((P, NS))
-    c2RPFA = np.ones((P, NS))
-    c2LBFA = np.ones((P, NS))
-    c2RBFA = np.ones((P, NS))
-    if try_t2.any():
+    if True:  # traced: the np.where(try_t2, ...) gates do the masking
         C2DP = F["CDP2"]
 
         def pcfa_c2(a1, A2, a2, AL, AB, aL, aB, prior):
@@ -360,7 +379,7 @@ def calc_dpv(F, cfg, is_tumor_only=True, tpfa=None):
         (F["aRI1"] + 0.5) / (F["ARI2"] + F["aRI1"] - F["aRI2"] + 1.0))
 
     # indel nobias rescue (main.hpp:4537-4568)
-    indel_mac = np.maximum(1, F["bDPa"]) / np.maximum(1, F["bDPf"] + F["bDPr"]).astype(np.float64)
+    indel_mac = np.maximum(1, F["bDPa"]) / np.maximum(1, F["bDPf"] + F["bDPr"]).astype(_ftype())
     apdp13max = np.maximum(F["APDP"][:, 1], F["APDP"][:, 3])[:, None]
     apdp24max = np.maximum(F["APDP"][:, 2], F["APDP"][:, 4])[:, None]
     is_major_reg = ((apdp13max + apdp24max) * 0.5 * (1.0 + DBLFLT_EPS)
@@ -490,18 +509,18 @@ def calc_dpv(F, cfg, is_tumor_only=True, tpfa=None):
                           - cfg.syserr_MQ_NMR_nonaltfrac_coef * nonalt_frac)
     bNMQ = np.round(numstates2phred(np.power(
         frac_mut / cfg.syserr_MQ_NMR_expfrac, cfg.syserr_MQ_NMR_pl_exponent))
-        * frac_mut).astype(np.int64)
-    F["bNMa"] = np.round(100 * alt_frac).astype(np.int64)
-    F["bNMb"] = np.round(100 * nonalt_frac).astype(np.int64)
+        * frac_mut).astype(_itype())
+    F["bNMa"] = np.round(100 * alt_frac).astype(_itype())
+    F["bNMb"] = np.round(100 * nonalt_frac).astype(_itype())
     F["bNMQ"] = bNMQ
 
     is_tmore_amp_pl = is_tmore_amp | ((cfg.primerlen > 0) and not (0x4 & cfg.primer_flag))
     bFAa = bFA
-    tier1_selfonly_min = np.minimum.reduce([
+    tier1_selfonly_min = _minr([
         cROFA1, aLPFA2, aRPFA2, aLBFA2, aRBFA2, cFA0,
         aDPFA * np.clip(1.0 + aDPFA - alt_frac, 0.1, 1.0),
         aPFFA * aSSFA2 / np.maximum(aSSFA2, aSSFAx[1])])
-    tier1_selfplus_min = np.minimum.reduce([
+    tier1_selfplus_min = _minr([
         aSSFA2, aLIFA2, aRIFA2, np.maximum(aDPFA * 0.01, aSIFA), bFAa])
 
     cFA2a = np.where(is_tmore_amp_pl & (not is_rescued),
@@ -511,7 +530,7 @@ def calc_dpv(F, cfg, is_tumor_only=True, tpfa=None):
     cFA3a = np.where(t3gate, cFA3, 1.0)
     c23FA = cFA2a
 
-    tier2_selfonly_min = np.minimum.reduce([
+    tier2_selfonly_min = _minr([
         cROFA2, c2LPFA2, c2RPFA2, c2LBFA2, c2RBFA2, cFA2a, cFA3a, cFA2L, cFA2R])
 
     # FTS bias flags
@@ -529,7 +548,7 @@ def calc_dpv(F, cfg, is_tumor_only=True, tpfa=None):
             ("c2AlignR", cFA2, c2RBFA2), ("c2StrictPosL", cFA2, cFA2L),
             ("c2StrictPosR", cFA2, cFA2R)):
         fts[name] = (biasFA < refFA * thresr,
-                     np.round(100.0 * biasFA / refFA).astype(np.int64))
+                     np.round(100.0 * biasFA / refFA).astype(_itype()))
     F["FTS"] = fts
     # nNFA/nAFA/nBCFA deciphred diagnostics (bcf_formats_generator1.cpp:
     # 482-486): allele fractions as -10*100*log10 values; ONE stacked log
@@ -541,7 +560,7 @@ def calc_dpv(F, cfg, is_tumor_only=True, tpfa=None):
     _dp_stack = np.stack([np.broadcast_to(x, aDPFA.shape) for x in _dp_src])
     _dp_all = (-np.round(100.0 / math.log(10.0)
                          * np.log(np.maximum(_dp_stack, 1e-12)))
-               .astype(np.int64))
+               .astype(_itype()))
     F["nNFA"] = [_dp_all[i] for i in range(6)]
     F["nAFA"] = [_dp_all[i] for i in range(6, 15)]
     F["nBCFA"] = [_dp_all[i] for i in range(15, 21)]
@@ -562,7 +581,7 @@ def calc_dpv(F, cfg, is_tumor_only=True, tpfa=None):
 
     dedup_FA = (np.minimum(bFA, cFA0) if is_tumor_only
                 else np.maximum(bFA, cFA0))
-    frac_umi2seg = np.minimum.reduce([np.ones((P, NS)), c23FA / aDPFA,
+    frac_umi2seg = _minr([np.ones((P, NS)), c23FA / aDPFA,
                                       aDPFA / c23FA])
 
     refbias = np.zeros((P, NS))
@@ -581,14 +600,14 @@ def calc_dpv(F, cfg, is_tumor_only=True, tpfa=None):
     min_v = np.maximum(np.minimum(np.minimum(tier1_selfplus_min,
                                              tier1_selfonly_min), aNCFA),
                        counterbias_FA)
-    F["cDP1v"] = (norm_fa(min_v) * F["CDP1"] * 100).astype(np.int64)
-    min_w = np.maximum(np.minimum.reduce([aLPFA2, aRPFA2, aLBFA2, aRBFA2,
+    F["cDP1v"] = (norm_fa(min_v) * F["CDP1"] * 100).astype(_itype())
+    min_w = np.maximum(_minr([aLPFA2, aRPFA2, aLBFA2, aRBFA2,
                                           bFA, aNCFA]), counterbias_FA)
-    F["cDP1w"] = (norm_fa(min_w) * F["CDP1"] * 100).astype(np.int64)
+    F["cDP1w"] = (norm_fa(min_w) * F["CDP1"] * 100).astype(_itype())
     min_x = np.minimum(aPFFA, dedup_FA)
     if not is_tumor_only:
         min_x = np.maximum(min_x, counterbias_FA)
-    F["cDP1x"] = 1 + (min_x * F["CDP1"] * 100).astype(np.int64)
+    F["cDP1x"] = 1 + (min_x * F["CDP1"] * 100).astype(_itype())
 
     c2XB = np.clip(3.0 * c2LBFA2 * c2RBFA2 * aSSFA2 / (cFA2 ** 3),
                    np.minimum(c2LBFA2, c2RBFA2) / 8.0,
@@ -597,16 +616,16 @@ def calc_dpv(F, cfg, is_tumor_only=True, tpfa=None):
                    np.minimum(c2LPFA2, c2RPFA2) / 8.0,
                    np.minimum(c2LPFA2, c2RPFA2))
     c2XX = np.minimum(c2XB, c2XP)
-    min_c2v = np.maximum(np.minimum(np.minimum.reduce([
+    min_c2v = np.maximum(np.minimum(_minr([
         tier1_selfplus_min, tier2_selfonly_min, c2XX]), aNCFA),
         counterbias_FA * frac_umi2seg)
-    F["cDP2v"] = (norm_fa(min_c2v) * F["CDP2"] * 100).astype(np.int64)
-    min_c2w = np.maximum(np.minimum.reduce([
+    F["cDP2v"] = (norm_fa(min_c2v) * F["CDP2"] * 100).astype(_itype())
+    min_c2w = np.maximum(_minr([
         c2LPFA2, c2RPFA2, c2XX, c2LBFA2, c2RBFA2, cFA2, aNCFA]),
         counterbias_FA * frac_umi2seg)
-    F["cDP2w"] = (norm_fa(min_c2w) * F["CDP2"] * 100).astype(np.int64)
+    F["cDP2w"] = (norm_fa(min_c2w) * F["CDP2"] * 100).astype(_itype())
     min_c2x = np.minimum(aPFFA, c23FA)
-    F["cDP2x"] = 1 + (min_c2x * F["CDP2"] * 100).astype(np.int64)
+    F["cDP2x"] = 1 + (min_c2x * F["CDP2"] * 100).astype(_itype())
     return F
 
 
@@ -614,24 +633,27 @@ def candidate_mask(F, cfg, is_tumor_only=True, rescued_pos_sym=None):
     """Which (pos, symbol) pairs become fmt candidates (main.cpp:805-841):
     alt symbols need bdepth >= min_altdp_thres; the ref symbol is included
     when the position's total bdepth minus the ref bdepth reaches the same
-    threshold. In rescued (normal) mode only rescued pairs are candidates."""
+    threshold. In rescued (normal) mode only rescued pairs are candidates.
+
+    Host-side gating (plain numpy): this runs BEFORE the jitted model to
+    pick the candidate rows it will evaluate."""
     P = F["P"]
     bdepth = F["bDPf"] + F["bDPr"]
     refsym = F["ref_syms"][:, None]
-    sym = np.broadcast_to(np.arange(NS)[None, :], (P, NS))
+    sym = onp.broadcast_to(onp.arange(NS)[None, :], (P, NS))
     is_ref = ((sym == refsym) & IS_SUBST[None, :]) | (sym == int(Symbol.LINK_M))
-    ref_bdepth = np.take_along_axis(bdepth, refsym, axis=1)
-    ref_bdepth_l = np.take_along_axis(
-        bdepth, np.full((P, 1), int(Symbol.LINK_M)), axis=1)
+    ref_bdepth = onp.take_along_axis(bdepth, refsym, axis=1)
+    ref_bdepth_l = onp.take_along_axis(
+        bdepth, onp.full((P, 1), int(Symbol.LINK_M)), axis=1)
     tot = F["BDP"]
-    nonref = np.where(IS_SUBST[None, :], tot - ref_bdepth, tot - ref_bdepth_l)
+    nonref = onp.where(IS_SUBST[None, :], tot - ref_bdepth, tot - ref_bdepth_l)
     if is_tumor_only:
-        mask = np.where(is_ref, nonref >= cfg.min_altdp_thres,
-                        bdepth >= cfg.min_altdp_thres)
+        mask = onp.where(is_ref, nonref >= cfg.min_altdp_thres,
+                         bdepth >= cfg.min_altdp_thres)
         if cfg.should_output_all:
-            mask = np.ones((P, NS), dtype=bool)
+            mask = onp.ones((P, NS), dtype=bool)
     else:
-        mask = np.zeros((P, NS), dtype=bool)
+        mask = onp.zeros((P, NS), dtype=bool)
         if rescued_pos_sym is not None:
             for (p, s) in rescued_pos_sym:
                 if 0 <= p < P:
@@ -639,14 +661,30 @@ def candidate_mask(F, cfg, is_tumor_only=True, rescued_pos_sym=None):
     return mask
 
 
+def _sum_by_symboltype_j(arr):
+    """[.., 14] -> per-symbol broadcast of the symboltype sums, traceable."""
+    base = arr[..., :6].sum(axis=-1, keepdims=True)
+    link = arr[..., 6:].sum(axis=-1, keepdims=True)
+    return jnp.concatenate([jnp.broadcast_to(base, arr.shape[:-1] + (6,)),
+                            jnp.broadcast_to(link, arr.shape[:-1] + (8,))],
+                           axis=-1)
+
+
+def _nn_broadcast_j(arr):
+    """Value of the type's NN symbol broadcast to all symbols, traceable."""
+    base_nn = arr[..., int(Symbol.BASE_NN)][..., None]
+    link_nn = arr[..., int(Symbol.LINK_NN)][..., None]
+    return jnp.concatenate(
+        [jnp.broadcast_to(base_nn, arr.shape[:-1] + (6,)),
+         jnp.broadcast_to(link_nn, arr.shape[:-1] + (8,))], axis=-1)
+
+
 def sum_dpv(F, cand):
     """BcfFormat_symbol_sum_DPv (main.hpp:4888-4906): per-position sums of
     the six reductions over the CANDIDATE symbols of each type ([0]) and
     the candidate NN symbol's value ([1])."""
-    from .fmtarrays import nn_broadcast
-    from ..pileup.consensus import sum_by_symboltype
     for nm in ("cDP1v", "cDP1w", "cDP1x", "cDP2v", "cDP2w", "cDP2x"):
         masked = np.where(cand, F[nm], 0)
-        F["C" + nm[1:]] = sum_by_symboltype(masked)
-        F["C" + nm[1:] + "_nn"] = nn_broadcast(masked)
+        F["C" + nm[1:]] = _sum_by_symboltype_j(masked)
+        F["C" + nm[1:] + "_nn"] = _nn_broadcast_j(masked)
     return F

@@ -13,11 +13,23 @@ import numpy as np
 
 from ..constants import Symbol, NUM_SYMBOLS
 from .dpv import IS_SUBST, IS_INS
-from .qual import binom_lr
 
 NS = NUM_SYMBOLS
 INV_LOG10 = 10.0 / math.log(10.0)
 DBL_EPSILON = 2.220446049250313e-16
+
+
+def binom_lr(prob, a, b):
+    """numpy float64 calc_binom_10log10_likeratio: the germline stage runs
+    on the HOST (in forked pileup workers that must never touch jax), so
+    it keeps its own numpy kernel (main_conversion.hpp:222-237)."""
+    prob = (np.asarray(prob, np.float64) + DBL_EPSILON) / (1.0 + 2.0 * DBL_EPSILON)
+    a = np.asarray(a, np.float64) + DBL_EPSILON
+    b = np.asarray(b, np.float64) + DBL_EPSILON
+    A = prob * (a + b)
+    B = (1.0 - prob) * (a + b)
+    lr = INV_LOG10 * (a * np.log(a / A) + b * np.log(b / B))
+    return np.where(a > A, lr, 0.0)
 
 SYMBOL_TO_INDEL_N_UNITS = np.array(
     [0, 0, 0, 0, 0, 0, 0, -3, -2, -1, 3, 2, 1, 0, 0], dtype=np.int64)

@@ -8,15 +8,19 @@ contamination qualities bTINQ/cTINQ, the germline quality gVQ1, the final
 somatic tiers cVQ1/cVQ2, and the contamination LOD CONTQ.
 """
 
+import functools
 import math
 
-import numpy as np
+import jax.numpy as jnp
 
 from ..constants import Symbol, NUM_SYMBOLS
-from .dpv import IS_SUBST, IS_INS, IS_DEL, numstates2phred, phred2nat
-from .fmtarrays import tdiv
+from .dpv import (IS_SUBST, IS_INS, IS_DEL, numstates2phred, phred2nat,
+                  _ftype, _itype, _minr, _maxr)
 from . import sscs as sscs_mod
-from ..pileup import strscan
+
+# traced together with dpv.calc_dpv into the one jitted model program
+# (see calling.model_stage); float64 on CPU (x64), float32/int32 on TPU
+np = jnp
 
 NS = NUM_SYMBOLS
 INV_LOG10 = 10.0 / math.log(10.0)
@@ -27,15 +31,39 @@ TIN_CONTAM_MICRO_VQ_DELTA = 0
 
 def binom_lr(prob, a, b, bidirectional=False):
     DBL_EPSILON = 2.220446049250313e-16
-    prob = (np.asarray(prob, np.float64) + DBL_EPSILON) / (1.0 + 2.0 * DBL_EPSILON)
-    a = np.asarray(a, np.float64) + DBL_EPSILON
-    b = np.asarray(b, np.float64) + DBL_EPSILON
+    prob = (np.asarray(prob, _ftype()) + DBL_EPSILON) / (1.0 + 2.0 * DBL_EPSILON)
+    a = np.asarray(a, _ftype()) + DBL_EPSILON
+    b = np.asarray(b, _ftype()) + DBL_EPSILON
     A = prob * (a + b)
     B = (1.0 - prob) * (a + b)
     lr = INV_LOG10 * (a * np.log(a / A) + b * np.log(b / B))
     if bidirectional:
         return lr
     return np.where(a > A, lr, 0.0)
+
+
+_N_UNITS_TO_PHRED = (0, 0, 3, 5, 6, 7, 8, 8, 9, 10, 10, 10, 11, 11, 11,
+                     12, 12, 12, 13)
+DBL_EPS_ = 2.220446049250313e-16
+
+
+def _indel_phred_j(ampfact, repeatsize, repeatnum):
+    repeatsize = jnp.asarray(repeatsize, _ftype())
+    region_size = repeatsize * jnp.asarray(repeatnum, _ftype())
+    num_slips = jnp.where(region_size > 64, region_size - 8.0,
+                          jnp.log1p(jnp.exp(jnp.minimum(region_size, 65.0) - 8.0)))
+    num_slips = num_slips * ampfact / (repeatsize * repeatsize)
+    prob = (1.0 - DBL_EPS_) / (num_slips + 1.0)
+    return jnp.floor(-10.0 * jnp.log10(prob)).astype(_itype())
+
+
+def _indel_len_rusize_phred_j(indel_len, repeatunit_size):
+    indel_len = jnp.asarray(indel_len, _itype())
+    ru = jnp.asarray(repeatunit_size, _itype())
+    exact = indel_len % ru == 0
+    n_units = jnp.where(exact, indel_len // ru, indel_len)
+    tab = jnp.asarray(_N_UNITS_TO_PHRED, dtype=_itype())
+    return tab[jnp.minimum(n_units, len(_N_UNITS_TO_PHRED) - 1)]
 
 
 def calc_qual(F, cfg, is_tumor_only=True, tpfa=None, tki=None):
@@ -49,7 +77,7 @@ def calc_qual(F, cfg, is_tumor_only=True, tpfa=None, tki=None):
     refsym_eff = np.where(is_subst, refsym, int(Symbol.LINK_M))
     is_rescued = not is_tumor_only
 
-    table = sscs_mod.table_from_cfg(cfg)
+    table = jnp.asarray(sscs_mod.table_from_cfg(cfg))
     rescue_add = 0 if is_tumor_only else 4
     sscs_phrederr = table[np.broadcast_to(refsym_eff, (P, NS)), sym] + rescue_add
 
@@ -105,15 +133,15 @@ def calc_qual(F, cfg, is_tumor_only=True, tpfa=None, tki=None):
     cMmQ = np.round(numstates2phred(
         (F["cDPMf"] + F["cDPmf"] + F["cDPMr"] + F["cDPmr"]
          + np.power(10.0, fam_thres_hbq / 10.0) * prior_w)
-        / (F["cDPmf"] + F["cDPmr"] + prior_w))).astype(np.int64)
+        / (F["cDPmf"] + F["cDPmr"] + prior_w))).astype(_itype())
     F["cMmQ"] = cMmQ
 
     nb1 = F["bIADb"] * 100 + 1
     nb2 = np.minimum(nb1, F["cDP1v"] + 1)
     pb1 = 10 * F["bIAQb"] // np.maximum(1, F["bIADb"])
-    pb2 = pb1 + np.round(10 * numstates2phred(nb2 / nb1)).astype(np.int64)
+    pb2 = pb1 + np.round(10 * numstates2phred(nb2 / nb1)).astype(_itype())
     duped_frag_binom_qual = np.where(is_indel, pb1, pb2) * nb2 // (10 * 100)
-    contam_frag_q = np.round(binom_lr(t2n_contam, cDP0, CDP0 - cDP0)).astype(np.int64) + 9 - 3
+    contam_frag_q = np.round(binom_lr(t2n_contam, cDP0, CDP0 - cDP0)).astype(_itype()) + 9 - 3
 
     h3_snp = max(0, 2 * cfg.germ_phred_hetero_snp - cfg.germ_phred_het3al_snp
                  - TIN_CONTAM_MICRO_VQ_DELTA)
@@ -141,12 +169,12 @@ def calc_qual(F, cfg, is_tumor_only=True, tpfa=None, tki=None):
         cfg.fam_phred_dscs_all - F["cIDQf"], F["cIDQr"]) // np.maximum(F["cIDQr"], 1)
     sscs_rv = F["cIAQr"] + F["cIAQf"] * np.minimum(
         cfg.fam_phred_dscs_all - F["cIDQr"], F["cIDQf"]) // np.maximum(F["cIDQf"], 1)
-    contam_sscs_q = np.round(binom_lr(t2n_contam, cDP2, CDP2 - cDP2)).astype(np.int64) + 9 - 3
+    contam_sscs_q = np.round(binom_lr(t2n_contam, cDP2, CDP2 - cDP2)).astype(_itype()) + 9 - 3
 
     sscs_max = np.maximum(sscs_fw, sscs_rv)
     sscs_binom_qual = (np.maximum(
         sscs_max - (numstates2phred(cIADn / cIADmin) * cIADn / 100.0), 0)
-        .astype(np.int64) * cIADmin) // cIADn
+        .astype(_itype()) * cIADmin) // cIADn
     halv = cfg.microadjust_fam_binom_qual_halving_thres
     sscs_binom_qual = np.where(
         (sscs_max > halv) & is_subst,
@@ -156,17 +184,17 @@ def calc_qual(F, cfg, is_tumor_only=True, tpfa=None, tki=None):
 
     min_bcFA_v = (F["cDP1v"] + 0.5) / (F["CDP1"] * 100 + 1.0)
     dedup_v = np.round(cfg.powlaw_exponent * numstates2phred(min_bcFA_v)
-                       + pl_noUMI).astype(np.int64)
+                       + pl_noUMI).astype(_itype())
     min_bcFA_w = (F["cDP1w"] + 0.5) / (F["CDP1"] * 100 + 1.0)
     dedup_w = np.round(cfg.powlaw_exponent * numstates2phred(min_bcFA_w)
-                       + pl_noUMI + cfg.tn_q_inc_max).astype(np.int64)
+                       + pl_noUMI + cfg.tn_q_inc_max).astype(_itype())
 
     ds_vq_pl = np.round(INV_LOG10 * np.minimum(
         np.log((F["cDP12f"] + 0.5) / (F["CDP12b_l"] + 1.0)),
-        np.log((F["cDP12r"] + 0.5) / (F["CDP12b_r"] + 1.0)))).astype(np.int64) \
+        np.log((F["cDP12r"] + 0.5) / (F["CDP12b_r"] + 1.0)))).astype(_itype()) \
         + sscs_phrederr
     ds_vq_bin = 3 * np.minimum(F["cDP2f"], F["cDP2r"])
-    powlaw_sscs_inc2 = np.maximum(0, np.minimum.reduce(
+    powlaw_sscs_inc2 = np.maximum(0, _minr(
         [sscs_fw, sscs_rv, ds_vq_pl, ds_vq_bin,
          np.full((P, NS), 3)])) * (cFA2 > 0.002)
     sscs_dec3 = (-3) if is_rescued else np.where(cFA2 >= 0.003, 0, 5)
@@ -175,31 +203,29 @@ def calc_qual(F, cfg, is_tumor_only=True, tpfa=None, tki=None):
     sscs_base_2tn = (pl_withUMI + powlaw_sscs_inc4tn + powlaw_sscs_inc2
                      - sscs_dec1 - sscs_dec2 - sscs_dec3)
     sscs_v = np.round(cfg.powlaw_exponent * numstates2phred(umi_cFA)
-                      + sscs_base_2).astype(np.int64)
+                      + sscs_base_2).astype(_itype())
     sscs_w = np.round(cfg.powlaw_exponent * numstates2phred(umi_cFA_w)
-                      + sscs_base_2tn).astype(np.int64)
+                      + sscs_base_2tn).astype(_itype())
 
     dFA = (F["dDP2"] + 0.5) / (F["DDP1"] + 1.0)
     dSNR = (F["dDP2"] + 0.5) / (F["dDP1"] + 1.0)
     dnormFA = dFA * np.power(dSNR, 1.0 / cfg.powlaw_exponent)
-    dscs_est = round((cfg.fam_phred_dscs_max
-                      + int(np.max(sscs_phrederr))) / 2.0)  # per-symbol below
-    dscs_est = np.round((cfg.fam_phred_dscs_max + sscs_phrederr) / 2.0).astype(np.int64)
-    dFA_vq_binom = ((dscs_est - np.round(numstates2phred(1.0 / dnormFA)).astype(np.int64))
+    dscs_est = np.round((cfg.fam_phred_dscs_max + sscs_phrederr) / 2.0).astype(_itype())
+    dFA_vq_binom = ((dscs_est - np.round(numstates2phred(1.0 / dnormFA)).astype(_itype()))
                     * F["dDP2"] * cIADmin // cIADn)
     dFA_vq_powlaw = (cfg.powlaw_anyvar_base
                      + (dscs_est - cfg.fam_phred_pow_dscs_all_origin)
                      + np.round(numstates2phred(dnormFA * np.minimum(
                          1.0, (F["cDP1v"] + 0.5) / (F["CDP1"] * 100 + 1.0))))
-                     ).astype(np.int64)
+                     ).astype(_itype())
 
-    indel_penal_base = np.zeros((P, NS), dtype=np.int64)  # IonTorrent-only
+    indel_penal_base = np.zeros((P, NS), dtype=_itype())  # IonTorrent-only
 
     # indel-specific adjustments (main.hpp:5122-5181)
-    repeatnum = F["ctx_repeatnum"][:, None].astype(np.int64)
-    repeatsize = F["ctx_unitlen"][:, None].astype(np.int64)
+    repeatnum = F["ctx_repeatnum"][:, None].astype(_itype())
+    repeatsize = F["ctx_unitlen"][:, None].astype(_itype())
     has_indelstr = (F["gapLen"] > 0) & (F["cDP0a"] > 0) & is_indel
-    indel_pq = np.minimum(strscan.indel_phred(
+    indel_pq = np.minimum(_indel_phred_j(
         cfg.indel_polymerase_slip_rate, repeatsize, repeatnum), 24) + 2 - 10.0
     eff_tl1 = repeatsize * np.maximum(1, repeatnum) - repeatsize
     eff_tl2 = np.maximum(F["rtr1_tracklen_3"] - F["rtr1_unitlen_3"],
@@ -214,7 +240,7 @@ def calc_qual(F, cfg, is_tumor_only=True, tpfa=None, tki=None):
     del_cd = F["del_cdepth"][:, None]
     ins1_cd = F["ins1_cdepth"][:, None]
     del1_cd = F["del1_cdepth"][:, None]
-    indelcdepth = np.where(is_ins, ins_cd, del_cd).astype(np.float64)
+    indelcdepth = np.where(is_ins, ins_cd, del_cd).astype(_ftype())
     indelcdepth = np.where(sym == int(Symbol.LINK_D1), indelcdepth + ins1_cd, indelcdepth)
     indelcdepth = np.where(sym == int(Symbol.LINK_I1),
                            indelcdepth + del1_cd / cfg.indel_del_to_ins_err_ratio,
@@ -222,14 +248,14 @@ def calc_qual(F, cfg, is_tumor_only=True, tpfa=None, tki=None):
     eps = FLT_EPSILON
     ipm1 = np.round(cfg.indel_multiallele_samepos_penal / math.log(2.0)
                     * np.log((indelcdepth + eps)
-                             / (F["cDP0a"] + eps))).astype(np.int64)
+                             / (F["cDP0a"] + eps))).astype(_itype())
     nearInDelDP = np.where(is_ins, F["APDP"][:, 1][:, None], F["APDP"][:, 2][:, None])
     ipm2 = np.round(cfg.indel_multiallele_diffpos_penal / math.log(2.0)
                     * np.log((nearInDelDP + eps)
-                             / (np.maximum(aDP, nearInDelDP) + eps))).astype(np.int64)
+                             / (np.maximum(aDP, nearInDelDP) + eps))).astype(_itype())
     ipg = np.round(cfg.indel_tetraallele_germline_penal_value / math.log(2.0)
                    * np.log((ins_cd + del_cd + eps) / (F["cDP0a"] + eps))
-                   ).astype(np.int64) - int(cfg.indel_tetraallele_germline_penal_thres)
+                   ).astype(_itype()) - int(cfg.indel_tetraallele_germline_penal_thres)
     ins_pc = cfg.indel_ins_penal_pseudocount
     ipm_ins = ipm1 * ins_pc // (ins_pc + F["gapLen"])
     indel_penal4multi = np.where(has_indelstr,
@@ -239,31 +265,31 @@ def calc_qual(F, cfg, is_tumor_only=True, tpfa=None, tki=None):
                                       np.where(is_ins, ipm_ins, ipm1), 0)
     indel_penal4multi_g = np.where(has_indelstr, ipg, 0)
 
-    dedup_v = dedup_v + np.where(has_indelstr, np.round(indel_ic).astype(np.int64), 0)
-    dedup_w = dedup_w + np.where(has_indelstr, np.round(indel_ic).astype(np.int64), 0)
+    dedup_v = dedup_v + np.where(has_indelstr, np.round(indel_ic).astype(_itype()), 0)
+    dedup_w = dedup_w + np.where(has_indelstr, np.round(indel_ic).astype(_itype()), 0)
     duped_frag_binom_qual = duped_frag_binom_qual + np.where(
-        has_indelstr, np.round(indel_pq).astype(np.int64), 0)
-    sscs_ic = numstates2phred(np.square(np.maximum(F["gapLen"], 1)).astype(np.float64)
+        has_indelstr, np.round(indel_pq).astype(_itype()), 0)
+    sscs_ic = numstates2phred(np.square(np.maximum(F["gapLen"], 1)).astype(_ftype())
                               / (eff_tl + 1.0))
     sscs_ivd = np.round(cfg.powlaw_exponent
-                        * numstates2phred(cfg.indel_del_to_ins_err_ratio)).astype(np.int64)
+                        * numstates2phred(cfg.indel_del_to_ins_err_ratio)).astype(_itype())
     extra_reward = np.maximum(
         sscs_ivd - (sscs_ic * np.where(is_ins, 0, eff_tl)
-                    / round(cfg.indel_polymerase_size)).astype(np.int64), 0) \
+                    / round(cfg.indel_polymerase_size)).astype(_itype()), 0) \
         - sscs_ivd // 2
     sscs_v = sscs_v + np.where(has_indelstr,
-                               np.round(sscs_ic).astype(np.int64) + extra_reward, 0)
+                               np.round(sscs_ic).astype(_itype()) + extra_reward, 0)
     sscs_w = sscs_w + np.where(has_indelstr,
-                               np.round(sscs_ic).astype(np.int64) + extra_reward, 0)
+                               np.round(sscs_ic).astype(_itype()) + extra_reward, 0)
     sscs_binom_qual = sscs_binom_qual + np.where(
-        has_indelstr, np.round(indel_pq).astype(np.int64) + extra_reward, 0)
+        has_indelstr, np.round(indel_pq).astype(_itype()) + extra_reward, 0)
     indel_UMI_penal = np.where(
         has_indelstr & F["enable_tier2"],
         np.minimum(((F["BDP"] + 1.0) / (F["CDP1"] + 1.0)
                     * cfg.fam_indel_nonUMI_phred_dec_per_fold_overseq),
                    (cfg.fam_thres_emperr_all_flat_indel + 1)
                    * cfg.fam_indel_nonUMI_phred_dec_per_fold_overseq
-                   ).astype(np.int64), 0)
+                   ).astype(_itype()), 0)
     if is_rescued:
         sscs_binom_qual = np.where(is_oxidation,
                                    np.maximum(sscs_binom_qual, np.minimum(aDP, 3)),
@@ -300,7 +326,7 @@ def calc_qual(F, cfg, is_tumor_only=True, tpfa=None, tki=None):
                   - diffMQ2 - F["bNMQ"])
     sysMQ = np.where((sym == refsym_eff) & (ADP > aDP * 2), F["bMQ"],
                      sysMQ_base - numstates2phred(
-                         (ADP + 1.0) / (aDP + 0.5)).astype(np.int64))
+                         (ADP + 1.0) / (aDP + 0.5)).astype(_itype()))
     is_nonWGS = F["short_frag"]
     normal_rescued_MQ = np.minimum(
         np.maximum(readlenMQcap - 60, 0),
@@ -321,7 +347,7 @@ def calc_qual(F, cfg, is_tumor_only=True, tpfa=None, tki=None):
     sysMQVQ1 = np.where(adhoc, 70 + (sysMQVQ1 - 70) * 5
                         // np.maximum(apxm1pos // np.maximum(a_dp0, 1) - 15, 1),
                         sysMQVQ1)
-    ipb_add = np.zeros((P, NS), dtype=np.int64)
+    ipb_add = np.zeros((P, NS), dtype=_itype())
     if is_tumor_only:
         delAPDP = np.maximum(F["APDP"][:, 2], F["APDP"][:, 4])[:, None]
         snv_dp = F["APDP"][:, 6][:, None]
@@ -363,44 +389,44 @@ def calc_qual(F, cfg, is_tumor_only=True, tpfa=None, tki=None):
     F["bTINQ"] = contam_frag_q + contam_bypassed
     F["cTINQ"] = contam_sscs_q + contam_bypassed
 
-    aDPpc = (sym == refsym_eff).astype(np.int64)
+    aDPpc = (sym == refsym_eff).astype(_itype())
     penal4BQerr = np.where(
         is_subst, 5 + cfg.penal4lowdep // np.square(np.maximum(1, aDP + aDPpc)), 0)
     indel_q_inc = np.where(
         is_indel & is_tumor_only,
-        strscan.indel_len_rusize_phred(np.maximum(F["gapLen"], 1),
-                                       np.maximum(repeatnum, 1)), 0)
+        _indel_len_rusize_phred_j(np.maximum(F["gapLen"], 1),
+                                  np.maximum(repeatnum, 1)), 0)
     indel_q_inc = np.where(F["gapLen"] > 0, indel_q_inc, 0)
     F["gVQ1"] = np.maximum(
-        0, indel_q_inc + np.minimum.reduce([
+        0, indel_q_inc + _minr([
             np.minimum(sysBQVQ, np.maximum(sysMQVQ - sysMQminus, 0)),
             F["bIAQ"] - penal4BQerr,
             F["cPLQ1"]])
-        - 2 * np.maximum.reduce([
-            np.zeros((P, NS), dtype=np.int64),
+        - 2 * _maxr([
+            np.zeros((P, NS), dtype=_itype()),
             indel_penal4multi - int(cfg.indel_multiallele_soma_penal_thres),
             indel_penal4multi_g]))
     sys_soma_minus = (0 if is_rescued
                       else 15 - np.minimum(np.minimum(ADP * 15 // 100, aDP), 15))
     sys_soma = np.maximum(
         np.minimum(sysBQVQ, sysMQVQ + sysMQadd_soma) - sys_soma_minus, 0)
-    bcVQ1 = np.minimum.reduce([
+    bcVQ1 = _minr([
         sys_soma,
         F["bIAQ"] - (0 if is_rescued else penal4BQerr),
         F["cPLQ1"]]) - indel_penal4multi_soma
     F["cVQ1"] = np.maximum(0, np.minimum(bcVQ1, F["bTINQ"]) - indel_UMI_penal)
 
-    mincVQ2 = np.zeros((P, NS), dtype=np.int64)
+    mincVQ2 = np.zeros((P, NS), dtype=_itype())
     floor_v = np.minimum(
         cfg.germ_phred_homalt_indel + numstates2phred(umi_cFA),
-        F["cDP2v"] * 3 / 100).astype(np.int64) \
+        F["cDP2v"] * 3 / 100).astype(_itype()) \
         + (np.where(is_ins, INS_N_ANCHOR_BASES, 0) - INS_N_ANCHOR_BASES) * 3
     mincVQ2 = np.where(is_indel, np.maximum(mincVQ2, floor_v), mincVQ2)
     dVQinc = np.minimum(np.minimum(dFA_vq_binom, dFA_vq_powlaw)
                         - np.maximum(0, np.minimum(F["cIAQ"], F["cPLQ2"])),
                         cfg.fam_phred_dscs_inc_max)
     F["dVQinc"] = dVQinc
-    cVQ2 = np.minimum.reduce([
+    cVQ2 = _minr([
         sys_soma, F["cIAQ"] + np.maximum(0, dVQinc),
         F["cPLQ2"] + np.maximum(0, dVQinc)]) - indel_penal4multi
     F["cVQ2"] = np.maximum(mincVQ2, np.minimum(cVQ2, F["cTINQ"]))
@@ -411,8 +437,8 @@ def calc_qual(F, cfg, is_tumor_only=True, tpfa=None, tki=None):
     DBL_EPSILON = 2.220446049250313e-16
     # logit2(a, b) = logit((a+eps)/(a+b+2eps)) = log((a+eps)/(b+eps))
     # (main_conversion.hpp:216-219)
-    p1 = (cDP1y + 1) / (CDP1y.astype(np.float64) + 1.0)
+    p1 = (cDP1y + 1) / (CDP1y.astype(_ftype()) + 1.0)
     power_contam = np.round(INV_LOG10 * cfg.powlaw_exponent * np.maximum(
         np.log((p1 + DBL_EPSILON) / (contamfrac + DBL_EPSILON)), 0.0))
-    F["CONTQ"] = np.minimum(binom_contam, power_contam).astype(np.int64)
+    F["CONTQ"] = np.minimum(binom_contam, power_contam).astype(_itype())
     return F

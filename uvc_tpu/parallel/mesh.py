@@ -31,9 +31,12 @@ def make_mesh(devices=None):
     return Mesh(np.array(devices).reshape(dp, sp), ("dp", "sp"))
 
 
-def counts_sharding(mesh):
-    """Sharding for the [B, P, C, 14] count tensors."""
-    return NamedSharding(mesh, PartitionSpec("dp", "sp", None, None))
+def plane_sharding(mesh, ndim):
+    """Sharding for a model plane [P, ...]: the position axis is
+    data-parallel over the whole mesh (halos handled upstream in the
+    pileup tensorization)."""
+    return NamedSharding(mesh, PartitionSpec(tuple(mesh.axis_names),
+                                             *([None] * (ndim - 1))))
 
 
 def replicated(mesh):

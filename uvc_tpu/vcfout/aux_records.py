@@ -45,7 +45,7 @@ def emit_mgvcf(F, res, cfg, chrom, refstring, region_offset, region_beg,
 
     ref_syms = F["ref_syms"]
     # vectorized per-(pos, symboltype) depths and homref qualities
-    from ..model.qual import binom_lr
+    from ..model.germline import binom_lr  # host numpy kernel
     stats = {}
     rows = np.arange(P)
     for st in (0, 1):
