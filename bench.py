@@ -105,15 +105,16 @@ def bench_device_model():
             a2 = dict(a)
             a2["aMQs"] = a["aMQs"] + (acc.astype(a["aMQs"].dtype) % 2)
             out = calling._model_core(a2, c, None, None, cfg, True)
-            return acc + jnp.sum(out["cVQ1"]) + jnp.sum(out["_tlodq"])
+            return (acc + jnp.sum(out["cVQ1"]).astype(jnp.float32)
+                    + jnp.sum(out["_tlodq"]).astype(jnp.float32))
         return jax.lax.fori_loop(0, n_iter, body,
-                                 jnp.zeros((), jnp.int32))
+                                 jnp.zeros((), jnp.float32))
 
-    int(steps(arrays, cand))  # compile + warm
+    float(steps(arrays, cand))  # compile + warm
     from uvc_tpu.utils.profiling import maybe_trace
     t0 = time.time()
     with maybe_trace("device_quality_model"):  # UVC_TPU_JAX_TRACE_DIR
-        int(steps(arrays, cand))  # scalar device_get = true completion
+        float(steps(arrays, cand))  # scalar device_get = true completion
     dt = (time.time() - t0) / n_iter
     cols_per_s = P / dt
     return cols_per_s, dt

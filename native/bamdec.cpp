@@ -77,6 +77,141 @@ int64_t bgzf_decompress(const char *path, uint8_t **out) {
 
 void bamdec_free(void *p) { free(p); }
 
+static inline int32_t rd_i32_fwd(const uint8_t *b) {
+    int32_t v;
+    memcpy(&v, b, 4);
+    return v;
+}
+
+// ---------------------------------------------------------------------------
+// Streaming BGZF: incremental block decode for the memory-bounded tier-1
+// input pipeline (reference analog: SamIter's windowed scan,
+// grouping.cpp:157-314) and BAI virtual-offset seeks.
+
+struct BgzfStream {
+    FILE *f;
+    int64_t next_block;  // compressed offset of the next unread block
+    int eof;
+};
+
+void *bgzf_stream_open(const char *path) {
+    FILE *f = fopen(path, "rb");
+    if (!f) return nullptr;
+    BgzfStream *s = (BgzfStream *)calloc(1, sizeof(BgzfStream));
+    s->f = f;
+    s->next_block = 0;
+    s->eof = 0;
+    return s;
+}
+
+void bgzf_stream_close(void *h) {
+    BgzfStream *s = (BgzfStream *)h;
+    if (!s) return;
+    fclose(s->f);
+    free(s);
+}
+
+int64_t bgzf_stream_tell(void *h) { return ((BgzfStream *)h)->next_block; }
+
+int bgzf_stream_eof(void *h) { return ((BgzfStream *)h)->eof; }
+
+// Position the stream at a compressed block offset (BAI coffset).
+int bgzf_stream_seek(void *h, int64_t coffset) {
+    BgzfStream *s = (BgzfStream *)h;
+    if (fseek(s->f, (long)coffset, SEEK_SET) != 0) return -1;
+    s->next_block = coffset;
+    s->eof = 0;
+    return 0;
+}
+
+// Decompress whole blocks into dst until adding the next block would
+// exceed max_out or EOF.  Returns bytes written (0 at clean EOF),
+// negative on error.
+int64_t bgzf_stream_read(void *h, uint8_t *dst, int64_t max_out) {
+    BgzfStream *s = (BgzfStream *)h;
+    int64_t dlen = 0;
+    uint8_t hdr[12];
+    while (!s->eof) {
+        if (fseek(s->f, (long)s->next_block, SEEK_SET) != 0) return -1;
+        size_t got = fread(hdr, 1, 12, s->f);
+        if (got == 0) { s->eof = 1; break; }
+        if (got < 12) return -2;
+        if (hdr[0] != 0x1f || hdr[1] != 0x8b) return -3;
+        uint16_t xlen = (uint16_t)(hdr[10] | (hdr[11] << 8));
+        // read the extra field to find BSIZE
+        uint8_t xbuf[256];
+        if (xlen > sizeof(xbuf)) return -4;
+        if (fread(xbuf, 1, xlen, s->f) != xlen) return -5;
+        int bsize = -1;
+        int xp = 0;
+        while (xp + 4 <= xlen) {
+            uint16_t slen = (uint16_t)(xbuf[xp + 2] | (xbuf[xp + 3] << 8));
+            if (xbuf[xp] == 'B' && xbuf[xp + 1] == 'C' && slen == 2)
+                bsize = (xbuf[xp + 4] | (xbuf[xp + 5] << 8)) + 1;
+            xp += 4 + slen;
+        }
+        if (bsize < 0) return -6;
+        int64_t cdata_len = bsize - 12 - xlen - 8;
+        uint8_t *cbuf = (uint8_t *)malloc(cdata_len + 8);
+        if (fread(cbuf, 1, cdata_len + 8, s->f) != (size_t)(cdata_len + 8)) {
+            free(cbuf);
+            return -7;
+        }
+        uint32_t isize;
+        memcpy(&isize, cbuf + cdata_len + 4, 4);
+        if (dlen > 0 && dlen + (int64_t)isize > max_out) {
+            free(cbuf);
+            break;  // next call resumes at this block
+        }
+        if ((int64_t)isize > max_out) { free(cbuf); return -8; }
+        if (isize > 0) {
+            z_stream zs;
+            memset(&zs, 0, sizeof(zs));
+            inflateInit2(&zs, -15);
+            zs.next_in = cbuf;
+            zs.avail_in = (uInt)cdata_len;
+            zs.next_out = dst + dlen;
+            zs.avail_out = (uInt)(max_out - dlen);
+            int ret = inflate(&zs, Z_FINISH);
+            inflateEnd(&zs);
+            if (ret != Z_STREAM_END) { free(cbuf); return -9; }
+            dlen += isize;
+        }
+        free(cbuf);
+        s->next_block += bsize;
+        // empty blocks (incl. the BGZF EOF marker) carry no data; real
+        // EOF is detected by the zero-length fread on the next header
+    }
+    return dlen;
+}
+
+// Scan only COMPLETE records; sets *consumed to the byte length of the
+// complete-record prefix.  Returns n_records (>=0).
+int64_t bam_scan_prefix(const uint8_t *buf, int64_t len, int64_t start,
+                        int64_t *consumed, int64_t *total_qname,
+                        int64_t *total_cigar, int64_t *total_seq) {
+    int64_t n = 0, tq = 0, tc = 0, ts = 0;
+    int64_t p = start;
+    while (p + 4 <= len) {
+        int32_t bs = rd_i32_fwd(buf + p);
+        if (p + 4 + bs > len) break;
+        const uint8_t *r = buf + p + 4;
+        uint8_t l_read_name = r[8];
+        uint16_t n_cigar = (uint16_t)(r[12] | (r[13] << 8));
+        int32_t l_seq = rd_i32_fwd(r + 16);
+        tq += l_read_name - 1;
+        tc += n_cigar;
+        ts += l_seq;
+        n++;
+        p += 4 + bs;
+    }
+    *consumed = p - start;
+    *total_qname = tq;
+    *total_cigar = tc;
+    *total_seq = ts;
+    return n;
+}
+
 static inline int32_t rd_i32(const uint8_t *b) {
     int32_t v;
     memcpy(&v, b, 4);

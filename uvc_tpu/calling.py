@@ -343,6 +343,19 @@ MODEL_READ_PLANES = (
 # output pytree; None means evaluate locally (single-process / tests).
 _MODEL_EVAL = None
 
+# When the model runs on a remote accelerator (axon TPU tunnel), requests
+# are cast f64->f32 / i64->i32 before crossing the wire: halves transfer,
+# and the device computes in f32/i32 anyway (x64 off on TPU).
+_MODEL_CAST_F32 = False
+
+
+def _cast_payload_arr(v):
+    if v.dtype == np.float64:
+        return v.astype(np.float32)
+    if v.dtype == np.int64:
+        return v.astype(np.int32)
+    return v
+
 _MODEL_READS = {}
 _X64_CHECKED = False
 
@@ -417,6 +430,11 @@ def model_stage(F, cand, cfg, is_tumor_only=True, tpfa_dpv=None,
     cand_p = _pad0(np.asarray(cand), B)
     tp_d = _pad0(np.asarray(tpfa_dpv), B) if rescued else None
     tp_q = _pad0(np.asarray(tpfa_qual), B) if rescued else None
+    if _MODEL_CAST_F32:
+        arrays = {k: _cast_payload_arr(v) for k, v in arrays.items()}
+        if rescued:
+            tp_d = tp_d.astype(np.float32)
+            tp_q = tp_q.astype(np.float32)
     payload = (arrays, cand_p, tp_d, tp_q, is_tumor_only, rescued)
     if _MODEL_EVAL is not None:
         out = _MODEL_EVAL(payload)
@@ -896,21 +914,38 @@ def assemble_records(ctx, refstring, region_offset, chrom, cfg,
             if len(entries) < 2 or not cand[p, s]:
                 continue
             for bad, cad2, key in entries[1:]:
+                # the model is per-position independent, so the rerun with
+                # this allele's bDPa/cDP0a/gapLen substituted evaluates on
+                # the SINGLE row p and its outputs are patched back into
+                # full-size planes for the only_pair emission
+                Fr = {k: F[k][p:p + 1].copy() for k in MODEL_READ_PLANES}
+                Fr["P"] = 1
+                Fr["bDPa"][0, s] = bad
+                Fr["cDP0a"][0, s] = cad2
+                Fr["gapLen"][0, s] = len(key)
+                tp_d = (ctx["tpfa_dpv"][p:p + 1]
+                        if ctx["tpfa_dpv"] is not None else None)
+                tp_q = (ctx["tpfa_qual"][p:p + 1]
+                        if ctx["tpfa_qual"] is not None else None)
+                model_stage(Fr, ctx["cand"][p:p + 1], cfg, is_tumor_only,
+                            tp_d, tp_q)
                 F3 = dict(F)
-                arr = F["bDPa"].copy()
-                arr[p, s] = bad
-                F3["bDPa"] = arr
-                arr = F["cDP0a"].copy()
-                arr[p, s] = cad2
-                F3["cDP0a"] = arr
-                arr = F["gapLen"].copy()
-                arr[p, s] = len(key)
-                F3["gapLen"] = arr
+                for k, v in Fr.items():
+                    if k == "P":
+                        continue
+                    base = F.get(k)
+                    patched = _scatter_model_val(v, 0, 1, 1, [p], P)
+                    if (base is not None and isinstance(base, np.ndarray)
+                            and base.shape == getattr(patched, "shape", None)):
+                        out_arr = base.copy()
+                        out_arr[p] = np.asarray(v)[0]
+                        F3[k] = out_arr
+                    else:
+                        F3[k] = patched
                 gs = dict(F["gapSa"])
                 gs[(p, s)] = key
                 F3["gapSa"] = gs
-                model_stage(F3, ctx["cand"], cfg, is_tumor_only,
-                            ctx["tpfa_dpv"], ctx["tpfa_qual"])
+                F3["_cand"] = cand
                 ctx3 = dict(ctx)
                 ctx3["F"] = F3
                 records.extend(assemble_records(

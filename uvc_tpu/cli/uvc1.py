@@ -132,6 +132,7 @@ def _worker_main(wid, task_q, req_q, resp_q, work_ctx):
     route every model evaluation to the parent device owner."""
     global _WORK_CTX
     _WORK_CTX = work_ctx
+    calling._MODEL_CAST_F32 = bool(work_ctx.get("model_cast_f32"))
 
     def _eval_remote(payload):
         req_q.put(("model", wid, payload))
@@ -281,7 +282,8 @@ def _process_region_chunk(idxs):
                 res.frag_cons, res.famgrp, rctx["_sub"], table, F["P"], cfg,
                 plan.ext_beg, plan.tid)
             consensus_fastq.write_files(
-                f"{cfg.fam_consensus_out_fastq}.region{i}", payloads)
+                f"{cfg.fam_consensus_out_fastq}.region"
+                f"{ctx.get('region_base', 0) + i}", payloads)
         rbeg = plan.beg - plan.ext_beg
         rend = min(plan.end - plan.ext_beg, F["P"])
         lines = []
@@ -337,52 +339,105 @@ def run(argv=None):
     fa = FastaFile(cfg.fasta_ref_fname)
     from ..io import native as native_io
     from ..io.bam import filter_batch
-    header, batch = native_io.read_bam_native(cfg.bam_input_fname)
-    batch = filter_batch(batch, cfg)
+
+    # multi-host mode stripes the DETERMINISTIC global plan order across
+    # processes, which needs the whole schedule up front; single-host runs
+    # stream memory-bounded tier-1 windows with double-buffered prefetch
+    # (grouping.cpp:157-314 + main.cpp:1350-1357)
+    dist_on = bool(os.environ.get("UVC_TPU_COORDINATOR"))
+    use_stream = native_io.available() and not dist_on
+
+    # indexed targeted access (-R/--targets + <bam>.bai): seek the BGZF
+    # stream via the BAI linear index and decode ONLY the blocks that can
+    # overlap the targets (sam_itr_queryi equivalent, main.cpp:29-70),
+    # instead of scanning the whole file
+    bai_path = cfg.bam_input_fname + ".bai"
+    want_targets = (is_provided(cfg.tier1_target_region)
+                    or is_provided(cfg.bed_region_fname))
+    if use_stream and want_targets and os.path.exists(bai_path):
+        from ..io import bai as bai_mod
+        from ..io.stream import BamStream
+        from ..io.bam import concat_batches
+        from ..constants import MAX_INSERT_SIZE, MAX_STR_N_BASES
+        st0 = BamStream(cfg.bam_input_fname)
+        header = st0.header
+        st0.close()
+        name2tid = header.name2tid()
+        ref_lens0 = {i: ln for i, ln in enumerate(header.ref_lens)}
+        ivs = []
+        if is_provided(cfg.tier1_target_region):
+            ivs.append(regions_mod.parse_target_region(
+                cfg.tier1_target_region, name2tid, ref_lens0))
+        if is_provided(cfg.bed_region_fname):
+            check_file_exist(cfg.bed_region_fname, "BED")
+            ivs += regions_mod.read_bed_intervals(cfg.bed_region_fname,
+                                                  name2tid)
+        linear = bai_mod.read_bai(bai_path)
+        halo = MAX_INSERT_SIZE + MAX_STR_N_BASES
+        pieces, seen = [], set()
+        for tid, beg, end in sorted(ivs):
+            b = bai_mod.fetch_interval(cfg.bam_input_fname, linear,
+                                       tid, beg, end, halo=halo)
+            if b.n:
+                # drop duplicates when target intervals overlap
+                keys = list(zip(b.tid.tolist(), b.pos.tolist(),
+                                b.qnames(), b.flag.tolist()))
+                keep = [i for i, k in enumerate(keys) if k not in seen]
+                seen.update(keys)
+                if len(keep) < b.n:
+                    from ..io.bam import subset_batch
+                    b = subset_batch(b, np.asarray(keep, dtype=np.int64))
+                pieces.append(b)
+        batch = (concat_batches(pieces) if pieces
+                 else bai_mod._empty_batch())
+        batch = filter_batch(batch, cfg)
+        use_stream = False
+        first_batch = batch
+    elif use_stream:
+        from ..io import stream as stream_mod
+        t1_bytes = int(os.environ.get("UVC_TPU_TIER1_BYTES",
+                                      stream_mod.DEFAULT_TIER1_BYTES))
+        chunk = int(os.environ.get("UVC_TPU_STREAM_CHUNK",
+                                   stream_mod.CHUNK_BYTES))
+        t1 = stream_mod.Tier1Stream(
+            cfg.bam_input_fname, None, cfg.mem_per_thread,
+            tier1_bytes=t1_bytes,
+            stream=stream_mod.BamStream(cfg.bam_input_fname,
+                                        chunk_bytes=chunk),
+            row_filter=lambda b: filter_batch(b, cfg))
+        header = t1.header
+        windows = stream_mod.prefetch(iter(t1))
+        try:
+            first_window = next(windows)
+        except StopIteration:
+            first_window = None
+        first_batch = first_window[0] if first_window else None
+    else:
+        header, batch = native_io.read_bam_native(cfg.bam_input_fname)
+        batch = filter_batch(batch, cfg)
+        first_batch = batch
 
     if cfg.sequencing_platform in (SequencingPlatform.AUTO,
-                                   SequencingPlatform.OTHER):
-        plat, central, maxMQ = infer_platform(batch, cfg)
+                                   SequencingPlatform.OTHER) \
+            and first_batch is not None and first_batch.n:
+        plat, central, maxMQ = infer_platform(first_batch, cfg)
     else:
-        plat = cfg.sequencing_platform
+        plat = (cfg.sequencing_platform
+                if cfg.sequencing_platform != SequencingPlatform.AUTO
+                else SequencingPlatform.ILLUMINA)
         central, maxMQ = cfg.central_readlen or 150, 60
     cfg.self_update_by_platform(plat, central, maxMQ)
 
     ref_lens = {i: ln for i, ln in enumerate(header.ref_lens)}
-    plans = regions_mod.plan(batch, ref_lens, cfg.mem_per_thread)
-
-    # user target restriction (-R BED file / --targets chrom:beg-end;
-    # grouping.cpp:69-155)
-    if is_provided(cfg.tier1_target_region):
-        iv = regions_mod.parse_target_region(
-            cfg.tier1_target_region, header.name2tid(), ref_lens)
-        plans = regions_mod.restrict_to_intervals(
-            plans, [iv], ref_lens, bound_emission=True, batch=batch)
-    if is_provided(cfg.bed_region_fname):
-        check_file_exist(cfg.bed_region_fname, "BED")
-        intervals = regions_mod.read_bed_intervals(cfg.bed_region_fname,
-                                                   header.name2tid())
-        plans = regions_mod.restrict_to_intervals(
-            plans, intervals, ref_lens, bound_emission=True, batch=batch)
-
-    # region-schedule persistence (--bed-out-fname / --bed-in-fname;
-    # main.cpp:1405-1439, CmdLineArgs.cpp:1028-1030)
-    if is_provided(cfg.bed_in_fname):
-        plans = regions_mod.restrict_to_bed(plans, cfg.bed_in_fname,
-                                            header.name2tid(), ref_lens,
-                                            batch=batch)
-    if is_provided(cfg.bed_out_fname):
-        with open(cfg.bed_out_fname, "w") as bf:
-            for p in plans:
-                bf.write(f"{header.ref_names[p.tid]}\t{p.beg}\t{p.end}\t"
-                         f"NumberOfReadsInThisInterval\t{p.read_end - p.read_beg}\t+\n")
-
-    # tier-2 work-unit chunking (main.cpp:1374-1400): split large regions
-    # into fixed-size work units the pool can balance.  Runs AFTER the bed
-    # schedule round-trip: the bed records tier-1 regions; units are the
-    # tier-2 decomposition within them (as in the reference).  The unit
-    # size does not depend on -t, so output is thread-count invariant.
-    plans = regions_mod.split_plans_into_units(plans, batch, ref_lens)
+    if use_stream:
+        def _window_iter():
+            if first_window is not None:
+                yield first_window
+                yield from windows
+        window_iter = _window_iter()
+        plans = None
+    else:
+        plans = regions_mod.plan(batch, ref_lens, cfg.mem_per_thread)
 
     is_normal_run = is_provided(cfg.vcf_tumor_fname)
     tki_all = None
@@ -391,18 +446,9 @@ def run(argv=None):
         name2tid = header.name2tid()
         tki_all = vcf_reader.read_tumor_vcf(cfg.vcf_tumor_fname, name2tid)
 
-    # multi-host scale-out (SURVEY.md §2 parallelism table): static
-    # read-balanced stripe of the deterministic global plan order per
-    # process; BGZF shard blocks gathered over the JAX collective and
-    # raw-concatenated by host 0 (BGZF members are independently
-    # decompressible, like the reference's per-chunk bgzip + concat,
-    # main.cpp:99-130,1541-1551)
-    dist_on = bool(os.environ.get("UVC_TPU_COORDINATOR"))
-    shard_lo, shard_hi = 0, len(plans)
     if dist_on:
         from ..parallel import distributed as dist
         dist.initialize_if_requested()
-        _, shard_lo, shard_hi = dist.my_plans(plans)
 
     cmdline = " ".join(argv if argv is not None else sys.argv[1:])
     header_text = vcf_writer.generate_header(
@@ -422,24 +468,34 @@ def run(argv=None):
         for tid, keys in by_tid.items():
             keys.sort(key=lambda k: k[1])
             tki_index[tid] = ([k[1] for k in keys], keys)
-    work_ctx = dict(batch=batch, header=header, fa=fa, cfg=cfg,
-                    plans=plans, is_normal_run=is_normal_run,
-                    tki_all=tki_all, tki_index=tki_index)
-    n_shard = shard_hi - shard_lo
-    n_workers = min(cfg.max_cpu_num, os.cpu_count() or 1, n_shard) \
-        if n_shard > 1 else 1
+    # the parent decides where the model runs BEFORE forking workers:
+    # remote devices (the axon TPU tunnel) pay seconds of round-trip per
+    # model request, so requests are cast to f32/i32 and coalesced into
+    # one chunk per worker; local CPU keeps f64 (bit-exact goldens) and
+    # finer chunks for pool balance
+    import jax
+    calling._maybe_enable_x64()
+    model_on_accel = jax.default_backend() != "cpu"
+
+    # user target restriction inputs (-R BED / --targets chrom:beg-end;
+    # grouping.cpp:69-155), resolved once, applied per tier-1 window
+    target_ivs = None
+    if is_provided(cfg.tier1_target_region):
+        target_ivs = [regions_mod.parse_target_region(
+            cfg.tier1_target_region, header.name2tid(), ref_lens)]
+    bed_ivs = None
+    if is_provided(cfg.bed_region_fname):
+        check_file_exist(cfg.bed_region_fname, "BED")
+        bed_ivs = regions_mod.read_bed_intervals(cfg.bed_region_fname,
+                                                 header.name2tid())
+    bed_out_fh = (open(cfg.bed_out_fname, "w")
+                  if is_provided(cfg.bed_out_fname) else None)
+
     n_records = 0
-    n_reads = batch.n  # pad reads shared between units counted once
+    n_reads = 0
+    total_regions = 0
     shard_texts = [] if dist_on else None
-    # chunk plans for the batched model stage; chunking never changes the
-    # output (model_stage_batched is exactly per-region equivalent), so
-    # the size only trades batching gain against pool load balance:
-    # aim for ~4 tasks per worker, capped at MODEL_BATCH_REGIONS
-    n_workers_est = min(cfg.max_cpu_num, os.cpu_count() or 1) or 1
-    csz = max(1, min(MODEL_BATCH_REGIONS,
-                     -(-n_shard // (n_workers_est * 4)))) if n_shard else 1
-    chunks = [list(range(lo, min(lo + csz, shard_hi)))
-              for lo in range(shard_lo, shard_hi, csz)]
+    stage_totals = {"prepare": 0.0, "model": 0.0, "emit": 0.0, "columns": 0}
 
     def _emit(nrec, text):
         nonlocal n_records
@@ -449,33 +505,93 @@ def run(argv=None):
         else:
             out.write(text)
 
-    stage_totals = {"prepare": 0.0, "model": 0.0, "emit": 0.0, "columns": 0}
-
     def _account(stage_t):
         for k in stage_totals:
             stage_totals[k] += stage_t[k]
 
-    if n_workers > 1:
-        # data-parallel region processing with ordered serial output,
-        # mirroring the reference's dynamic thread pool + serial concat
-        # (main.cpp:1478-1551); fork shares the batch copy-on-write.
-        # The PARENT is the single device owner: forked workers never touch
-        # jax (fork + live XLA threads deadlocks, and N processes must not
-        # fight over one TPU) — they ship padded model requests up a queue
-        # and block for the jitted outputs (calling._MODEL_EVAL).
-        for ci_results, stage_t in _run_device_server_pipeline(
-                work_ctx, chunks, n_workers, cfg):
-            _account(stage_t)
-            for nrec, text in ci_results:
-                _emit(nrec, text)
-    else:
+    def _process_window(wbatch, wplans, region_base):
+        """Restrict/split one tier-1 window's plans and run the worker
+        pipeline over them; returns the number of tier-2 regions."""
+        nonlocal n_reads
         global _WORK_CTX
-        _WORK_CTX = work_ctx
-        for chunk in chunks:
-            results, stage_t = _process_region_chunk(chunk)
-            _account(stage_t)
-            for nrec, text in results:
-                _emit(nrec, text)
+        n_reads += wbatch.n
+        if target_ivs:
+            wplans = regions_mod.restrict_to_intervals(
+                wplans, target_ivs, ref_lens, bound_emission=True,
+                batch=wbatch)
+        if bed_ivs:
+            wplans = regions_mod.restrict_to_intervals(
+                wplans, bed_ivs, ref_lens, bound_emission=True, batch=wbatch)
+        # region-schedule persistence (--bed-out / --bed-in;
+        # main.cpp:1405-1439, CmdLineArgs.cpp:1028-1030)
+        if is_provided(cfg.bed_in_fname):
+            wplans = regions_mod.restrict_to_bed(
+                wplans, cfg.bed_in_fname, header.name2tid(), ref_lens,
+                batch=wbatch)
+        if bed_out_fh:
+            for p in wplans:
+                bed_out_fh.write(
+                    f"{header.ref_names[p.tid]}\t{p.beg}\t{p.end}\t"
+                    f"NumberOfReadsInThisInterval\t"
+                    f"{p.read_end - p.read_beg}\t+\n")
+        # tier-2 work-unit chunking (main.cpp:1374-1400): split large
+        # regions into fixed-size units the pool can balance; unit size
+        # does not depend on -t, so output is thread-count invariant
+        wplans = regions_mod.split_plans_into_units(wplans, wbatch, ref_lens)
+        shard_lo, shard_hi = 0, len(wplans)
+        if dist_on:
+            from ..parallel import distributed as dist
+            _, shard_lo, shard_hi = dist.my_plans(wplans)
+        n_shard = shard_hi - shard_lo
+        if n_shard <= 0:
+            return len(wplans)
+        work_ctx = dict(batch=wbatch, header=header, fa=fa, cfg=cfg,
+                        plans=wplans, is_normal_run=is_normal_run,
+                        tki_all=tki_all, tki_index=tki_index,
+                        model_cast_f32=model_on_accel,
+                        region_base=region_base)
+        n_workers = min(cfg.max_cpu_num, os.cpu_count() or 1, n_shard) \
+            if n_shard > 1 else 1
+        # chunk plans for the batched model stage: ~4 tasks per worker on
+        # CPU, ONE per worker on a remote accelerator (fewer round trips)
+        n_workers_est = min(cfg.max_cpu_num, os.cpu_count() or 1) or 1
+        if model_on_accel:
+            csz = max(1, -(-n_shard // n_workers_est))
+        else:
+            csz = max(1, min(MODEL_BATCH_REGIONS,
+                             -(-n_shard // (n_workers_est * 4))))
+        chunks = [list(range(lo, min(lo + csz, shard_hi)))
+                  for lo in range(shard_lo, shard_hi, csz)]
+        if n_workers > 1:
+            # data-parallel region processing with ordered serial output,
+            # mirroring the reference's pool + serial concat
+            # (main.cpp:1478-1551); fork shares the window copy-on-write.
+            # The PARENT is the single device owner: forked workers never
+            # touch jax (fork + live XLA threads deadlocks, and N
+            # processes must not fight over one TPU) — they ship padded
+            # model requests up a queue and block for the jitted outputs.
+            for ci_results, stage_t in _run_device_server_pipeline(
+                    work_ctx, chunks, n_workers, cfg):
+                _account(stage_t)
+                for nrec, text in ci_results:
+                    _emit(nrec, text)
+        else:
+            _WORK_CTX = work_ctx
+            calling._MODEL_CAST_F32 = model_on_accel
+            for chunk in chunks:
+                results, stage_t = _process_region_chunk(chunk)
+                _account(stage_t)
+                for nrec, text in results:
+                    _emit(nrec, text)
+        return len(wplans)
+
+    if use_stream:
+        for wbatch, wplans in window_iter:
+            total_regions += _process_window(wbatch, wplans, total_regions)
+    else:
+        total_regions = _process_window(batch, plans, 0)
+    if bed_out_fh:
+        bed_out_fh.close()
     if dist_on:
         import jax
         from ..io import bgzf as _bgzf
@@ -497,7 +613,7 @@ def run(argv=None):
         pref = cfg.fam_consensus_out_fastq
         for suffix in SUFFIXES:
             with open(f"{pref}.{suffix}", "wb") as dst:
-                for i in range(len(plans)):
+                for i in range(total_regions):
                     part = f"{pref}.region{i}.{suffix}"
                     if os.path.exists(part):
                         with open(part, "rb") as src:
@@ -505,7 +621,7 @@ def run(argv=None):
                         os.remove(part)
     dt = time.time() - t0
     cols = stage_totals["columns"]
-    print(f"uvc_tpu: {n_reads} reads, {len(plans)} regions, "
+    print(f"uvc_tpu: {n_reads} reads, {total_regions} regions, "
           f"{n_records} records in {dt:.2f}s "
           f"({n_reads / max(dt, 1e-9):.0f} reads/s, "
           f"{cols / max(dt, 1e-9):.0f} columns/s; cpu-s: "

@@ -95,6 +95,39 @@ class ReadBatch:
         return self.pos + ref_len.astype(np.int32)
 
 
+def concat_batches(pieces) -> ReadBatch:
+    """Concatenate columnar ReadBatch pieces (streaming tier-1 assembly),
+    rebasing the per-read offset arrays."""
+    if len(pieces) == 1:
+        return pieces[0]
+    n = sum(p.n for p in pieces)
+
+    def cat(attr):
+        return np.concatenate([getattr(p, attr) for p in pieces])
+
+    def cat_off(attr):
+        out = np.empty(n + 1, dtype=np.int64)
+        out[0] = 0
+        i = 0
+        base = 0
+        for p in pieces:
+            off = getattr(p, attr)
+            out[i + 1:i + 1 + p.n] = off[1:] + base
+            base += off[-1]
+            i += p.n
+        return out
+
+    return ReadBatch(
+        n=n, tid=cat("tid"), pos=cat("pos"), mapq=cat("mapq"),
+        flag=cat("flag"), mtid=cat("mtid"), mpos=cat("mpos"),
+        isize=cat("isize"),
+        qname_data=b"".join(p.qname_data for p in pieces),
+        qname_off=cat_off("qname_off"),
+        cigar_op=cat("cigar_op"), cigar_len=cat("cigar_len"),
+        cigar_off=cat_off("cigar_off"),
+        seq=cat("seq"), qual=cat("qual"), seq_off=cat_off("seq_off"))
+
+
 def subset_batch(batch: ReadBatch, keep: np.ndarray) -> ReadBatch:
     """New ReadBatch with the reads at (sorted) indices `keep`."""
     keep = np.asarray(keep, dtype=np.int64)

@@ -68,8 +68,14 @@ def read_bam_native(path):
                         ctypes.byref(tq), ctypes.byref(tc), ctypes.byref(ts))
     if nrec < 0:
         raise ValueError(f"truncated BAM: {path}")
-    nrec = int(nrec)
+    batch = fill_records(lib, u8[off:], len(u8) - off, int(nrec),
+                         int(tq.value), int(tc.value), int(ts.value))
+    return header, batch
 
+
+def fill_records(lib, u8, length, nrec, total_qname, total_cigar, total_seq):
+    """Decode `nrec` complete records from u8[:length] into a ReadBatch
+    (shared by the whole-file reader and the streaming decoder)."""
     def arr(n_, dt):
         return np.zeros(n_, dtype=dt)
 
@@ -80,28 +86,27 @@ def read_bam_native(path):
     mtid = arr(nrec, np.int32)
     mpos = arr(nrec, np.int32)
     isize = arr(nrec, np.int32)
-    qname_data = arr(int(tq.value), np.uint8)
+    qname_data = arr(total_qname, np.uint8)
     qname_off = arr(nrec + 1, np.int64)
-    cigar_op = arr(int(tc.value), np.uint8)
-    cigar_len = arr(int(tc.value), np.int32)
+    cigar_op = arr(total_cigar, np.uint8)
+    cigar_len = arr(total_cigar, np.int32)
     cigar_off = arr(nrec + 1, np.int64)
-    seq_sym = arr(int(ts.value), np.int8)
-    qual = arr(int(ts.value), np.uint8)
+    seq_sym = arr(total_seq, np.int8)
+    qual = arr(total_seq, np.uint8)
     seq_off = arr(nrec + 1, np.int64)
 
     def cp(a):
         return a.ctypes.data_as(ctypes.c_void_p)
 
-    rc = lib.bam_fill(u8.ctypes.data_as(ctypes.c_void_p), len(u8), off,
+    rc = lib.bam_fill(u8.ctypes.data_as(ctypes.c_void_p), length, 0,
                       cp(tid), cp(pos), cp(mapq), cp(flag), cp(mtid),
                       cp(mpos), cp(isize), cp(qname_data), cp(qname_off),
                       cp(cigar_op), cp(cigar_len), cp(cigar_off),
                       cp(seq_sym), cp(qual), cp(seq_off))
     if rc != 0:
-        raise ValueError(f"bam_fill failed for {path}")
-    batch = pybam.ReadBatch(
+        raise ValueError("bam_fill failed")
+    return pybam.ReadBatch(
         n=nrec, tid=tid, pos=pos, mapq=mapq, flag=flag, mtid=mtid, mpos=mpos,
         isize=isize, qname_data=qname_data.tobytes(), qname_off=qname_off,
         cigar_op=cigar_op, cigar_len=cigar_len, cigar_off=cigar_off,
         seq=seq_sym, qual=qual, seq_off=seq_off)
-    return header, batch

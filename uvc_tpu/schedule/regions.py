@@ -100,8 +100,14 @@ def split_plans_into_units(plans, batch, ref_lens, unit_reads=UNIT_READS):
     return out
 
 
-def plan(batch, ref_lens, mem_per_thread_mb=1536):
-    """Returns a list of RegionPlan covering all reads."""
+def plan(batch, ref_lens, mem_per_thread_mb=1536, prev_tid=-1, prev_max0=0):
+    """Returns a list of RegionPlan covering all reads.
+
+    prev_tid/prev_max0 seed the coverage-run state for STREAMING tier-1
+    windows (io/stream.py): prev_max0 is the max reference end of already
+    emitted reads on prev_tid, so gap cuts inside a window match the
+    whole-file plan exactly (reads already emitted may span into the
+    window)."""
     n = batch.n
     if n == 0:
         return []
@@ -114,6 +120,9 @@ def plan(batch, ref_lens, mem_per_thread_mb=1536):
     # boundaries: tid change or coverage gap >= COV_GAP
     run_max_end = np.maximum.accumulate(rend)
     prev_max = np.concatenate([[0], run_max_end[:-1]])
+    if prev_tid >= 0 and prev_max0 > 0:
+        same = tids == prev_tid   # coordinate-sorted: a same-tid prefix
+        prev_max = np.where(same, np.maximum(prev_max, prev_max0), prev_max)
     new_tid = np.concatenate([[True], tids[1:] != tids[:-1]])
     gap_cut = np.concatenate([[True], pos[1:] > prev_max[1:] + COV_GAP])
     cut = new_tid | gap_cut
