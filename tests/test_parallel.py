@@ -152,3 +152,52 @@ def test_cli_distributed_single_host(tmp_path, monkeypatch):
                 if not l.startswith("##")]
 
     assert body(out_local) == body(out_dist)
+
+
+def test_cli_distributed_two_real_processes(tmp_path):
+    """REAL multi-process run: two CLI processes with jax.distributed over
+    a local coordinator, read-balanced plan stripes, BGZF shard allgather,
+    host-0 merge — output must be byte-identical to the single-process
+    run (BASELINE scaling target's correctness leg; main.cpp:1541-1551
+    ordered-merge semantics)."""
+    import socket
+    import subprocess
+    import sys
+    import os
+    from uvc_tpu.io import simulate
+    env0 = dict(os.environ, JAX_PLATFORMS="cpu",
+                PYTHONPATH=os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__))))
+    ref = simulate.random_ref(20000, 5)
+    variants = [simulate.Variant(p, f"{ref[p]}>" + ("A" if ref[p] != "A" else "C"), 0.25)
+                for p in range(2000, 18000, 2500)]
+    bam = str(tmp_path / "m.bam")
+    simulate.build_bam(bam, ref, depth=100, variants=variants, seed=6)
+    fa = str(tmp_path / "ref.fa")
+    open(fa, "w").write(">chr1\n" + ref + "\n")
+    single = str(tmp_path / "single.vcf.gz")
+    subprocess.run([sys.executable, "-m", "uvc_tpu.cli.uvc1", "-f", fa,
+                    "-o", single, "-t", "2", bam],
+                   check=True, env=env0, capture_output=True)
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    dist_out = str(tmp_path / "dist.vcf.gz")
+    procs = []
+    for pid in (0, 1):
+        env = dict(env0, UVC_TPU_COORDINATOR=f"127.0.0.1:{port}",
+                   UVC_TPU_NUM_PROCESSES="2", UVC_TPU_PROCESS_ID=str(pid))
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "uvc_tpu.cli.uvc1", "-f", fa,
+             "-o", dist_out, "-t", "1", bam],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+    for p in procs:
+        _, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()[-800:]
+    a = [l for l in bgzf.decompress(open(single, "rb").read())
+         .decode().splitlines() if not l.startswith("##")]
+    b = [l for l in bgzf.decompress(open(dist_out, "rb").read())
+         .decode().splitlines() if not l.startswith("##")]
+    assert a == b
+    assert len(a) > 10

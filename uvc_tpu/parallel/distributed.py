@@ -57,12 +57,15 @@ def allgather_bytes(blob: bytes, max_len: int = None):
         return [blob]
     from jax.experimental import multihost_utils
     n = len(blob)
-    lens = multihost_utils.process_allgather(np.array([n], dtype=np.int64))
+    # process_allgather stacks along a new leading axis: [pcount, ...]
+    # (verified by the real 2-process CLI test in test_parallel.py)
+    lens = np.asarray(multihost_utils.process_allgather(
+        np.array([n], dtype=np.int64))).reshape(jax.process_count())
     cap = int(lens.max()) if max_len is None else max_len
     padded = np.zeros(cap, dtype=np.uint8)
     padded[:n] = np.frombuffer(blob, dtype=np.uint8)
-    gathered = multihost_utils.process_allgather(padded)
-    return [gathered[i, :int(lens[i, 0] if lens.ndim > 1 else lens[i])].tobytes()
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    return [gathered[i, :int(lens[i])].tobytes()
             for i in range(jax.process_count())]
 
 
