@@ -273,26 +273,6 @@ def _model_core(arrays, cand, tpfa_dpv, tpfa_qual, cfg, is_tumor_only,
     return out
 
 
-_MODEL_JIT = {}
-
-
-def _get_model_jit(cfg, is_tumor_only, rescued):
-    key = (id(cfg), is_tumor_only, rescued)
-    fn = _MODEL_JIT.get(key)
-    if fn is None:
-        if rescued:
-            def fn(arrays, cand, tpfa_dpv, tpfa_qual):
-                return _model_core(arrays, cand, tpfa_dpv, tpfa_qual,
-                                   cfg, is_tumor_only)
-        else:
-            def fn(arrays, cand):
-                return _model_core(arrays, cand, None, None,
-                                   cfg, is_tumor_only)
-        fn = jax.jit(fn)
-        _MODEL_JIT[key] = fn
-    return fn
-
-
 def _model_input_arrays(F):
     P = F["P"]
     return {k: v for k, v in F.items()
@@ -348,14 +328,6 @@ _MODEL_EVAL = None
 # and the device computes in f32/i32 anyway (x64 off on TPU).
 _MODEL_CAST_F32 = False
 
-
-def _cast_payload_arr(v):
-    if v.dtype == np.float64:
-        return v.astype(np.float32)
-    if v.dtype == np.int64:
-        return v.astype(np.int32)
-    return v
-
 _MODEL_READS = {}
 _X64_CHECKED = False
 
@@ -392,7 +364,7 @@ def _discover_model_reads(arrays, P, cfg, is_tumor_only, rescued):
     read-recording dict, so the jit boundary passes exactly the planes the
     model consumes — the F dict carries ~200, the model reads well under
     half."""
-    key = (id(cfg), is_tumor_only, rescued)
+    key = (_cfg_cache_key(cfg), is_tumor_only, rescued)
     ks = _MODEL_READS.get(key)
     if ks is not None:
         return ks
@@ -430,16 +402,13 @@ def model_stage(F, cand, cfg, is_tumor_only=True, tpfa_dpv=None,
     cand_p = _pad0(np.asarray(cand), B)
     tp_d = _pad0(np.asarray(tpfa_dpv), B) if rescued else None
     tp_q = _pad0(np.asarray(tpfa_qual), B) if rescued else None
-    if _MODEL_CAST_F32:
-        arrays = {k: _cast_payload_arr(v) for k, v in arrays.items()}
-        if rescued:
-            tp_d = tp_d.astype(np.float32)
-            tp_q = tp_q.astype(np.float32)
     payload = (arrays, cand_p, tp_d, tp_q, is_tumor_only, rescued)
+    packed = pack_model_request(payload)
     if _MODEL_EVAL is not None:
-        out = _MODEL_EVAL(payload)
+        resp = _MODEL_EVAL(packed)
     else:
-        out = model_eval_local(payload, cfg)
+        resp = model_eval_packed(packed, cfg)
+    out = unpack_model_response(resp)
     out = jax.tree.map(lambda v: v[:P], out)
     F.update(out)
     germ = germline.germline_nlodq(F, cand, cfg, is_tumor_only)
@@ -452,11 +421,213 @@ def model_eval_local(payload, cfg):
     """Run one padded model request through the jitted program on this
     process's default device and return a numpy output pytree.  Called by
     the parent/device-owner process (or directly when single-process)."""
-    _maybe_enable_x64()
+    return unpack_model_response(
+        model_eval_packed(pack_model_request(payload), cfg))
+
+
+# ---------------------------------------------------------------------------
+# Packed wire format for model requests/responses.
+#
+# Through the axon device tunnel every array transfer pays a fixed
+# round-trip latency (~25 ms per upload, ~hundreds of ms per readback
+# call) on top of ~28 MB/s readback bandwidth, so a request shipping 148
+# input planes and reading back ~110 output leaves costs seconds in pure
+# round-trips regardless of byte volume.  The wire therefore carries ONE
+# integer matrix [R, Ci] (every input plane column-concatenated; all
+# pileup planes are integral, plus the candidate mask) and one float
+# matrix for the rescued-mode tumor-FA planes, and the jitted program
+# unpacks, runs _model_core, and column-concatenates every output leaf
+# back into one int + one float matrix.  Dtypes are restored from a
+# static spec on each side, so the computation is bit-identical to the
+# unpacked form (CPU x64 keeps i64/f64 wire buffers; TPU computes in
+# i32/f32 exactly as the previous per-plane f32 wire cast did).
+
+def pack_model_request(payload):
+    """Worker-side (numpy only): column-concatenate the request into one
+    int matrix (+ one float matrix in rescued mode)."""
     arrays, cand_p, tp_d, tp_q, is_tumor_only, rescued = payload
-    fn = _get_model_jit(cfg, is_tumor_only, rescued)
-    out = fn(arrays, cand_p, tp_d, tp_q) if rescued else fn(arrays, cand_p)
-    return jax.tree.map(np.asarray, out)
+    R = cand_p.shape[0]
+    cast = _MODEL_CAST_F32
+    cols, ispec = [], []
+    for k in MODEL_READ_PLANES:
+        v = arrays[k]
+        if v.dtype.kind not in "iub":
+            raise TypeError(f"non-integral model input plane {k}: {v.dtype}")
+        restore = v.dtype
+        if cast and v.dtype == np.int64:
+            restore = np.dtype(np.int32)
+        ispec.append((k, int(np.prod(v.shape[1:], dtype=np.int64)) or 1,
+                      restore.str, v.ndim))
+        cols.append(v.reshape(R, -1))
+    ispec.append(("__cand__", NS, "bool", 2))
+    cols.append(cand_p.reshape(R, NS))
+    wire_i = np.int32 if cast else np.int64
+    pi = np.concatenate([c.astype(wire_i, copy=False) for c in cols], axis=1)
+    pf = None
+    if rescued:
+        wire_f = np.float32 if cast else np.float64
+        pf = np.concatenate([tp_d, tp_q], axis=1).astype(wire_f, copy=False)
+    return (pi, pf, tuple(ispec), bool(is_tumor_only), bool(rescued))
+
+
+def _path_key(path):
+    out = []
+    for e in path:
+        if isinstance(e, jax.tree_util.DictKey):
+            out.append(("d", e.key))
+        elif isinstance(e, jax.tree_util.SequenceKey):
+            out.append(("s", e.idx))
+        else:
+            raise TypeError(f"unsupported pytree path entry {e!r}")
+    return tuple(out)
+
+
+def _set_path(root, pk, val):
+    cur = root
+    for i, (kind, key) in enumerate(pk):
+        last = i == len(pk) - 1
+        if kind == "d":
+            if last:
+                cur[key] = val
+            else:
+                nxt = {} if pk[i + 1][0] == "d" else []
+                cur = cur.setdefault(key, nxt)
+        else:
+            while len(cur) <= key:
+                cur.append(None)
+            if last:
+                cur[key] = val
+            else:
+                if cur[key] is None:
+                    cur[key] = {} if pk[i + 1][0] == "d" else []
+                cur = cur[key]
+    return root
+
+
+_PACKED_JIT = {}
+
+
+def _cfg_cache_key(cfg):
+    """Value-based cache key for jitted-model caches: two config objects
+    with equal fields share one traced program (id()-keyed caches retrace
+    the whole model on every CLI invocation in a long-lived process)."""
+    import dataclasses
+    items = []
+    for f in dataclasses.fields(cfg):
+        v = getattr(cfg, f.name)
+        if isinstance(v, list):
+            v = tuple(v)
+        items.append((f.name, v))
+    return tuple(items)
+
+
+def _get_packed_model(cfg, is_tumor_only, rescued, ispec, f_dtype_str):
+    """Build (once per mode) the jitted unpack -> _model_core -> pack
+    program plus the static output spec used to rebuild the pytree."""
+    key = (_cfg_cache_key(cfg), is_tumor_only, rescued, ispec, f_dtype_str)
+    ent = _PACKED_JIT.get(key)
+    if ent is not None:
+        return ent
+
+    inner_spec = ispec[:-1]
+
+    def core(pi, pf):
+        arrays = {}
+        off = 0
+        for k, w, dts, nd in inner_spec:
+            sl = pi[:, off:off + w].astype(np.dtype(dts))
+            arrays[k] = sl[:, 0] if nd == 1 else sl
+            off += w
+        cand = pi[:, off:off + NS].astype(bool)
+        t1 = t2 = None
+        if rescued:
+            t1, t2 = pf[:, :NS], pf[:, NS:]
+        return _model_core(arrays, cand, t1, t2, cfg, is_tumor_only)
+
+    # output spec from one abstract trace (no compile, no compute)
+    R0 = 128
+    ci = sum(w for _, w, _, _ in ispec)
+    pi_s = jax.ShapeDtypeStruct((R0, ci), np.int64)
+    pf_s = jax.ShapeDtypeStruct((R0, 2 * NS), np.dtype(f_dtype_str)) \
+        if rescued else None
+    out_avals = jax.eval_shape(core, pi_s, pf_s)
+    leaves_p = jax.tree_util.tree_flatten_with_path(out_avals)[0]
+    ospec = []
+    wi = np.dtype(np.int32)
+    wf = np.dtype(np.float32)
+    for path, av in leaves_p:
+        sh = av.shape
+        if sh and sh[0] == R0:
+            moved = False
+            inner = tuple(sh[1:])
+        elif len(sh) >= 2 and sh[1] == R0:
+            moved = True
+            inner = (sh[0],) + tuple(sh[2:])
+        else:
+            raise ValueError(f"model output {path} has no row axis: {sh}")
+        kind = "f" if av.dtype.kind == "f" else "i"
+        if kind == "f":
+            wf = max(wf, av.dtype, key=lambda d: d.itemsize)
+        elif av.dtype.kind != "b":
+            wi = max(wi, av.dtype, key=lambda d: d.itemsize)
+        ncols = int(np.prod(inner, dtype=np.int64)) if inner else 1
+        ospec.append((_path_key(path), kind, ncols, inner, av.dtype.str,
+                      moved))
+    ospec = tuple(ospec)
+
+    def packed_fn(pi, pf):
+        out = core(pi, pf)
+        leaves = [l for _, l in jax.tree_util.tree_flatten_with_path(out)[0]]
+        icols, fcols = [], []
+        for leaf, (pk, kind, ncols, inner, dts, moved) in zip(leaves, ospec):
+            arr = jnp.moveaxis(leaf, 1, 0) if moved else leaf
+            flat = arr.reshape(arr.shape[0], -1)
+            if kind == "f":
+                fcols.append(flat.astype(wf))
+            else:
+                icols.append(flat.astype(wi))
+        R = pi.shape[0]
+        oi = (jnp.concatenate(icols, axis=1) if icols
+              else jnp.zeros((R, 0), wi))
+        of = (jnp.concatenate(fcols, axis=1) if fcols
+              else jnp.zeros((R, 0), wf))
+        return oi, of
+
+    ent = (jax.jit(packed_fn), ospec)
+    _PACKED_JIT[key] = ent
+    return ent
+
+
+def model_eval_packed(packed, cfg):
+    """Parent-side (device owner): run one packed model request and return
+    (int matrix, float matrix, output spec) — exactly two device
+    readbacks per request."""
+    _maybe_enable_x64()
+    pi, pf, ispec, is_tumor_only, rescued = packed
+    f_dtype_str = pf.dtype.str if pf is not None else "<f8"
+    fn, ospec = _get_packed_model(cfg, is_tumor_only, rescued, ispec,
+                                  f_dtype_str)
+    oi, of = fn(pi, pf)
+    return np.asarray(oi), np.asarray(of), ospec
+
+
+def unpack_model_response(resp):
+    """Worker-side (numpy only): rebuild the model-output pytree from the
+    two wire matrices using the static spec."""
+    oi, of, ospec = resp
+    R = oi.shape[0]
+    out = {}
+    offs = {"i": 0, "f": 0}
+    for pk, kind, ncols, inner, dts, moved in ospec:
+        buf = of if kind == "f" else oi
+        off = offs[kind]
+        offs[kind] = off + ncols
+        arr = np.ascontiguousarray(buf[:, off:off + ncols]).reshape(
+            (R,) + inner).astype(np.dtype(dts), copy=False)
+        if moved:
+            arr = np.moveaxis(arr, 0, 1)
+        _set_path(out, pk, arr)
+    return out
 
 
 def _slice_model_val(v, lo, hi, bigP):

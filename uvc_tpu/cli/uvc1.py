@@ -172,6 +172,15 @@ def _run_device_server_pipeline(work_ctx, chunks, n_workers, cfg):
                for w in range(n_workers)]
     for w in workers:
         w.start()
+    # async device poke AFTER forking (fork + live XLA threads deadlocks):
+    # through the axon tunnel the first dispatch after an idle gap pays a
+    # ~2s wake-up; issuing a tiny op now (no readback: dispatch is async)
+    # overlaps that wake-up with the workers' prepare stage
+    try:
+        import jax.numpy as jnp
+        _ = jnp.zeros((8,), jnp.float32) + 1.0
+    except Exception:
+        pass
     for ci, chunk in enumerate(chunks):
         task_q.put((ci, chunk))
     for _ in workers:
@@ -184,7 +193,7 @@ def _run_device_server_pipeline(work_ctx, chunks, n_workers, cfg):
         kind, key, payload = req_q.get()
         if kind == "model":
             try:
-                out = calling.model_eval_local(payload, work_ctx["cfg"])
+                out = calling.model_eval_packed(payload, work_ctx["cfg"])
             except BaseException as e:  # noqa: BLE001 - relayed to worker
                 out = e
             resp_qs[key].put(out)
