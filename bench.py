@@ -91,6 +91,14 @@ def bench_device_model():
     arrays = {k: np.concatenate([v] * reps, axis=0) for k, v in arrays.items()}
     cand = np.concatenate([cand] * reps, axis=0)
 
+    # device-resident inputs: the timed loop must measure the model program,
+    # not the host->device transfer of the input planes (which the tunnel
+    # serves at ~215 MB/s and the production path pays once per packed
+    # request, not per model step)
+    arrays = jax.device_put(arrays)
+    cand = jax.device_put(cand)
+    jax.block_until_ready(arrays)
+
     n_iter = 20
 
     @jax.jit
