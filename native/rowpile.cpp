@@ -13,7 +13,33 @@
 #include <cstring>
 #include <cstdlib>
 #include <cmath>
+#include <cstdio>
+#include <ctime>
 #include <vector>
+
+// UVC_RC_TIMING=1: per-phase wall times on stderr (perf diagnosis only)
+namespace rcdiag {
+static int enabled() {
+    static int e = -1;
+    if (e < 0) { const char *v = getenv("UVC_RC_TIMING"); e = v && *v == '1'; }
+    return e;
+}
+static double now() {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return ts.tv_sec + ts.tv_nsec * 1e-9;
+}
+struct Phase {
+    const char *name;
+    double t0;
+    explicit Phase(const char *n) : name(n), t0(enabled() ? now() : 0.0) {}
+    ~Phase() {
+        if (enabled())
+            fprintf(stderr, "[rc] %-18s %7.3f ms\n", name,
+                    (now() - t0) * 1e3);
+    }
+};
+}  // namespace rcdiag
 
 extern "C" {
 
@@ -506,10 +532,13 @@ int64_t rc_run(int64_t n, const int64_t *group, const int64_t *pos,
     rc::g_P = P;
     rc::g_pos_bits = pos_bits;
     int64_t max_g = 0, max_v = 0, min_v = 0;
-    for (int64_t i = 0; i < n; i++) {
-        if (group[i] > max_g) max_g = group[i];
-        if (val[i] > max_v) max_v = val[i];
-        if (val[i] < min_v) min_v = val[i];
+    {
+        rcdiag::Phase ph("rc.maxscan");
+        for (int64_t i = 0; i < n; i++) {
+            if (group[i] > max_g) max_g = group[i];
+            if (val[i] > max_v) max_v = val[i];
+            if (val[i] < min_v) min_v = val[i];
+        }
     }
     const int key_bits = rc::bit_width_u64((uint64_t)max_g)
         + pos_bits + SYM_BITS;
@@ -524,11 +553,19 @@ int64_t rc_run(int64_t n, const int64_t *group, const int64_t *pos,
         if ((int64_t)rc::u_a.size() < n) rc::u_a.resize(n);
         if ((int64_t)rc::u_b.size() < n) rc::u_b.resize(n);
         uint64_t *rows = rc::u_a.data();
-        for (int64_t i = 0; i < n; i++)
-            rows[i] = ((((uint64_t)group[i] << GSHIFT)
-                        | ((uint64_t)pos[i] << SYM_BITS)
-                        | (uint64_t)sym[i]) << VAL_BITS) | (uint64_t)val[i];
-        rc::sort_u64(rows, rc::u_b.data(), n, VAL_BITS, key_bits);
+        {
+            rcdiag::Phase ph("rc.pack");
+            for (int64_t i = 0; i < n; i++)
+                rows[i] = ((((uint64_t)group[i] << GSHIFT)
+                            | ((uint64_t)pos[i] << SYM_BITS)
+                            | (uint64_t)sym[i]) << VAL_BITS)
+                    | (uint64_t)val[i];
+        }
+        {
+            rcdiag::Phase ph("rc.sort");
+            rc::sort_u64(rows, rc::u_b.data(), n, VAL_BITS, key_bits);
+        }
+        rcdiag::Phase ph("rc.reduce");
         for (int64_t i = 0; i < n;) {
             const uint64_t k = rows[i] >> VAL_BITS;
             int64_t acc = (int64_t)(rows[i] & VAL_MAX);
@@ -571,8 +608,12 @@ int64_t rc_run(int64_t n, const int64_t *group, const int64_t *pos,
             i = j;
         }
     }
-    rc::consensus_scan(rc::ug, rc::uv, pos_bits, link_m_overridden != 0,
-                       rc::cg, rc::cp_, rc::cst, rc::ccs, rc::ccc, rc::ctot);
+    {
+        rcdiag::Phase ph("rc.consensus");
+        rc::consensus_scan(rc::ug, rc::uv, pos_bits, link_m_overridden != 0,
+                           rc::cg, rc::cp_, rc::cst, rc::ccs, rc::ccc,
+                           rc::ctot);
+    }
     return (int64_t)rc::ug.size();
 }
 
@@ -940,30 +981,43 @@ int64_t rc2_run(int64_t n, const int64_t *group, const int64_t *pos,
     if ((int64_t)rc::u_a.size() < n) rc::u_a.resize(n);
     if ((int64_t)rc::u_b.size() < n) rc::u_b.resize(n);
     uint64_t *rows = rc::u_a.data();
-    for (int64_t i = 0; i < n; i++)
-        rows[i] = ((((uint64_t)group[i] << GSHIFT)
-                    | ((uint64_t)pos[i] << SYM_BITS)
-                    | (uint64_t)sym[i]) << LOW_BITS)
-            | ((uint64_t)(filt[i] ? 1 : 0) << VAL_BITS)
-            | (uint64_t)val[i];
-    rc::sort_u64(rows, rc::u_b.data(), n, LOW_BITS, key_bits);
+    {
+        rcdiag::Phase ph("rc2.pack");
+        for (int64_t i = 0; i < n; i++)
+            rows[i] = ((((uint64_t)group[i] << GSHIFT)
+                        | ((uint64_t)pos[i] << SYM_BITS)
+                        | (uint64_t)sym[i]) << LOW_BITS)
+                | ((uint64_t)(filt[i] ? 1 : 0) << VAL_BITS)
+                | (uint64_t)val[i];
+    }
+    {
+        rcdiag::Phase ph("rc2.sort");
+        rc::sort_u64(rows, rc::u_b.data(), n, LOW_BITS, key_bits);
+    }
     rc::ug.clear(); rc::uv.clear();
     rc::ug2.clear(); rc::uv2.clear();
     rc::ug.reserve(n); rc::uv.reserve(n);
     rc::ug2.reserve(n); rc::uv2.reserve(n);
-    for (int64_t i = 0; i < n;) {
-        const uint64_t k = rows[i] >> LOW_BITS;
-        int64_t acc1 = 0, acc2 = 0;
-        int64_t j = i;
-        for (; j < n && (rows[j] >> LOW_BITS) == k; j++) {
-            acc1 += (int64_t)((rows[j] >> VAL_BITS) & 1);
-            acc2 += (int64_t)(rows[j] & VAL_MAX);
+    {
+        rcdiag::Phase ph("rc2.reduce");
+        for (int64_t i = 0; i < n;) {
+            const uint64_t k = rows[i] >> LOW_BITS;
+            int64_t acc1 = 0, acc2 = 0;
+            int64_t j = i;
+            for (; j < n && (rows[j] >> LOW_BITS) == k; j++) {
+                acc1 += (int64_t)((rows[j] >> VAL_BITS) & 1);
+                acc2 += (int64_t)(rows[j] & VAL_MAX);
+            }
+            if (acc1 > 0) {
+                rc::ug.push_back((int64_t)k);
+                rc::uv.push_back(acc1);
+            }
+            rc::ug2.push_back((int64_t)k);
+            rc::uv2.push_back(acc2);
+            i = j;
         }
-        if (acc1 > 0) { rc::ug.push_back((int64_t)k); rc::uv.push_back(acc1); }
-        rc::ug2.push_back((int64_t)k);
-        rc::uv2.push_back(acc2);
-        i = j;
     }
+    rcdiag::Phase ph("rc2.consensus");
     rc::consensus_scan(rc::ug, rc::uv, pos_bits, false,
                        rc::cg, rc::cp_, rc::cst, rc::ccs, rc::ccc, rc::ctot);
     rc::consensus_scan(rc::ug2, rc::uv2, pos_bits, false,

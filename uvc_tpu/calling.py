@@ -236,13 +236,129 @@ class _WriteTrack:
         return k == "P" or k in self.writes or k in self.base
 
 
+# type-sum capital planes derived INSIDE the jitted model (previously a
+# host stacked-sum pass in fmtarrays.build): every capital is a row-local
+# reduction over the 14 symbols of its lowercase plane, so it is exact
+# under row-sparse gathering and saves both host prepare time and ~45
+# planes of wire transfer.  Model outputs include them (at candidate
+# rows), which is where the record emitters read them.
+_CAP_SIMPLE = ("aMQs a1BQf a1BQr aDPff aDPfr aDPrf aDPrr aLP1 aLP2 aLPL "
+               "aRP1 aRP2 aRPL aLB2 aLBL aRB2 aRBL aLI2 aLIr aRI2 aRIf "
+               "aBQ2 aPF2 aP1 aP2").split()
+_CAP_C2 = ("c2BQ2 c2LP0 c2RP0 c2LP2 c2LPL c2RP2 c2RPL "
+           "c2LB2 c2LBL c2RB2 c2RBL").split()
+_CAP_TIERS = ("cDP1", "cDP12", "cDP2", "cDP3", "cDP21", "cDPM", "cDPm",
+              "cDPD")
+
+
+def _derive_capitals(Fm, cfg):
+    """fill_symboltype_fmt type-sums + fill_symbol_VQ_fmts
+    (main.hpp:3745-3887), traced in-model."""
+    ts = dpv._sum_by_symboltype_j
+    for nm in _CAP_SIMPLE:
+        Fm[nm.replace("a", "A", 1)] = ts(Fm[nm])
+    for nm in _CAP_C2:
+        Fm[nm.replace("c2", "C2", 1)] = ts(Fm[nm])
+    Fm["BDPb_l"] = ts(Fm["bDPf"])
+    Fm["BDPb_r"] = ts(Fm["bDPr"])
+    for nm in ("bTA", "bTB"):
+        cap = "B" + nm[1:].upper()
+        Fm[cap + "f"] = ts(Fm[nm + "f"])
+        Fm[cap + "r"] = ts(Fm[nm + "r"])
+        Fm[cap] = Fm[cap + "f"] + Fm[cap + "r"]
+    for tier in _CAP_TIERS:
+        cap = "C" + tier[1:]
+        Fm[cap + "b_l"] = ts(Fm[tier + "f"])
+        Fm[cap + "b_r"] = ts(Fm[tier + "r"])
+        if tier in ("cDP12", "cDP2", "cDP3", "cDPD"):
+            Fm[cap] = Fm[cap + "b_l"] + Fm[cap + "b_r"]
+    Fm["DDP1"] = ts(Fm["dDP1"])
+    Fm["DDP2"] = ts(Fm["dDP2"])
+    _vq_fmts_traced(Fm, cfg)
+
+
+def _vq_fmts_traced(Fm, cfg):
+    """fill_symbol_VQ_fmts (main.hpp:3820-3887): systematic BQ-error
+    quality aBQQ with strand/xm/bm ratio adjustments, rss BQ terms, bMQ
+    rms.  Bit-identical port of the former host fmtarrays._fill_vq_fmts
+    (float64 on CPU); minABQ arrives as per-row planes because the
+    amplicon/capture inference differs per region within one batched
+    request."""
+    FLT_EPSILON = 1.1920928955078125e-07
+    ity = dpv._itype()
+
+    def tdiv(a, b):
+        q = jnp.abs(a) // jnp.abs(b)
+        return jnp.where((a < 0) != (b < 0), -q, q)
+
+    ref = Fm["ref_syms"]
+    refpad = jnp.concatenate(
+        [jnp.full(2, -1, ref.dtype), ref, jnp.full(2, -2, ref.dtype)])
+    c = refpad[2:-2]
+    hp1 = (refpad[1:-3] == c) & (refpad[3:-1] == c)
+    hp2 = (refpad[:-4] == c) & (refpad[4:] == c)
+    red = jnp.where(hp1 & hp2, 20, jnp.where(hp1, 10, 0))
+    minABQ_b = jnp.maximum(Fm["minABQ_snv_p"] - red, 0)[:, None]
+    minABQ_l = Fm["minABQ_indel_p"][:, None]
+    minABQ = jnp.concatenate(
+        [jnp.broadcast_to(minABQ_b, (minABQ_b.shape[0], 6)),
+         jnp.broadcast_to(minABQ_l, (minABQ_l.shape[0], 8))], axis=1)
+
+    aDPf = Fm["aDPff"] + Fm["aDPrf"]
+    aDPr = Fm["aDPfr"] + Fm["aDPrr"]
+    ADP = Fm["ADPff"] + Fm["ADPrf"] + Fm["ADPfr"] + Fm["ADPrr"]
+    a2BQf = Fm["a2BQf_raw"]
+    a2BQr = Fm["a2BQr_raw"]
+    SQ = 32
+    rssf = (aDPf * jnp.sqrt((a2BQf * SQ) // jnp.maximum(1, aDPf))) \
+        .astype(ity)
+    rssr = (aDPr * jnp.sqrt((a2BQr * SQ) // jnp.maximum(1, aDPr))) \
+        .astype(ity)
+    rssb = ((aDPf + aDPr) * jnp.sqrt(
+        ((a2BQf + a2BQr) * SQ) // jnp.maximum(1, aDPf + aDPr))).astype(ity)
+
+    minABQa = minABQ - (5 * 10.0 * jnp.square(jnp.maximum(
+        0.0, (aDPf + aDPr + 0.5) * 2.0 / (ADP + 1.0) - 1.0))).astype(ity)
+    dp10pc = 10
+    sbratio = ((jnp.maximum(aDPf, aDPr) * 10.0 + dp10pc)
+               / (jnp.minimum(aDPf, aDPr) * 10.0 + dp10pc))
+    minABQa = minABQa + jnp.clip(jnp.square(sbratio).astype(ity)
+                                 - cfg.syserr_BQ_sbratio_q_add, 0,
+                                 cfg.syserr_BQ_sbratio_q_max)
+    xmratio = (cfg.syserr_BQ_xmratio_q_max * 10 * (aDPf + aDPr)
+               // jnp.maximum(1, Fm["a2XM2"]))
+    bmratio = (cfg.syserr_BQ_bmratio_q_max * 10 * (aDPf + aDPr)
+               // jnp.maximum(1, Fm["a2BM2"]))
+    minABQa = (minABQa
+               + jnp.clip(xmratio - cfg.syserr_BQ_xmratio_q_add, 0,
+                          cfg.syserr_BQ_xmratio_q_max)
+               + jnp.clip(bmratio - cfg.syserr_BQ_bmratio_q_add, 0,
+                          cfg.syserr_BQ_bmratio_q_max))
+    m = cfg.syserr_BQ_strand_favor_mul
+    q_fw = tdiv(rssf * m - tdiv(minABQa * aDPf * m, 10)
+                + rssr - tdiv(minABQa * aDPr, 10), m)
+    q_rv = tdiv(rssr * m - tdiv(minABQa * aDPr * m, 10)
+                + rssf - tdiv(minABQa * aDPf, 10), m)
+    q_2d = rssb - tdiv(minABQa * (aDPf + aDPr), 10)
+    a_rmsBQ = rssb // jnp.maximum(1, aDPf + aDPr)
+    Fm["a2BQf"] = rssf
+    Fm["a2BQr"] = rssr
+    Fm["aBQ"] = a_rmsBQ
+    Fm["aBQQ"] = jnp.maximum(a_rmsBQ, cfg.syserr_BQ_prior
+                             + jnp.maximum(jnp.maximum(q_2d, q_fw), q_rv))
+    Fm["bMQ"] = jnp.round(jnp.sqrt(
+        (Fm["bMQ_raw"] * SQ) / jnp.maximum(Fm["bDPf"] + Fm["bDPr"], 1))
+        + (1.0 - FLT_EPSILON)).astype(ity)
+
+
 def _model_core(arrays, cand, tpfa_dpv, tpfa_qual, cfg, is_tumor_only,
                 read_log=None):
     """The full per-column quality model as ONE traced program:
-    calc_DPv -> sum_DPv -> calc_qual -> TLODQ/lowestVAQ/vcfqual
-    (main.hpp:4253-5343 + 6194-6211)."""
+    capital type-sums + VQ fmts -> calc_DPv -> sum_DPv -> calc_qual ->
+    TLODQ/lowestVAQ/vcfqual (main.hpp:3745-3887, 4253-5343, 6194-6211)."""
     P = arrays["ref_syms"].shape[0]
     Fm = _WriteTrack(arrays, P, read_log)
+    _derive_capitals(Fm, cfg)
     dpv.calc_dpv(Fm, cfg, is_tumor_only, tpfa=tpfa_dpv)
     dpv.sum_dpv(Fm, cand)
     qual.calc_qual(Fm, cfg, is_tumor_only, tpfa=tpfa_qual)
@@ -302,19 +418,16 @@ def _pad0(a, B):
 # process owns the device and services requests; see cli/uvc1.py).
 # tests/test_calling.py asserts this list matches a fresh discovery trace.
 MODEL_READ_PLANES = (
-    "A1BQf A1BQr ABQ2 ADPff ADPfr ADPrf ADPrr ALB2 ALBL ALI2 ALIr ALP1 "
-    "ALP2 ALPL AMQs AP1 AP2 APDP APF2 APLRI APXM ARB2 ARBL ARI2 ARIf ARP2 "
-    "ARPL BDP BTA BTB C2BQ2 C2LB2 C2LBL C2LP0 C2LP2 C2LPL C2RB2 C2RBL "
-    "C2RP0 C2RP2 C2RPL CDP1 CDP12 CDP12b_l CDP12b_r CDP1b_l CDP1b_r CDP2 "
-    "CDP2b_l CDP2b_r CDP3 DDP1 a1BQf a1BQr a2XM2 aBQ aBQ2 aBQQ aDPff "
-    "aDPfr aDPrf aDPrr aLB1 aLB2 aLBL aLI1 aLI2 aLIT aLIr aLP1 aLP2 aLPL "
-    "aMQs aNC aP1 aP2 aP3 aPF1 aPF2 aRB1 aRB2 aRBL aRI1 aRI2 aRIT aRIf "
-    "aRP1 aRP2 aRPL bDPa bDPf bDPr bIADb bIAQb bMQ bTAf bTAr bTBf bTBr "
-    "c2BQ2 c2LB1 c2LB2 c2LBL c2LP0 c2LP1 c2LP2 c2LPL c2RB1 c2RB2 c2RBL "
-    "c2RP0 c2RP1 c2RP2 c2RPL cDP0a cDP12f cDP12r cDP1f cDP1r cDP2f cDP2r "
-    "cDP3f cDP3r cDPMf cDPMr cDPmf cDPmr cIADf cIADr cIAQf cIAQr cIDQf "
-    "cIDQr ctx_repeatnum ctx_unitlen dDP1 dDP2 del1_cdepth del_cdepth "
-    "gapLen ins1_cdepth ins_cdepth ref_syms rtr1_tracklen_3 "
+    "APDP APLRI APXM BDP CDP1 a1BQf a1BQr a2BM2 a2BQf_raw a2BQr_raw a2XM2 "
+    "aBQ2 aDPff aDPfr aDPrf aDPrr aLB1 aLB2 aLBL aLI1 aLI2 aLIT aLIr aLP1 "
+    "aLP2 aLPL aMQs aNC aP1 aP2 aP3 aPF1 aPF2 aRB1 aRB2 aRBL aRI1 aRI2 "
+    "aRIT aRIf aRP1 aRP2 aRPL bDPa bDPf bDPr bIADb bIAQb bMQ_raw bTAf "
+    "bTAr bTBf bTBr c2BQ2 c2LB1 c2LB2 c2LBL c2LP0 c2LP1 c2LP2 c2LPL c2RB1 "
+    "c2RB2 c2RBL c2RP0 c2RP1 c2RP2 c2RPL cDP0a cDP12f cDP12r cDP1f cDP1r "
+    "cDP21f cDP21r cDP2f cDP2r cDP3f cDP3r cDPDf cDPDr cDPMf cDPMr cDPmf "
+    "cDPmr cIADf cIADr cIAQf cIAQr cIDQf cIDQr ctx_repeatnum ctx_unitlen "
+    "dDP1 dDP2 del1_cdepth del_cdepth gapLen ins1_cdepth ins_cdepth "
+    "minABQ_indel_p minABQ_snv_p ref_syms rtr1_tracklen_3 "
     "rtr1_unitlen_3 rtr2_anyTR_tracklen_3 rtr2_tracklen_3 rtr2_unitlen_3"
 ).split()
 

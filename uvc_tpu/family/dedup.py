@@ -160,9 +160,10 @@ def detect_amplicon(frag_beg, frag_end, lane, cfg):
 
 
 def _group_by_qname(batch):
-    """(frag_of_read [n], first_read [n_frags]) with fragment ids in
-    first-occurrence order; grouping key is the qname FNV-1a 64-bit hash
-    (the reference's map<qnamehash, ...>, grouping.cpp:925)."""
+    """(frag_of_read [n], first_read [n_frags], qhash [n] or None) with
+    fragment ids in first-occurrence order; grouping key is the qname
+    FNV-1a 64-bit hash (the reference's map<qnamehash, ...>,
+    grouping.cpp:925).  qhash is reused by the family-key grouping."""
     n = batch.n
     from ..ops import native_rowpile as _nr
     lib = _nr._load()
@@ -182,7 +183,7 @@ def _group_by_qname(batch):
         rank[order] = np.arange(len(order))
         frag_of_read = rank[inv]
         first_read = first_idx[order].astype(np.int64)
-        return frag_of_read, first_read
+        return frag_of_read, first_read, h
     qd = batch.qname_data
     off = batch.qname_off
     uniq = {}
@@ -194,7 +195,7 @@ def _group_by_qname(batch):
         frag_of_read[i] = j
         if j == len(first_read):
             first_read.append(i)
-    return frag_of_read, np.asarray(first_read, dtype=np.int64)
+    return frag_of_read, np.asarray(first_read, dtype=np.int64), None
 
 
 def group_families(batch, table, cfg,
@@ -205,7 +206,7 @@ def group_families(batch, table, cfg,
     # fragments: group reads by QNAME hash (the reference's fragment map
     # is keyed by qnamehash, grouping.cpp:925); fragment ids keep
     # first-occurrence order like the previous dict-based grouping
-    frag_of_read, first_read = _group_by_qname(batch)
+    frag_of_read, first_read, qhash = _group_by_qname(batch)
     n_frags = len(first_read)
 
     r = table.reads
@@ -218,13 +219,18 @@ def group_families(batch, table, cfg,
                   np.where(r.isize != 0, r.frag_pos_R, r.rend))
     frag_strand[frag_of_read] = r.strand.astype(np.int64)
 
-    # UMI per fragment (from the first read's qname)
+    # UMI per fragment (from the first read's qname); one vectorized scan
+    # for the '#' marker skips per-qname parsing on barcode-free data
     qd, qoff = batch.qname_data, batch.qname_off
 
     def _qname(i):
         return bytes(qd[qoff[i]:qoff[i + 1]])
 
-    umis, is_dupx = parse_umis([_qname(int(i)) for i in first_read])
+    if n and bool((np.frombuffer(bytes(qd), np.uint8) == ord("#")).any()):
+        umis, is_dupx = parse_umis([_qname(int(i)) for i in first_read])
+    else:
+        umis = [b""] * n_frags
+        is_dupx = [False] * n_frags
 
     has_umi = any(len(u) > 0 for u in umis)
     molecule_tag = cfg.molecule_tag
@@ -253,30 +259,61 @@ def group_families(batch, table, cfg,
 
     # per-fragment dedup key selection (grouping.cpp:863-895, SURVEY.md A.2)
     e2e = cfg.dedup_amplicon_end2end_ratio
-    idflag_of_frag = np.empty(n_frags, dtype=np.int64)
+    has_umi_frag = (np.fromiter((len(u) > 0 for u in umis), bool, n_frags)
+                    if has_umi else np.zeros(n_frags, dtype=bool))
     if cfg.dedup_flag != 0:
-        idflag_of_frag[:] = cfg.dedup_flag
+        idflag_of_frag = np.full(n_frags, cfg.dedup_flag, dtype=np.int64)
     elif platform == SequencingPlatform.IONTORRENT:
-        for j in range(n_frags):
-            if len(umis[j]):
-                idflag_of_frag[j] = 0x9
-            else:
-                idflag_of_frag[j] = 0x7 if is_amp[j] else 0x3
+        idflag_of_frag = np.where(has_umi_frag, 0x9,
+                                  np.where(is_amp, 0x7, 0x3)).astype(np.int64)
     else:
-        for j in range(n_frags):
-            if len(umis[j]):
-                if (beg_strong[j] and end_w[j] and beg2c[j] > end2c[j] * e2e):
-                    idflag_of_frag[j] = 0x9   # one-sided PCR, begin anchored
-                elif (end_strong[j] and beg_w[j]
-                      and end2c[j] > beg2c[j] * e2e):
-                    idflag_of_frag[j] = 0xA   # one-sided PCR, end anchored
-                else:
-                    idflag_of_frag[j] = 0xB
-            else:
-                idflag_of_frag[j] = 0x7 if is_amp[j] else 0x3
+        one_beg = beg_strong & end_w & (beg2c > end2c * e2e)
+        one_end = end_strong & beg_w & (end2c > beg2c * e2e)
+        umi_flag = np.where(one_beg, 0x9, np.where(one_end, 0xA, 0xB))
+        idflag_of_frag = np.where(has_umi_frag, umi_flag,
+                                  np.where(is_amp, 0x7, 0x3)).astype(np.int64)
 
     beg_s = snap_positions(frag_beg, center_mult=cfg.dedup_center_mult)
     end_s = snap_positions(frag_end, center_mult=cfg.dedup_center_mult)
+
+    if not has_umi and qhash is not None:
+        # vectorized family grouping (barcode-free fast path): the key is
+        # (strand, masked beg, masked end, masked qname-hash); grouping by
+        # the 64-bit FNV-1a qname hash instead of the qname bytes matches
+        # the reference, whose fragment map is likewise hash-keyed
+        # (grouping.cpp:925)
+        frag_dflag = np.where(is_amp, 0x4, 0).astype(np.int64)
+        bkey = np.where(idflag_of_frag & 0x1, beg_s, -1)
+        ekey = np.where(idflag_of_frag & 0x2, end_s, -1)
+        qkey = np.where(idflag_of_frag & 0x4,
+                        qhash[first_read].view(np.int64), 0)
+        order = np.lexsort((qkey, ekey, bkey, frag_strand))
+        n_g = 0
+        gid = np.zeros(n_frags, dtype=np.int64)
+        if n_frags:
+            ss, bs, es, qs = (frag_strand[order], bkey[order], ekey[order],
+                              qkey[order])
+            new = np.ones(n_frags, dtype=bool)
+            new[1:] = ((ss[1:] != ss[:-1]) | (bs[1:] != bs[:-1])
+                       | (es[1:] != es[:-1]) | (qs[1:] != qs[:-1]))
+            gid_sorted = np.cumsum(new) - 1
+            gid[order] = gid_sorted
+            n_g = int(gid_sorted[-1]) + 1
+        # family ids in first-occurrence order (dict-setdefault semantics)
+        ffirst = np.full(n_g, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(ffirst, gid, np.arange(n_frags, dtype=np.int64))
+        rank = np.empty(n_g, dtype=np.int64)
+        rank[np.argsort(ffirst, kind="stable")] = np.arange(n_g)
+        fam_of_frag = rank[gid]
+        fam_first = np.sort(ffirst)  # fam k's first fragment index
+        return FamilyGrouping(
+            frag_of_read=frag_of_read, fam_of_frag=fam_of_frag,
+            frag_strand=frag_strand, fam_strand=frag_strand[fam_first],
+            fam_dflag=frag_dflag[fam_first], frag_dflag=frag_dflag,
+            n_frags=n_frags, n_fams=n_g,
+            umi_of_fam=[""] * n_g,
+            duplex_pair=np.full(n_g, -1, dtype=np.int64),
+            pcrpassed=int(is_amp.sum()), frag_amplicon=is_amp)
 
     fam_keys = {}
     fam_of_frag = np.empty(n_frags, dtype=np.int64)

@@ -69,37 +69,17 @@ def build(res, cfg, minABQ_snv, minABQ_indel):
     F["dDP1"] = fq.ddp1
     F["dDP2"] = fq.ddp2
 
-    sum_keys = []
-    sum_srcs = []
     for nm in info.names:
         F[nm] = getattr(info, nm)
-        # keep reference naming for capitals: ADPff == type-sum of aDPff
-        sum_keys.append(nm.replace("a", "A", 1))
-        sum_srcs.append(F[nm])
-    for k in ("a1BQf", "a1BQr"):
-        sum_keys.append("A" + k[1:])
-        sum_srcs.append(F[k])
-    sum_keys += ["BDPb_l", "BDPb_r", "BTA", "BTB",
-                 "BTAf", "BTAr", "BTBf", "BTBr"]
-    sum_srcs += [F["bDPf"], F["bDPr"], F["bTAf"] + F["bTAr"],
-                 F["bTBf"] + F["bTBr"], F["bTAf"], F["bTAr"],
-                 F["bTBf"], F["bTBr"]]
-    for tier, arr in tiers:
-        sum_keys += ["C" + tier[1:] + "b_l", "C" + tier[1:] + "b_r"]
-        sum_srcs += [arr[:, :, 0], arr[:, :, 1]]
-    for nm in fq.c2info:
-        sum_keys.append(nm.replace("c2", "C2", 1))
-        sum_srcs.append(F[nm])
-    sum_keys += ["DDP1", "DDP2"]
-    sum_srcs += [fq.ddp1, fq.ddp2]
-    stacked = sum_by_symboltype(np.stack(sum_srcs, axis=0))
-    for i, k in enumerate(sum_keys):
-        F[k] = stacked[i]
 
-    F["BDP"] = F["BDPb_l"] + F["BDPb_r"]
-    for tier, arr in tiers:
-        F["C" + tier[1:]] = (F["C" + tier[1:] + "b_l"]
-                             + F["C" + tier[1:] + "b_r"])
+    # The ~45 capital type-sum planes (ADPff, A1BQf, CDP1b_l, ...) are
+    # derived INSIDE the jitted model (calling._derive_capitals) and come
+    # back as model outputs at candidate rows -- every host consumer of a
+    # capital reads it at an emitted-record row.  Only the planes needed
+    # DENSELY on the host stay here: BDP feeds the candidate gate, CDP1 /
+    # CDP1d feed the MGVCF emitter (aux_records) at every position.
+    F["BDP"] = sum_by_symboltype(res.bq.bdp.sum(axis=2))
+    F["CDP1"] = sum_by_symboltype(fq.cdp1.sum(axis=2))
     # padded-deletion-allele depth (fill_symboltype_nn_fmt quirk: the
     # reference passes strand 0 twice, main.hpp:3775-3786, so the emitted
     # pair is this value printed twice; BDPd/CDP2d are never filled by the
@@ -159,7 +139,10 @@ def build(res, cfg, minABQ_snv, minABQ_indel):
     (F["bDPa"], F["cDP0a"], F["gapLen"], F["gapSa"], F["gapTab"],
      F["gapMaj"]) = _indel_majority_arrays(res, P, F["ref_syms"])
 
-    _fill_vq_fmts(F, res, cfg, minABQ_snv, minABQ_indel)
+    # inputs of the in-model fill_symbol_VQ_fmts (calling._vq_fmts_traced)
+    F["bMQ_raw"] = res.bq.vq_bMQ
+    F["minABQ_snv_p"] = np.full(P, minABQ_snv, dtype=np.int64)
+    F["minABQ_indel_p"] = np.full(P, minABQ_indel, dtype=np.int64)
     return F
 
 
@@ -254,64 +237,5 @@ def _indel_majority_arrays(res, P, ref_syms):
     return bDPa, cDP0a, gapLen, gapSa, gap_tab, gap_maj
 
 
-def _fill_vq_fmts(F, res, cfg, minABQ_snv, minABQ_indel):
-    """fill_symbol_VQ_fmts (main.hpp:3820-3887): systematic BQ-error quality
-    aBQQ with strand/xm/bm ratio adjustments, rss BQ terms, bMQ rms."""
-    P = F["P"]
-    ref = F["ref_syms"]
-    # homopolymer-context minABQ reduction (main.cpp:909-928): per position,
-    # BASE symbols only
-    refpad = np.concatenate([[-1, -1], ref, [-2, -2]])
-    c = refpad[2:-2]
-    hp1 = (refpad[1:-3] == c) & (refpad[3:-1] == c)
-    hp2 = (refpad[:-4] == c) & (refpad[4:] == c)
-    red = np.where(hp1 & hp2, 20, np.where(hp1, 10, 0))
-    minABQ = np.empty((P, NS), dtype=np.int64)
-    minABQ[:, :6] = np.maximum(minABQ_snv - red, 0)[:, None]
-    minABQ[:, 6:] = minABQ_indel
-
-    aDPf = F["aDPff"] + F["aDPrf"]
-    aDPr = F["aDPfr"] + F["aDPrr"]
-    ADP = F["ADPff"] + F["ADPrf"] + F["ADPfr"] + F["ADPrr"]
-    a2BQf = F["a2BQf_raw"]
-    a2BQr = F["a2BQr_raw"]
-    SQ = 32
-    rssf = (aDPf * np.sqrt((a2BQf * SQ) // np.maximum(1, aDPf))).astype(np.int64)
-    rssr = (aDPr * np.sqrt((a2BQr * SQ) // np.maximum(1, aDPr))).astype(np.int64)
-    rssb = ((aDPf + aDPr) * np.sqrt(
-        ((a2BQf + a2BQr) * SQ) // np.maximum(1, aDPf + aDPr))).astype(np.int64)
-
-    minABQa = minABQ - (5 * 10.0 * np.square(np.maximum(
-        0.0, (aDPf + aDPr + 0.5) * 2.0 / (ADP + 1.0) - 1.0))).astype(np.int64)
-    dp10pc = 10
-    sbratio = ((np.maximum(aDPf, aDPr) * 10.0 + dp10pc)
-               / (np.minimum(aDPf, aDPr) * 10.0 + dp10pc))
-    minABQa = minABQa + np.clip(np.square(sbratio).astype(np.int64)
-                                - cfg.syserr_BQ_sbratio_q_add, 0,
-                                cfg.syserr_BQ_sbratio_q_max)
-    xmratio = (cfg.syserr_BQ_xmratio_q_max * 10 * (aDPf + aDPr)
-               // np.maximum(1, F["a2XM2"]))
-    bmratio = (cfg.syserr_BQ_bmratio_q_max * 10 * (aDPf + aDPr)
-               // np.maximum(1, F["a2BM2"]))
-    minABQa = (minABQa
-               + np.clip(xmratio - cfg.syserr_BQ_xmratio_q_add, 0,
-                         cfg.syserr_BQ_xmratio_q_max)
-               + np.clip(bmratio - cfg.syserr_BQ_bmratio_q_add, 0,
-                         cfg.syserr_BQ_bmratio_q_max))
-    m = cfg.syserr_BQ_strand_favor_mul
-    q_fw = tdiv(rssf * m - tdiv(minABQa * aDPf * m, 10)
-                + rssr - tdiv(minABQa * aDPr, 10), m)
-    q_rv = tdiv(rssr * m - tdiv(minABQa * aDPr * m, 10)
-                + rssf - tdiv(minABQa * aDPf, 10), m)
-    q_2d = rssb - tdiv(minABQa * (aDPf + aDPr), 10)
-    a_rmsBQ = rssb // np.maximum(1, aDPf + aDPr)
-    F["a2BQf"] = rssf
-    F["a2BQr"] = rssr
-    F["aBQ"] = a_rmsBQ
-    F["aBQQ"] = np.maximum(a_rmsBQ, cfg.syserr_BQ_prior
-                           + np.maximum(np.maximum(q_2d, q_fw), q_rv))
-    bmq_raw = res.bq.vq_bMQ
-    F["bMQ"] = np.round(np.sqrt(
-        (bmq_raw * SQ) / np.maximum(F["bDPf"] + F["bDPr"], 1))
-        + (1.0 - FLT_EPSILON)).astype(np.int64)
-    F["aMQs_"] = F["aMQs"]
+# fill_symbol_VQ_fmts moved into the jitted model
+# (calling._vq_fmts_traced); tdiv stays here for record-level host joins.
