@@ -445,10 +445,14 @@ static void consensus_scan(const std::vector<int64_t> &ug,
                            std::vector<int64_t> &ccc,
                            std::vector<int64_t> &ctot) {
     const int SYM_BITS = 4;
-    cg.clear(); cp.clear(); cst.clear();
-    ccs.clear(); ccc.clear(); ctot.clear();
     const uint64_t POS_MASK = (((uint64_t)1 << pos_bits) - 1);
     const int64_t nu = (int64_t)ug.size();
+    // pointer-written output (one bounds check per resize, not per row)
+    cg.resize(nu); cp.resize(nu); cst.resize(nu);
+    ccs.resize(nu); ccc.resize(nu); ctot.resize(nu);
+    int64_t *o_g = cg.data(), *o_p = cp.data(), *o_st = cst.data();
+    int64_t *o_cs = ccs.data(), *o_cc = ccc.data(), *o_tot = ctot.data();
+    int64_t w = 0;
     for (int64_t i = 0; i < nu;) {
         const uint64_t key = (uint64_t)ug[i];
         const uint64_t gp = key >> SYM_BITS;   // group<<pos_bits | pos
@@ -475,15 +479,18 @@ static void consensus_scan(const std::vector<int64_t> &ug,
             int64_t cs, cc;
             if (best_s < 0) { cs = 6; cc = lm_v; }   // only LINK_M present
             else { cs = best_s; cc = best_v; }
-            cg.push_back((int64_t)(gp >> pos_bits));
-            cp.push_back((int64_t)(gp & POS_MASK));
-            cst.push_back(st);
-            ccs.push_back(cs);
-            ccc.push_back(cc);
-            ctot.push_back(ovr ? cc : tot);
+            o_g[w] = (int64_t)(gp >> pos_bits);
+            o_p[w] = (int64_t)(gp & POS_MASK);
+            o_st[w] = st;
+            o_cs[w] = cs;
+            o_cc[w] = cc;
+            o_tot[w] = ovr ? cc : tot;
+            w++;
         }
         i = j;
     }
+    cg.resize(w); cp.resize(w); cst.resize(w);
+    ccs.resize(w); ccc.resize(w); ctot.resize(w);
 }
 
 static void sort_kv(KV *a, KV *b, int64_t n, int key_bits) {
@@ -1367,6 +1374,418 @@ int64_t rc2_run_fc(int64_t n, const int64_t *frag, const int64_t *pos,
                        rc::c2g, rc::c2p, rc::c2st, rc::c2cs, rc::c2cc,
                        rc::c2tot);
     return (int64_t)rc::ug.size();
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Direct fragment consensus: replaces sort + reduce + consensus (rc_run
+// with mode=max, link_m_overridden) for the fragment R1/R2 MAX-merge by
+// exploiting event-stream structure: every stream (base / LINK_M / gap /
+// NN-base / NN-link) is read-major with non-decreasing (pos,sym) keys
+// within a read, so the per-fragment merge is a small k-way merge over
+// (read, stream) cursors -- no global radix sort.  Output rows land in the
+// same static consensus buffers (rc_fetch_consensus) grouped by fragment
+// id ascending with (pos, st) ascending inside, byte-identical to
+// rc_run's sorted order.  Returns the consensus row count, or -1 when a
+// stream violates the per-read sort invariant (caller falls back to
+// rc_run; e.g. a D-after-I cigar keys both gaps at one position with
+// descending symbols).
+
+namespace fcd {
+// grow-only scratch (single-threaded per forked worker, like rc::)
+static std::vector<int64_t> soff;        // [(n_streams)*(n_reads+1)] cursors
+static std::vector<int64_t> frag_cnt, frag_read;  // frag -> member reads CSR
+struct Cur { int64_t i, end; };
+static std::vector<Cur> curs;
+// phase-A scratch: per-read stream-merged rows packed as (key << 32) | val
+// with key = (pos << 4) | sym; val is guaranteed < 2^32 by the caller's
+// event-value construction (phred-scale ints)
+static std::vector<uint64_t> rows;
+static std::vector<int64_t> roff;
+}  // namespace fcd
+
+extern "C" {
+
+int64_t frag_cons_direct(int64_t n_streams, const int64_t *stream_off,
+                         const int64_t *pos, const int64_t *sym,
+                         const int64_t *val, const int64_t *read,
+                         int64_t n_reads, const int64_t *frag_of_read,
+                         int64_t n_frags, int64_t P,
+                         int64_t link_m_overridden) {
+    rc::g_P = P;
+    rc::g_pos_bits = rc::bit_width_u64((uint64_t)(P > 1 ? P - 1 : 1));
+    rc::ug.clear(); rc::uv.clear();   // no unique table in this mode
+    const int64_t n_total = stream_off[n_streams];
+    rc::cg.resize(n_total); rc::cp_.resize(n_total);
+    rc::cst.resize(n_total); rc::ccs.resize(n_total);
+    rc::ccc.resize(n_total); rc::ctot.resize(n_total);
+
+    // 1) per-(stream, read) segment boundaries + sort-invariant check
+    fcd::soff.assign(n_streams * (n_reads + 1), 0);
+    for (int64_t s = 0; s < n_streams; s++) {
+        rcdiag::Phase ph("fcd.offsets");
+        int64_t *so = fcd::soff.data() + s * (n_reads + 1);
+        const int64_t lo = stream_off[s], hi = stream_off[s + 1];
+        so[0] = lo;
+        int64_t r = 0, prev_rd = -1;
+        uint64_t prev_key = 0;
+        for (int64_t i = lo; i < hi; i++) {
+            const int64_t rd = read[i];
+            if (rd < prev_rd || rd < 0 || rd >= n_reads)
+                return -1;   // not read-major
+            if ((uint64_t)pos[i] >= (uint64_t)P) return -2;
+            const uint64_t key = ((uint64_t)pos[i] << 4) | (uint64_t)sym[i];
+            if (rd == prev_rd && key <= prev_key)
+                return -1;   // keys must strictly increase within a read
+            if ((uint64_t)val[i] >= ((uint64_t)1 << 32))
+                return -4;   // value must fit the packed 32-bit field
+            while (r < rd) { so[r + 1] = i; r++; }
+            prev_rd = rd;
+            prev_key = key;
+        }
+        while (r < n_reads) { so[r + 1] = hi; r++; }
+    }
+
+    // 2) fragment -> member reads (stable counting sort over frag ids)
+    fcd::frag_cnt.assign(n_frags + 1, 0);
+    for (int64_t r = 0; r < n_reads; r++) {
+        const int64_t f = frag_of_read[r];
+        if (f < 0 || f >= n_frags) return -3;
+        fcd::frag_cnt[f + 1]++;
+    }
+    for (int64_t f = 0; f < n_frags; f++) fcd::frag_cnt[f + 1] += fcd::frag_cnt[f];
+    fcd::frag_read.resize(n_reads);
+    {
+        std::vector<int64_t> fill(fcd::frag_cnt.begin(), fcd::frag_cnt.end() - 1);
+        for (int64_t r = 0; r < n_reads; r++)
+            fcd::frag_read[fill[frag_of_read[r]]++] = r;
+    }
+
+    // 3) phase A: pre-merge each read's streams into packed rows
+    //    (key << 32) | val; a read's streams are each strictly
+    //    key-ascending, so this is a small merge with no reduction
+    fcd::rows.resize(n_total);
+    fcd::roff.resize(n_reads + 1);
+    {
+        rcdiag::Phase ph("fcd.premerge");
+        uint64_t *out = fcd::rows.data();
+        int64_t w = 0;
+        for (int64_t r = 0; r < n_reads; r++) {
+            fcd::roff[r] = w;
+            fcd::curs.clear();
+            for (int64_t s = 0; s < n_streams; s++) {
+                const int64_t *so = fcd::soff.data() + s * (n_reads + 1);
+                if (so[r] < so[r + 1])
+                    fcd::curs.push_back({so[r], so[r + 1]});
+            }
+            const int m = (int)fcd::curs.size();
+            if (m == 0) continue;
+            if (m == 2) {
+                // dominant case: base + LINK_M streams
+                int64_t i0 = fcd::curs[0].i, e0 = fcd::curs[0].end;
+                int64_t i1 = fcd::curs[1].i, e1 = fcd::curs[1].end;
+                uint64_t k0 = ((uint64_t)pos[i0] << 4) | (uint64_t)sym[i0];
+                uint64_t k1 = ((uint64_t)pos[i1] << 4) | (uint64_t)sym[i1];
+                while (true) {
+                    if (k0 < k1) {
+                        out[w++] = (k0 << 32) | (uint64_t)val[i0];
+                        if (++i0 == e0) break;
+                        k0 = ((uint64_t)pos[i0] << 4) | (uint64_t)sym[i0];
+                    } else {
+                        out[w++] = (k1 << 32) | (uint64_t)val[i1];
+                        if (++i1 == e1) break;
+                        k1 = ((uint64_t)pos[i1] << 4) | (uint64_t)sym[i1];
+                    }
+                }
+                for (; i0 < e0; i0++)
+                    out[w++] = ((((uint64_t)pos[i0] << 4)
+                                 | (uint64_t)sym[i0]) << 32)
+                        | (uint64_t)val[i0];
+                for (; i1 < e1; i1++)
+                    out[w++] = ((((uint64_t)pos[i1] << 4)
+                                 | (uint64_t)sym[i1]) << 32)
+                        | (uint64_t)val[i1];
+            } else if (m == 1) {
+                for (int64_t i = fcd::curs[0].i; i < fcd::curs[0].end; i++)
+                    out[w++] = ((((uint64_t)pos[i] << 4)
+                                 | (uint64_t)sym[i]) << 32)
+                        | (uint64_t)val[i];
+            } else {
+                while (true) {
+                    uint64_t mk = ~(uint64_t)0;
+                    int mc = -1;
+                    for (int c = 0; c < m; c++) {
+                        const auto &cu = fcd::curs[c];
+                        if (cu.i < cu.end) {
+                            const uint64_t k = ((uint64_t)pos[cu.i] << 4)
+                                | (uint64_t)sym[cu.i];
+                            if (k < mk) { mk = k; mc = c; }
+                        }
+                    }
+                    if (mc < 0) break;
+                    out[w++] = (mk << 32) | (uint64_t)val[fcd::curs[mc].i];
+                    fcd::curs[mc].i++;
+                }
+            }
+        }
+        fcd::roff[n_reads] = w;
+    }
+
+    // 4) per-fragment merge of member-read rows + max-reduce + consensus
+    rcdiag::Phase ph("fcd.merge");
+    const uint64_t NOKEY = ~(uint64_t)0;
+    const uint64_t *rows = fcd::rows.data();
+    int64_t *o_g = rc::cg.data(), *o_p = rc::cp_.data();
+    int64_t *o_st = rc::cst.data(), *o_cs = rc::ccs.data();
+    int64_t *o_cc = rc::ccc.data(), *o_tot = rc::ctot.data();
+    int64_t w = 0;
+    uint64_t cur_gp = NOKEY;   // (pos<<1)|st of the open consensus group
+    int64_t cur_f = -1;
+    int64_t tot = 0, best_v = -1, best_s = -1, lm_v = 0;
+    bool ovr = false;
+    auto flush = [&]() {
+        if (cur_gp == NOKEY || tot <= 0) return;
+        int64_t cs, cc;
+        if (best_s < 0) { cs = 6; cc = lm_v; }
+        else { cs = best_s; cc = best_v; }
+        o_g[w] = cur_f;
+        o_p[w] = (int64_t)(cur_gp >> 1);
+        o_st[w] = (int64_t)(cur_gp & 1);
+        o_cs[w] = cs;
+        o_cc[w] = cc;
+        o_tot[w] = ovr ? cc : tot;
+        w++;
+    };
+    auto feed = [&](uint64_t key, int64_t acc) {
+        const int64_t s2 = (int64_t)(key & 15);
+        const int64_t st = s2 >= 6 ? 1 : 0;
+        const uint64_t gp = ((key >> 4) << 1) | (uint64_t)st;
+        if (gp != cur_gp) {
+            flush();
+            cur_gp = gp;
+            tot = 0; best_v = -1; best_s = -1; lm_v = 0;
+            ovr = (link_m_overridden != 0) && st == 1;
+        }
+        if (acc > 0) {
+            tot += acc;
+            if (ovr && s2 == 6) { lm_v = acc; }
+            else if (acc > best_v) { best_v = acc; best_s = s2; }
+        }
+    };
+    for (int64_t f = 0; f < n_frags; f++) {
+        const int64_t r_lo = fcd::frag_cnt[f], r_hi = fcd::frag_cnt[f + 1];
+        int64_t nr = 0;
+        int64_t seg_i[8], seg_e[8];
+        for (int64_t ri = r_lo; ri < r_hi && nr < 8; ri++) {
+            const int64_t r = fcd::frag_read[ri];
+            if (fcd::roff[r] < fcd::roff[r + 1]) {
+                seg_i[nr] = fcd::roff[r];
+                seg_e[nr] = fcd::roff[r + 1];
+                nr++;
+            }
+        }
+        if (r_hi - r_lo > 8) {
+            // absurd read multiplicity: bail to the sorting path
+            return -1;
+        }
+        if (nr == 0) continue;
+        cur_f = f;
+        cur_gp = NOKEY;
+        if (nr == 1) {
+            // single read: keys are unique, feed rows directly
+            for (int64_t i = seg_i[0]; i < seg_e[0]; i++)
+                feed(rows[i] >> 32, (int64_t)(uint32_t)rows[i]);
+        } else if (nr == 2) {
+            int64_t i0 = seg_i[0], e0 = seg_e[0];
+            int64_t i1 = seg_i[1], e1 = seg_e[1];
+            while (i0 < e0 && i1 < e1) {
+                const uint64_t k0 = rows[i0] >> 32, k1 = rows[i1] >> 32;
+                if (k0 < k1) {
+                    feed(k0, (int64_t)(uint32_t)rows[i0]); i0++;
+                } else if (k1 < k0) {
+                    feed(k1, (int64_t)(uint32_t)rows[i1]); i1++;
+                } else {
+                    const int64_t v0 = (int64_t)(uint32_t)rows[i0];
+                    const int64_t v1 = (int64_t)(uint32_t)rows[i1];
+                    feed(k0, v0 > v1 ? v0 : v1);
+                    i0++; i1++;
+                }
+            }
+            for (; i0 < e0; i0++)
+                feed(rows[i0] >> 32, (int64_t)(uint32_t)rows[i0]);
+            for (; i1 < e1; i1++)
+                feed(rows[i1] >> 32, (int64_t)(uint32_t)rows[i1]);
+        } else {
+            while (true) {
+                uint64_t mk = NOKEY;
+                for (int64_t c = 0; c < nr; c++)
+                    if (seg_i[c] < seg_e[c]) {
+                        const uint64_t k = rows[seg_i[c]] >> 32;
+                        if (k < mk) mk = k;
+                    }
+                if (mk == NOKEY) break;
+                int64_t acc = INT64_MIN;
+                for (int64_t c = 0; c < nr; c++)
+                    while (seg_i[c] < seg_e[c]
+                           && (rows[seg_i[c]] >> 32) == mk) {
+                        const int64_t v = (int64_t)(uint32_t)rows[seg_i[c]];
+                        if (v > acc) acc = v;
+                        seg_i[c]++;
+                    }
+                feed(mk, acc);
+            }
+        }
+        flush();
+    }
+    rc::cg.resize(w); rc::cp_.resize(w); rc::cst.resize(w);
+    rc::ccs.resize(w); rc::ccc.resize(w); rc::ctot.resize(w);
+    return w;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Direct family dual-reduction: replaces rc2_run_fc's radix sort the same
+// way frag_cons_direct replaces rc_run's.  Fragment-consensus rows arrive
+// grouped by fragment id ascending with strictly increasing (pos, con_sym)
+// keys inside (frag_cons_direct / rc_run output order), so grouping by
+// family is a counting sort over fragments plus a per-family k-way merge
+// (k = family size; 1 for non-UMI data).  Fills the same static buffers as
+// rc2_run_fc (ug/uv famcov uniques read in-place by fq_sweep2_kernel,
+// cons1 = famcov consensus, cons2 = BQ-weighted consensus); identical
+// output order.  Returns ug.size() or -1 on an input-order violation
+// (caller falls back to rc2_run_fc).
+
+extern "C" {
+
+int64_t fam_cons_direct(int64_t n, const int64_t *frag, const int64_t *pos,
+                        const int64_t *sym, const int64_t *con_cnt,
+                        const int64_t *tot, const int64_t *st,
+                        const int64_t *fam_of_frag, int64_t n_frags,
+                        int64_t n_fams, int64_t highbq_snv, int64_t P) {
+    int pos_bits = rc::bit_width_u64((uint64_t)(P > 1 ? P - 1 : 1));
+    rc::g_P = P;
+    rc::g_pos_bits = pos_bits;
+    rc::ug.resize(n); rc::uv.resize(n);
+    rc::ug2.resize(n); rc::uv2.resize(n);
+    if (rc::bit_width_u64((uint64_t)(n_fams > 1 ? n_fams - 1 : 1))
+        + pos_bits + 4 > 62)
+        return -1;
+
+    // 1) per-fragment row ranges (rows must be frag-ascending, key-sorted)
+    fcd::soff.assign(n_frags + 1, 0);
+    {
+        int64_t f = 0, prev_f = -1;
+        uint64_t prev_key = 0;
+        for (int64_t i = 0; i < n; i++) {
+            const int64_t fr = frag[i];
+            if (fr < prev_f || fr < 0 || fr >= n_frags) return -1;
+            const uint64_t key = ((uint64_t)pos[i] << 4) | (uint64_t)sym[i];
+            if (fr == prev_f && key <= prev_key) return -1;
+            while (f < fr) { fcd::soff[f + 1] = i; f++; }
+            prev_f = fr;
+            prev_key = key;
+        }
+        while (f < n_frags) { fcd::soff[f + 1] = n; f++; }
+    }
+
+    // 2) family -> member fragments (stable counting sort)
+    fcd::frag_cnt.assign(n_fams + 1, 0);
+    for (int64_t fr = 0; fr < n_frags; fr++) {
+        const int64_t fm = fam_of_frag[fr];
+        if (fm < 0 || fm >= n_fams) return -3;
+        fcd::frag_cnt[fm + 1]++;
+    }
+    for (int64_t fm = 0; fm < n_fams; fm++)
+        fcd::frag_cnt[fm + 1] += fcd::frag_cnt[fm];
+    fcd::frag_read.resize(n_frags);
+    {
+        std::vector<int64_t> fill(fcd::frag_cnt.begin(),
+                                  fcd::frag_cnt.end() - 1);
+        for (int64_t fr = 0; fr < n_frags; fr++)
+            fcd::frag_read[fill[fam_of_frag[fr]]++] = fr;
+    }
+
+    // 3) per-family merge: acc1 = #rows passing the sweep-1 filter,
+    //    acc2 = sum of adj (rows with adj <= 0 skipped entirely)
+    rcdiag::Phase ph("famd.merge");
+    const uint64_t NOKEY = ~(uint64_t)0;
+    int64_t *u1k = rc::ug.data(), *u1v = rc::uv.data();
+    int64_t *u2k = rc::ug2.data(), *u2v = rc::uv2.data();
+    int64_t w1 = 0, w2 = 0;
+    for (int64_t fm = 0; fm < n_fams; fm++) {
+        const int64_t f_lo = fcd::frag_cnt[fm], f_hi = fcd::frag_cnt[fm + 1];
+        const uint64_t fam_hi = ((uint64_t)fm << pos_bits);
+        auto emit = [&](uint64_t mk, int64_t acc1, int64_t acc2) {
+            if (acc2 <= 0) return;
+            const int64_t packed =
+                (int64_t)(((fam_hi | (mk >> 4)) << 4) | (mk & 15));
+            if (acc1 > 0) {
+                u1k[w1] = packed;
+                u1v[w1] = acc1;
+                w1++;
+            }
+            u2k[w2] = packed;
+            u2v[w2] = acc2;
+            w2++;
+        };
+        if (f_hi - f_lo == 1) {
+            // dominant (non-UMI) case: family == fragment, keys unique
+            const int64_t fr = fcd::frag_read[f_lo];
+            for (int64_t i = fcd::soff[fr]; i < fcd::soff[fr + 1]; i++) {
+                const int64_t adj = 2 * con_cnt[i] - tot[i];
+                if (adj <= 0) continue;
+                const uint64_t mk = ((uint64_t)pos[i] << 4)
+                    | (uint64_t)sym[i];
+                emit(mk, (st[i] == 1 || adj >= highbq_snv) ? 1 : 0, adj);
+            }
+            continue;
+        }
+        fcd::curs.clear();
+        for (int64_t fi = f_lo; fi < f_hi; fi++) {
+            const int64_t fr = fcd::frag_read[fi];
+            if (fcd::soff[fr] < fcd::soff[fr + 1])
+                fcd::curs.push_back({fcd::soff[fr], fcd::soff[fr + 1]});
+        }
+        const int m = (int)fcd::curs.size();
+        if (m == 0) continue;
+        while (true) {
+            uint64_t mk = NOKEY;
+            for (int c = 0; c < m; c++) {
+                const auto &cu = fcd::curs[c];
+                if (cu.i < cu.end) {
+                    const uint64_t k = ((uint64_t)pos[cu.i] << 4)
+                        | (uint64_t)sym[cu.i];
+                    if (k < mk) mk = k;
+                }
+            }
+            if (mk == NOKEY) break;
+            int64_t acc1 = 0, acc2 = 0;
+            for (int c = 0; c < m; c++) {
+                auto &cu = fcd::curs[c];
+                while (cu.i < cu.end
+                       && ((((uint64_t)pos[cu.i] << 4)
+                            | (uint64_t)sym[cu.i]) == mk)) {
+                    const int64_t adj = 2 * con_cnt[cu.i] - tot[cu.i];
+                    if (adj > 0) {
+                        acc1 += (st[cu.i] == 1 || adj >= highbq_snv) ? 1 : 0;
+                        acc2 += adj;
+                    }
+                    cu.i++;
+                }
+            }
+            emit(mk, acc1, acc2);
+        }
+    }
+    rc::ug.resize(w1); rc::uv.resize(w1);
+    rc::ug2.resize(w2); rc::uv2.resize(w2);
+    rc::consensus_scan(rc::ug, rc::uv, pos_bits, false,
+                       rc::cg, rc::cp_, rc::cst, rc::ccs, rc::ccc, rc::ctot);
+    rc::consensus_scan(rc::ug2, rc::uv2, pos_bits, false,
+                       rc::c2g, rc::c2p, rc::c2st, rc::c2cs, rc::c2cc,
+                       rc::c2tot);
+    return w1;
 }
 
 }  // extern "C"

@@ -1,0 +1,108 @@
+"""Parity: the sort-free direct consensus kernels (frag_cons_direct /
+fam_cons_direct) against the sorting reference paths.
+
+The direct kernels exploit the per-read / per-fragment sort invariants of
+the event streams; these tests pin byte-identical output (same rows, same
+order) on simulated data with SNVs, indels, UMIs and duplex families.
+"""
+
+import numpy as np
+import pytest
+
+from uvc_tpu.config import UVCConfig
+from uvc_tpu.constants import CHAR_TO_SYMBOL, SequencingPlatform
+from uvc_tpu.family import dedup
+from uvc_tpu.io import simulate, native as io_native
+from uvc_tpu.ops import native_rowpile as nr
+from uvc_tpu.pileup import (bqcorr, consensus as cns, engine_bq, events,
+                            strscan)
+
+
+def _prep(tmp_path, depth=40, umi=False, duplex=False, seed=3):
+    ref = simulate.random_ref(2500, seed=seed)
+    variants = [
+        simulate.Variant(400, f"{ref[400]}>A" if ref[400] != "A" else "A>C",
+                         0.3),
+        simulate.Variant(1000, "+AC", 0.25),
+        simulate.Variant(1800, "-2", 0.3),
+    ]
+    path = str(tmp_path / "t.bam")
+    simulate.build_bam(path, ref, depth=depth, variants=variants, seed=seed,
+                       umi=umi, duplex=duplex)
+    hdr, batch = io_native.read_bam_native(path)
+    cfg = UVCConfig()
+    ref_syms = np.asarray(CHAR_TO_SYMBOL)[np.frombuffer(ref.encode(),
+                                                        np.uint8)]
+    P = len(ref_syms)
+    batch.qual = batch.qual.copy()
+    bqcorr.apply(batch, cfg)
+    table = events.expand(batch)
+    famgrp = dedup.group_families(batch, table, cfg, cfg.assay_type,
+                                  SequencingPlatform.ILLUMINA)
+    tracks = strscan.scan_repeats(
+        ref_syms, cfg.indel_str_repeatsize_max, cfg.indel_vntr_repeatsize_max,
+        cfg.indel_BQ_max, cfg.indel_polymerase_slip_rate,
+        cfg.indel_del_to_ins_err_ratio)
+    kw = dict(indel_str_phred_per_region=cfg.indel_str_phred_per_region,
+              indel_nonSTR_phred_per_base=cfg.indel_nonSTR_phred_per_base,
+              indel_polymerase_size=cfg.indel_polymerase_size)
+    baq = strscan.baq_offsets(tracks, use_anyTR=True, **kw)
+    baq2 = strscan.baq_offsets(tracks, use_anyTR=False, **kw)
+    dflag = famgrp.frag_dflag[famgrp.frag_of_read]
+    prep = engine_bq.pass_a_prep(table, batch, ref_syms, tracks, baq, 0, P,
+                                 cfg, dflag)
+    thres = engine_bq.pass_b_thres(prep, tracks, cfg, False)
+    allev, _ = engine_bq.compute_event_values(
+        table, batch, ref_syms, tracks, baq, baq2, prep, thres, 0, P, cfg,
+        dflag)
+    return cfg, batch, famgrp, allev, P
+
+
+@pytest.mark.skipif(not nr.available(), reason="native kernels not built")
+@pytest.mark.parametrize("umi,duplex", [(False, False), (True, False),
+                                        (True, True)])
+def test_frag_cons_direct_parity(tmp_path, umi, duplex):
+    cfg, batch, famgrp, allev, P = _prep(tmp_path, umi=umi, duplex=duplex)
+    frag = famgrp.frag_of_read[allev.read]
+    uniq = cns.segment_reduce_max(frag, allev.pos, allev.sym, allev.val, P)
+    want = cns.consensus_by_group(*uniq, P, link_m_overridden=True)
+    got6 = nr.frag_cons_direct(allev, famgrp.frag_of_read, famgrp.n_frags, P)
+    assert got6 is not None
+    got = cns.GroupConsensus(*got6)
+    for name in ("group", "pos", "st", "con_sym", "con_cnt", "tot"):
+        np.testing.assert_array_equal(getattr(want, name),
+                                      getattr(got, name), err_msg=name)
+
+
+@pytest.mark.skipif(not nr.available(), reason="native kernels not built")
+@pytest.mark.parametrize("umi,duplex", [(False, False), (True, False),
+                                        (True, True)])
+def test_fam_cons_direct_parity(tmp_path, umi, duplex):
+    cfg, batch, famgrp, allev, P = _prep(tmp_path, umi=umi, duplex=duplex)
+    frag = famgrp.frag_of_read[allev.read]
+    _, fc = cns.reduce_and_consensus(frag, allev.pos, allev.sym, allev.val,
+                                     P, "max", link_m_overridden=True)
+    old = nr.reduce_consensus2_fc(
+        fc.group, fc.pos, fc.con_sym, fc.con_cnt, fc.tot, fc.st,
+        famgrp.fam_of_frag, cfg.fam_thres_highBQ_snv, P, fetch_unique=True)
+    new = nr.fam_cons_direct(
+        fc.group, fc.pos, fc.con_sym, fc.con_cnt, fc.tot, fc.st,
+        famgrp.fam_of_frag, famgrp.n_fams, cfg.fam_thres_highBQ_snv, P,
+        fetch_unique=True)
+    assert old is not None and new is not None
+    for part in range(3):
+        for x, y in zip(old[part], new[part]):
+            np.testing.assert_array_equal(x, y)
+
+
+@pytest.mark.skipif(not nr.available(), reason="native kernels not built")
+def test_frag_cons_direct_rejects_unsorted(tmp_path):
+    """An out-of-order stream must trigger the sorting-path fallback."""
+    cfg, batch, famgrp, allev, P = _prep(tmp_path)
+    allev.pos = allev.pos.copy()
+    so = allev.stream_off
+    if so[1] - so[0] >= 2:
+        allev.pos[so[0]], allev.pos[so[0] + 1] = \
+            allev.pos[so[0] + 1], allev.pos[so[0]]
+    assert nr.frag_cons_direct(allev, famgrp.frag_of_read, famgrp.n_frags,
+                               P) is None

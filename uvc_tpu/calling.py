@@ -755,20 +755,43 @@ def _slice_model_val(v, lo, hi, bigP):
     return v
 
 
-def _scatter_model_val(v, lo, hi, bigR, rows, P):
+class _PlaneSlab:
+    """Hands out zeroed [P, ...] planes carved from chunked slab
+    allocations: ~200 per-plane np.zeros mmaps per region collapse into a
+    handful of slab allocations (the planes all live and die together with
+    the region context, so sharing backing storage is free)."""
+
+    CHUNK = 32
+
+    def __init__(self, P):
+        self.P = P
+        self.pools = {}
+
+    def alloc(self, tail, dtype):
+        key = (tail, np.dtype(dtype).str)
+        slab, used = self.pools.get(key, (None, self.CHUNK))
+        if used >= self.CHUNK:
+            slab = np.zeros((self.CHUNK, self.P) + tail, dtype=dtype)
+            used = 0
+        self.pools[key] = (slab, used + 1)
+        return slab[used]
+
+
+def _scatter_model_val(v, lo, hi, bigR, rows, slab):
     """Expand a row-gathered model output back to a full [P, ...] plane
     (zeros at rows no consumer reads)."""
     if isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] == bigR:
-        out = np.zeros((P,) + v.shape[1:], dtype=v.dtype)
+        out = slab.alloc(v.shape[1:], v.dtype)
         out[rows] = v[lo:hi]
         return out
     if isinstance(v, dict):
-        return {k: _scatter_model_val(x, lo, hi, bigR, rows, P)
+        return {k: _scatter_model_val(x, lo, hi, bigR, rows, slab)
                 for k, x in v.items()}
     if isinstance(v, tuple):
-        return tuple(_scatter_model_val(x, lo, hi, bigR, rows, P) for x in v)
+        return tuple(_scatter_model_val(x, lo, hi, bigR, rows, slab)
+                     for x in v)
     if isinstance(v, list):
-        return [_scatter_model_val(x, lo, hi, bigR, rows, P) for x in v]
+        return [_scatter_model_val(x, lo, hi, bigR, rows, slab) for x in v]
     return v
 
 
@@ -828,10 +851,11 @@ def model_stage_batched(ctxs, cfg, is_tumor_only=True):
         lo, hi = int(offs[i]), int(offs[i + 1])
         F = c["F"]
         rows, P = rows_l[i], Ps[i]
+        slab = _PlaneSlab(P)
         for k, v in Fb.items():
             if k == "P" or orig_ids.get(k) == id(v):
                 continue    # unmodified gathered input: keep the original
-            F[k] = _scatter_model_val(v, lo, hi, bigR, rows, P)
+            F[k] = _scatter_model_val(v, lo, hi, bigR, rows, slab)
         F["_cand"] = c["cand"]
 
 
@@ -1218,7 +1242,8 @@ def assemble_records(ctx, refstring, region_offset, chrom, cfg,
                     if k == "P":
                         continue
                     base = F.get(k)
-                    patched = _scatter_model_val(v, 0, 1, 1, [p], P)
+                    patched = _scatter_model_val(v, 0, 1, 1, [p],
+                                                 _PlaneSlab(P))
                     if (base is not None and isinstance(base, np.ndarray)
                             and base.shape == getattr(patched, "shape", None)):
                         out_arr = base.copy()

@@ -74,15 +74,22 @@ def run_fq(frag_cons, frag_gap_info, famgrp, ref_syms, sscs_table, thres,
     _has_sweep2 = _lib0 is not None and hasattr(_lib0, "fq_sweep2_kernel")
     fused = None
     if len(fc.group) > 4096:
-        # both sweeps reduce over the same (fam,pos,sym) keys: ONE native
-        # sort feeds the famcov (filtered count) and fammmm (BQ-weighted)
-        # reductions; the adj/filter row prep runs inside the kernel.
-        # When the native sweep-2 kernel will run, the unique table stays
-        # inside the .so (fetch_unique=False) and sweep-2 reads it there.
-        fused = _nr.reduce_consensus2_fc(
+        # both sweeps reduce over the same (fam,pos,sym) keys.  Preferred:
+        # the sort-free per-family merge (rows arrive frag-grouped and
+        # key-sorted from the fragment consensus); fallback: ONE native
+        # radix sort feeding both reductions.  Either way the famcov
+        # (filtered count) and fammmm (BQ-weighted) tables land in the .so
+        # statics, where the native sweep-2 kernel reads them in place
+        # (fetch_unique=False).
+        fused = _nr.fam_cons_direct(
             fc.group, fc.pos, fc.con_sym, fc.con_cnt, fc.tot, fc.st,
-            fam_of_frag, cfg.fam_thres_highBQ_snv, P,
+            fam_of_frag, famgrp.n_fams, cfg.fam_thres_highBQ_snv, P,
             fetch_unique=not _has_sweep2)
+        if fused is None:
+            fused = _nr.reduce_consensus2_fc(
+                fc.group, fc.pos, fc.con_sym, fc.con_cnt, fc.tot, fc.st,
+                fam_of_frag, cfg.fam_thres_highBQ_snv, P,
+                fetch_unique=not _has_sweep2)
     if fused is None:
         adj = np.maximum(2 * fc.con_cnt, fc.tot) - fc.tot
         pass_filt = (adj > 0) & ((fc.st == 1)
@@ -148,7 +155,7 @@ def run_fq(frag_cons, frag_gap_info, famgrp, ref_syms, sscs_table, thres,
             cdpm.ctypes.data_as(ctypes.c_void_p),
             cdpM.ctypes.data_as(ctypes.c_void_p),
             fam_good_u8.ctypes.data_as(ctypes.c_void_p))
-        fam_good = fam_good_u8.astype(bool)
+        fam_good = fam_good_u8.view(bool)
     else:
         fast_add_at(cdp12, (s1.pos, s1.con_sym, strand1), 1)
         m1 = s1.tot == 1
@@ -183,13 +190,15 @@ def run_fq(frag_cons, frag_gap_info, famgrp, ref_syms, sscs_table, thres,
 
     # tier-2-good (fam,pos,sym) set for the c2AD exact-indel table
     # (indel consensus symbols only)
-    _ind = fam_good & (s1.con_sym >= 7) & (s1.con_sym <= 12)
-    good_set = set(zip(s1.group[_ind].tolist(), s1.pos[_ind].tolist(),
-                       s1.con_sym[_ind].tolist()))
+    if fam_good.any():
+        _ind = fam_good & (s1.con_sym >= 7) & (s1.con_sym <= 12)
+        good_set = set(zip(s1.group[_ind].tolist(), s1.pos[_ind].tolist(),
+                           s1.con_sym[_ind].tolist()))
+    else:
+        good_set = set()
 
     # ---- sweep 2: fammmm consensus -> cDP1 + confam quality buckets
     rescue_add = 0 if cfg.vcf_tumor_fname in (".", "") else 4
-    refsym2 = ref_syms[s2.pos]
     hist = np.zeros((2, P, NS, NUM_BUCKETS), dtype=np.int64)
     use_nat2 = _lib is not None and hasattr(_lib, "fq_sweep2_kernel") \
         and (fg is None or len(s2.group) > 2048)
@@ -226,9 +235,10 @@ def run_fq(frag_cons, frag_gap_info, famgrp, ref_syms, sscs_table, thres,
             mut_u8.ctypes.data_as(ctypes.c_void_p))
         if rc2 != 0:
             raise RuntimeError("fq_sweep2_kernel: stale internal table")
-        confam_ok = confam_ok_u8.astype(bool)
-        mut = mut_u8.astype(bool)
+        confam_ok = confam_ok_u8.view(bool)
+        mut = mut_u8.view(bool)
     else:
+        refsym2 = ref_syms[s2.pos]
         strand2 = fam_strand[s2.group]
         fast_add_at(cdp1, (s2.pos, s2.con_sym, strand2), 1)
 

@@ -159,6 +159,40 @@ def reduce_consensus2(group, pos, sym, val, filt, P):
     return uniq, cons1, cons2
 
 
+def frag_cons_direct(allev, frag_of_read, n_frags, P,
+                     link_m_overridden=True):
+    """Sort-free fragment MAX-merge: k-way merges the per-read event
+    streams (strictly key-sorted within each read) per fragment instead of
+    radix-sorting the whole event table.  Exact parity with
+    reduce_consensus(mode=max) -- same row order, same consensus rule.
+    Returns a 6-tuple of consensus arrays, or None when the kernel is
+    unavailable, the event table has no stream map, or a stream violates
+    the per-read sort invariant (caller falls back to the sorting path)."""
+    lib = _load()
+    so = getattr(allev, "stream_off", None)
+    if lib is None or not hasattr(lib, "frag_cons_direct") or so is None:
+        return None
+
+    def cp(a, dt=np.int64):
+        return np.ascontiguousarray(a, dtype=dt).ctypes.data_as(
+            ctypes.c_void_p)
+
+    so = np.ascontiguousarray(so, dtype=np.int64)
+    lib.frag_cons_direct.restype = ctypes.c_int64
+    nrows = lib.frag_cons_direct(
+        ctypes.c_int64(len(so) - 1), cp(so),
+        cp(allev.pos), cp(allev.sym), cp(allev.val), cp(allev.read),
+        ctypes.c_int64(len(frag_of_read)), cp(frag_of_read),
+        ctypes.c_int64(int(n_frags)), ctypes.c_int64(P),
+        ctypes.c_int64(1 if link_m_overridden else 0))
+    if nrows < 0:
+        return None
+    cons = tuple(np.empty(nrows, dtype=np.int64) for _ in range(6))
+    lib.rc_fetch_consensus(*(a.ctypes.data_as(ctypes.c_void_p)
+                             for a in cons))
+    return cons
+
+
 def pass_d_native(gc, bg, aDP4, ref_syms, frag_strand, normMQ, P, n_frags,
                   highbq_thres, mut_window):
     """Runs the fused pass-D consensus scatter (rows sorted by frag,pos,st).
@@ -336,6 +370,45 @@ def reduce_consensus2_fc(frag, pos, sym, con_cnt, tot, st, fam_of_frag,
                         cp(sym), cp(con_cnt), cp(tot), cp(st),
                         cp(fam_of_frag), ctypes.c_int64(highbq_snv),
                         ctypes.c_int64(P))
+    if rc < 0:
+        return None
+    sizes = np.empty(4, dtype=np.int64)
+    lib.rc2_sizes(sizes.ctypes.data_as(ctypes.c_void_p))
+    nu1, ng1, _, ng2 = (int(x) for x in sizes)
+    uniq = None
+    if fetch_unique:
+        uniq = tuple(np.empty(nu1, dtype=np.int64) for _ in range(4))
+        lib.rc_fetch_unique(*(a.ctypes.data_as(ctypes.c_void_p)
+                              for a in uniq))
+    cons1 = tuple(np.empty(ng1, dtype=np.int64) for _ in range(6))
+    lib.rc_fetch_consensus(*(a.ctypes.data_as(ctypes.c_void_p)
+                             for a in cons1))
+    cons2 = tuple(np.empty(ng2, dtype=np.int64) for _ in range(6))
+    lib.rc2_fetch_consensus2(*(a.ctypes.data_as(ctypes.c_void_p)
+                               for a in cons2))
+    return uniq, cons1, cons2
+
+
+def fam_cons_direct(frag, pos, sym, con_cnt, tot, st, fam_of_frag, n_fams,
+                    highbq_snv, P, fetch_unique=True):
+    """Sort-free variant of reduce_consensus2_fc: fragment-consensus rows
+    are already frag-grouped and key-sorted, so the family reduction is a
+    counting sort + per-family merge.  Same returns/fallback contract as
+    reduce_consensus2_fc."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "fam_cons_direct"):
+        return None
+
+    def cp(a, dt=np.int64):
+        return np.ascontiguousarray(a, dtype=dt).ctypes.data_as(
+            ctypes.c_void_p)
+
+    lib.fam_cons_direct.restype = ctypes.c_int64
+    rc = lib.fam_cons_direct(
+        ctypes.c_int64(len(frag)), cp(frag), cp(pos), cp(sym), cp(con_cnt),
+        cp(tot), cp(st), cp(fam_of_frag),
+        ctypes.c_int64(len(fam_of_frag)), ctypes.c_int64(int(n_fams)),
+        ctypes.c_int64(highbq_snv), ctypes.c_int64(P))
     if rc < 0:
         return None
     sizes = np.empty(4, dtype=np.int64)

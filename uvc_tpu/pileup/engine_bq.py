@@ -498,6 +498,10 @@ class EventValues:
     cigar_op: np.ndarray  # 0=M, 1=I, 2=D
     indel_len: np.ndarray
     dist: np.ndarray     # dist_to_interfering_indel
+    # boundaries of the concatenated event kinds (base / LINK_M / gap /
+    # NN...), each read-major and key-sorted per read: lets the fragment
+    # consensus merge streams directly instead of sorting (frag_cons_direct)
+    stream_off: np.ndarray = None
 
 
 def _searchsorted_per_read(vals, offs, read, rpos, n_reads):
@@ -819,7 +823,9 @@ def compute_event_values(table, batch, ref_syms, tracks, baq, baq2,
         is_gap=np.concatenate([k.is_gap for k in kinds]),
         cigar_op=np.concatenate([k.cigar_op for k in kinds]),
         indel_len=np.concatenate([k.indel_len for k in kinds]),
-        dist=np.concatenate([k.dist for k in kinds]))
+        dist=np.concatenate([k.dist for k in kinds]),
+        stream_off=np.cumsum([0] + [len(k.pos) for k in kinds],
+                             dtype=np.int64))
     # exact-indel info for pass D: (event row in gap_ev, key)
     return allev, (gk_read, gk_pos, gsym, gk_len, gk_del, gk_qpos, g_val)
 

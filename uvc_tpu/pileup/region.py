@@ -88,11 +88,18 @@ def call_region(batch, ref_syms, region_offset, cfg,
     info, bg, a1, a2 = engine_bq.pass_c_scatter(
         allev, table, baq, baq2, thres, region_offset, P, cfg, dflag)
 
-    # shared fragment consensus
-    frag = famgrp.frag_of_read[allev.read]
-    _, frag_gc = cns.reduce_and_consensus(frag, allev.pos, allev.sym,
-                                          allev.val, P, "max",
-                                          link_m_overridden=True)
+    # shared fragment consensus: sort-free per-fragment stream merge when
+    # the native kernel is built (exact parity), else the sorting reduce
+    from ..ops import native_rowpile as nr
+    fc6 = nr.frag_cons_direct(allev, famgrp.frag_of_read, famgrp.n_frags, P,
+                              link_m_overridden=True)
+    if fc6 is not None:
+        frag_gc = cns.GroupConsensus(*fc6)
+    else:
+        frag = famgrp.frag_of_read[allev.read]
+        _, frag_gc = cns.reduce_and_consensus(frag, allev.pos, allev.sym,
+                                              allev.val, P, "max",
+                                              link_m_overridden=True)
 
     bdp, bta, btb, hist, vq_bMQ, frag_indel, mutforms = \
         engine_bq.pass_d_fragments(allev, gap_info, table, ref_syms,
