@@ -376,23 +376,27 @@ int pass_d_kernel(
 // Fused segmented reduce (max/sum) + fillConsensusCounts
 // (uvc_tpu/pileup/consensus.py; main.hpp:374-417).
 //
-// Protocol: rc_run() sorts + reduces + computes consensus into static
-// buffers and returns n_unique; rc_n_groups() gives the consensus row
-// count; rc_fetch_* copy out.  Single-threaded per process by design
-// (the region pool forks workers).
+// Protocol: rc_run() sorts + reduces + computes consensus into
+// thread_local buffers and returns n_unique; rc_n_groups() gives the
+// consensus row count; rc_fetch_* copy out.  Each caller thread (the
+// CLI's worker thread pool) owns an independent table set; a run ->
+// fetch sequence never crosses threads.
 
 namespace rc {
 struct KV { uint64_t k; int64_t v; };
-static std::vector<int64_t> ug, uv;            // unique keys (packed), vals
-static std::vector<int64_t> cg, cp_, cst, ccs, ccc, ctot;
-static std::vector<int64_t> ug2, uv2;          // rc2 second value set
-static std::vector<int64_t> c2g, c2p, c2st, c2cs, c2cc, c2tot;
-static int64_t g_P = 0;
-static int g_pos_bits = 0;
+// thread_local: the run -> fetch protocol is confined to one caller
+// thread (the CLI's worker THREADS each own a private table set; the
+// pre-round-3 design relied on forked workers for the same isolation)
+static thread_local std::vector<int64_t> ug, uv;   // unique keys, vals
+static thread_local std::vector<int64_t> cg, cp_, cst, ccs, ccc, ctot;
+static thread_local std::vector<int64_t> ug2, uv2; // rc2 second value set
+static thread_local std::vector<int64_t> c2g, c2p, c2st, c2cs, c2cc, c2tot;
+static thread_local int64_t g_P = 0;
+static thread_local int g_pos_bits = 0;
 // grow-only scratch buffers: kept across calls so repeated large regions
 // do not re-fault hundreds of MB of freshly mmapped pages every call
-static std::vector<KV> kv_a, kv_b;
-static std::vector<uint64_t> u_a, u_b;
+static thread_local std::vector<KV> kv_a, kv_b;
+static thread_local std::vector<uint64_t> u_a, u_b;
 
 static inline int bit_width_u64(uint64_t v) {
     int w = 0;
@@ -1393,16 +1397,16 @@ int64_t rc2_run_fc(int64_t n, const int64_t *frag, const int64_t *pos,
 // descending symbols).
 
 namespace fcd {
-// grow-only scratch (single-threaded per forked worker, like rc::)
-static std::vector<int64_t> soff;        // [(n_streams)*(n_reads+1)] cursors
-static std::vector<int64_t> frag_cnt, frag_read;  // frag -> member reads CSR
+// grow-only scratch, thread_local (one private set per worker thread)
+static thread_local std::vector<int64_t> soff;   // [(n_streams)*(n_reads+1)]
+static thread_local std::vector<int64_t> frag_cnt, frag_read;  // frag CSR
 struct Cur { int64_t i, end; };
-static std::vector<Cur> curs;
+static thread_local std::vector<Cur> curs;
 // phase-A scratch: per-read stream-merged rows packed as (key << 32) | val
 // with key = (pos << 4) | sym; val is guaranteed < 2^32 by the caller's
 // event-value construction (phred-scale ints)
-static std::vector<uint64_t> rows;
-static std::vector<int64_t> roff;
+static thread_local std::vector<uint64_t> rows;
+static thread_local std::vector<int64_t> roff;
 }  // namespace fcd
 
 extern "C" {
@@ -1796,14 +1800,14 @@ int64_t fam_cons_direct(int64_t n, const int64_t *frag, const int64_t *pos,
 // per region over [P,14] planes.  Split into three stages so the
 // transcendentals (log/exp) run through numpy -- C libm differs from
 // numpy's SIMD log/exp by 1 ulp on rare inputs, which would break
-// bit-parity with the python reference.  Intermediates persist in static
-// buffers between stages (single-threaded per worker process by design).
+// bit-parity with the python reference.  Intermediates persist in
+// thread_local buffers between stages (one set per caller thread).
 
 namespace dp4 {
-static std::vector<double> vadf, vadp, fail_fa, pass_fa, ig;
-static std::vector<uint8_t> pass_ge;
-static int64_t g_n = 0;
-static int g_bidir = 0;
+static thread_local std::vector<double> vadf, vadp, fail_fa, pass_fa, ig;
+static thread_local std::vector<uint8_t> pass_ge;
+static thread_local int64_t g_n = 0;
+static thread_local int g_bidir = 0;
 }  // namespace dp4
 
 extern "C" {

@@ -431,9 +431,10 @@ MODEL_READ_PLANES = (
     "rtr1_unitlen_3 rtr2_anyTR_tracklen_3 rtr2_tracklen_3 rtr2_unitlen_3"
 ).split()
 
-# In forked pileup workers this is bound to an RPC that ships the model
-# request to the parent (the single device owner) and blocks for the
-# output pytree; None means evaluate locally (single-process / tests).
+# When set (by the CLI), (packed, cfg) -> packed response through the
+# process-wide model client (model/server.py): in-process on CPU, or the
+# spawned device-owner child on accelerators.  None means evaluate locally
+# on the default backend (library use / tests).
 _MODEL_EVAL = None
 
 # When the model runs on a remote accelerator (axon TPU tunnel), requests
@@ -518,7 +519,7 @@ def model_stage(F, cand, cfg, is_tumor_only=True, tpfa_dpv=None,
     payload = (arrays, cand_p, tp_d, tp_q, is_tumor_only, rescued)
     packed = pack_model_request(payload)
     if _MODEL_EVAL is not None:
-        resp = _MODEL_EVAL(packed)
+        resp = _MODEL_EVAL(packed, cfg)
     else:
         resp = model_eval_packed(packed, cfg)
     out = unpack_model_response(resp)

@@ -100,9 +100,6 @@ def _line_pos(line):
     return int(line.split("\t", 2)[1])
 
 
-_WORK_CTX = None
-
-
 MODEL_BATCH_REGIONS = 8
 
 
@@ -127,100 +124,18 @@ def _dump_debug_locus(rctx, cfg):
             print(f"  {k} = {hits}", file=sys.stderr)
 
 
-def _worker_main(wid, task_q, req_q, resp_q, work_ctx):
-    """Forked pileup worker: pull region chunks, do host prepare/emit, and
-    route every model evaluation to the parent device owner."""
-    global _WORK_CTX
-    _WORK_CTX = work_ctx
-    calling._MODEL_CAST_F32 = bool(work_ctx.get("model_cast_f32"))
-
-    def _eval_remote(payload):
-        req_q.put(("model", wid, payload))
-        out = resp_q.get()
-        if isinstance(out, BaseException):
-            raise out
-        return out
-
-    calling._MODEL_EVAL = _eval_remote
-    while True:
-        task = task_q.get()
-        if task is None:
-            break
-        ci, chunk = task
-        try:
-            req_q.put(("done", ci, _process_region_chunk(chunk)))
-        except BaseException as e:  # noqa: BLE001 - relayed to the parent
-            import traceback
-            req_q.put(("error", ci, traceback.format_exc()))
-            raise
-
-
-def _run_device_server_pipeline(work_ctx, chunks, n_workers, cfg):
-    """Fork n_workers prepare/emit processes BEFORE any jax use, then serve
-    their model requests from this process (the one device owner), yielding
-    per-chunk results in order.  This is the TPU-native replacement for the
-    reference's OpenMP pool (main.cpp:1478-1539): host parallelism for the
-    pileup, one jitted program stream for the model."""
-    import multiprocessing as mp
-    ctx = mp.get_context("fork")
-    task_q = ctx.SimpleQueue()
-    req_q = ctx.SimpleQueue()
-    resp_qs = [ctx.SimpleQueue() for _ in range(n_workers)]
-    workers = [ctx.Process(target=_worker_main,
-                           args=(w, task_q, req_q, resp_qs[w], work_ctx),
-                           daemon=True)
-               for w in range(n_workers)]
-    for w in workers:
-        w.start()
-    # async device poke AFTER forking (fork + live XLA threads deadlocks):
-    # through the axon tunnel the first dispatch after an idle gap pays a
-    # ~2s wake-up; issuing a tiny op now (no readback: dispatch is async)
-    # overlaps that wake-up with the workers' prepare stage
-    try:
-        import jax.numpy as jnp
-        _ = jnp.zeros((8,), jnp.float32) + 1.0
-    except Exception:
-        pass
-    for ci, chunk in enumerate(chunks):
-        task_q.put((ci, chunk))
-    for _ in workers:
-        task_q.put(None)
-
-    done = {}
-    next_ci = 0
-    pending = len(chunks)
-    while pending:
-        kind, key, payload = req_q.get()
-        if kind == "model":
-            try:
-                out = calling.model_eval_packed(payload, work_ctx["cfg"])
-            except BaseException as e:  # noqa: BLE001 - relayed to worker
-                out = e
-            resp_qs[key].put(out)
-        elif kind == "error":
-            for w in workers:
-                w.terminate()
-            raise RuntimeError(f"worker failed on chunk {key}:\n{payload}")
-        else:
-            done[key] = payload
-            pending -= 1
-            while next_ci in done:
-                yield done.pop(next_ci)
-                next_ci += 1
-    for w in workers:
-        w.join()
-    while next_ci in done:
-        yield done.pop(next_ci)
-        next_ci += 1
-
-
-def _process_region_chunk(idxs):
+def _process_region_chunk(idxs, ctx):
     """Process a chunk of region plans; the per-column quality model runs
     ONCE over the concatenated chunk (calling.model_stage_batched — exact
     per-region equivalence), amortizing numpy dispatch across regions.
-    Returns a list of (n_records, rendered_text), one per plan index."""
+    Returns a list of (n_records, rendered_text), one per plan index.
+
+    Runs on a worker THREAD (the reference's OpenMP pool analog,
+    main.cpp:1478-1539): the prepare stage is dominated by GIL-releasing
+    native/numpy kernels, and model evaluations go through the process-wide
+    model client (in-process on CPU; the spawned device owner on
+    accelerators — model/server.py), so this process NEVER forks."""
     from ..vcfout import aux_records
-    ctx = _WORK_CTX
     batch, header, fa, cfg = ctx["batch"], ctx["header"], ctx["fa"], ctx["cfg"]
     is_normal = ctx["is_normal_run"]
     stage_t = {"prepare": 0.0, "model": 0.0, "emit": 0.0, "columns": 0}
@@ -477,14 +392,22 @@ def run(argv=None):
         for tid, keys in by_tid.items():
             keys.sort(key=lambda k: k[1])
             tki_index[tid] = ([k[1] for k in keys], keys)
-    # the parent decides where the model runs BEFORE forking workers:
-    # remote devices (the axon TPU tunnel) pay seconds of round-trip per
-    # model request, so requests are cast to f32/i32 and coalesced into
-    # one chunk per worker; local CPU keeps f64 (bit-exact goldens) and
-    # finer chunks for pool balance
-    import jax
-    calling._maybe_enable_x64()
-    model_on_accel = jax.default_backend() != "cpu"
+    # where the model runs, decided WITHOUT initializing a jax backend in
+    # this process (model/server.py): in-process on CPU (tests — x64,
+    # bit-exact goldens; and distributed mode, where jax.distributed is
+    # live in-process anyway), else a spawned device-owner child with a
+    # per-request deadline + local-CPU fallback.  Remote devices (the axon
+    # TPU tunnel) pay a fixed round-trip per request, so requests are cast
+    # to f32/i32 and coalesced into one chunk per worker; local CPU keeps
+    # f64 and finer chunks for pool balance.
+    from ..model import server as model_server
+    if dist_on:
+        model_client = model_server.InProcessClient()
+    else:
+        model_client = model_server.get_client()
+    model_on_accel = model_client.platform != "cpu"
+    calling._MODEL_CAST_F32 = model_on_accel
+    calling._MODEL_EVAL = model_client.eval
 
     # user target restriction inputs (-R BED / --targets chrom:beg-end;
     # grouping.cpp:69-155), resolved once, applied per tier-1 window
@@ -505,6 +428,7 @@ def run(argv=None):
     total_regions = 0
     shard_texts = [] if dist_on else None
     stage_totals = {"prepare": 0.0, "model": 0.0, "emit": 0.0, "columns": 0}
+    pool = None  # lazily-created worker thread pool, shared across windows
 
     def _emit(nrec, text):
         nonlocal n_records
@@ -521,8 +445,7 @@ def run(argv=None):
     def _process_window(wbatch, wplans, region_base):
         """Restrict/split one tier-1 window's plans and run the worker
         pipeline over them; returns the number of tier-2 regions."""
-        nonlocal n_reads
-        global _WORK_CTX
+        nonlocal n_reads, pool
         n_reads += wbatch.n
         if target_ivs:
             wplans = regions_mod.restrict_to_intervals(
@@ -557,7 +480,6 @@ def run(argv=None):
         work_ctx = dict(batch=wbatch, header=header, fa=fa, cfg=cfg,
                         plans=wplans, is_normal_run=is_normal_run,
                         tki_all=tki_all, tki_index=tki_index,
-                        model_cast_f32=model_on_accel,
                         region_base=region_base)
         n_workers = min(cfg.max_cpu_num, os.cpu_count() or 1, n_shard) \
             if n_shard > 1 else 1
@@ -572,33 +494,42 @@ def run(argv=None):
         chunks = [list(range(lo, min(lo + csz, shard_hi)))
                   for lo in range(shard_lo, shard_hi, csz)]
         if n_workers > 1:
-            # data-parallel region processing with ordered serial output,
-            # mirroring the reference's pool + serial concat
-            # (main.cpp:1478-1551); fork shares the window copy-on-write.
-            # The PARENT is the single device owner: forked workers never
-            # touch jax (fork + live XLA threads deadlocks, and N
-            # processes must not fight over one TPU) — they ship padded
-            # model requests up a queue and block for the jitted outputs.
-            for ci_results, stage_t in _run_device_server_pipeline(
-                    work_ctx, chunks, n_workers, cfg):
+            # data-parallel region processing in worker THREADS with
+            # ordered serial output, mirroring the reference's pool +
+            # serial concat (main.cpp:1478-1551).  Prepare time is
+            # dominated by GIL-releasing ctypes/numpy kernels; model
+            # round-trips overlap the other threads' prepare because the
+            # client blocks outside the GIL.
+            from concurrent.futures import ThreadPoolExecutor
+            if pool is None:
+                pool = ThreadPoolExecutor(
+                    max_workers=n_workers_est,
+                    thread_name_prefix="uvc-worker")
+            futs = [pool.submit(_process_region_chunk, chunk, work_ctx)
+                    for chunk in chunks]
+            for f in futs:
+                results, stage_t = f.result()
                 _account(stage_t)
-                for nrec, text in ci_results:
+                for nrec, text in results:
                     _emit(nrec, text)
         else:
-            _WORK_CTX = work_ctx
-            calling._MODEL_CAST_F32 = model_on_accel
             for chunk in chunks:
-                results, stage_t = _process_region_chunk(chunk)
+                results, stage_t = _process_region_chunk(chunk, work_ctx)
                 _account(stage_t)
                 for nrec, text in results:
                     _emit(nrec, text)
         return len(wplans)
 
-    if use_stream:
-        for wbatch, wplans in window_iter:
-            total_regions += _process_window(wbatch, wplans, total_regions)
-    else:
-        total_regions = _process_window(batch, plans, 0)
+    try:
+        if use_stream:
+            for wbatch, wplans in window_iter:
+                total_regions += _process_window(wbatch, wplans,
+                                                 total_regions)
+        else:
+            total_regions = _process_window(batch, plans, 0)
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=True)
     if bed_out_fh:
         bed_out_fh.close()
     if dist_on:
