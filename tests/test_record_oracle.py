@@ -1,0 +1,277 @@
+"""Record-VALUE parity: the python quality core vs the COMPILED reference.
+
+tools/record_oracle.py compiles the reference's `BcfFormat_symbol_calc_DPv`
+(main.hpp:4253-4844) and `BcfFormat_symbol_calc_qual` (main.hpp:4908-5343)
+into a standalone driver (htslib shims + the reference's own generated
+bcf_formats.step1.hpp).  This test runs the REAL python pipeline on
+simulated BAMs, replays every candidate (pos, symbol)'s prepared planes
+through the compiled reference functions, and pins the ~25 quality/depth
+outputs (cDP1v..cDP2x, bNM*, FTS, nAFA/nBCFA/nNFA, bIAQ..cVQ2, gVQ1,
+CONTQ, ...) field-for-field.  This retires the round-2 "self-pinned
+golden" risk for the flagship math (VERDICT round-2, task 3).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = os.environ.get("UVC_REFERENCE_DIR", "/root/reference")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(REF, "main.hpp")),
+    reason="reference source unavailable")
+
+import record_oracle  # noqa: E402
+
+from uvc_tpu import calling  # noqa: E402
+from uvc_tpu.config import UVCConfig  # noqa: E402
+from uvc_tpu.constants import (CHAR_TO_SYMBOL, Symbol,  # noqa: E402
+                               SequencingPlatform)
+from uvc_tpu.io import simulate, bam as bam_mod  # noqa: E402
+from uvc_tpu.schedule import regions as regions_mod  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def oracle(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("record_oracle"))
+    exe = record_oracle.build_oracle(d)
+    orc = record_oracle.Oracle(exe)
+    yield orc
+    orc.close()
+
+
+# fields READ by calc_DPv/calc_qual (comment-stripped scan of
+# main.hpp:4253-5343) that the harness feeds from the pipeline's planes;
+# everything the functions WRITE is excluded and compared instead
+DPV_WRITES = ("cDP1v cDP1w cDP1x cDP2v cDP2w cDP2x bNMa bNMb bNMQ "
+              "FTS nAFA nBCFA nNFA nPF note").split()
+QUAL_WRITES = ("bIAQ cIAQ bTINQ cTINQ cPLQ1 cPLQ2 cPCQ1 cPCQ2 cVQ1 cVQ2 "
+               "gVQ1 CONTQ cMmQ dVQinc bMQQ note").split()
+FEED_TAGS = ("APLRI APLRP A1BQf A1BQr ABQ2 AD ADPff ADPfr ADPrf ADPrr ALB2 ALBL ALI2 "
+             "ALIr ALP1 ALP2 ALPL AMQs AP1 AP2 APDP APF2 APXM ARB2 ARBL "
+             "ARI2 ARIf ARP2 ARPL BDPb BTAb BTBb C2BQ2 C2LB2 C2LBL C2LP0 "
+             "C2LP2 C2LPL C2RB2 C2RBL C2RP0 C2RP2 C2RPL CDP12b CDP1b CDP2b "
+             "CDP3b VTI a1BQf a1BQr a2XM2 aAaMQ aBQ aBQ2 aBQQ aDPff aDPfr "
+             "aDPrf aDPrr aLB1 aLB2 aLBL aLI1 aLI2 aLIT aLIr aLP1 aLP2 aLPL "
+             "aMQs aNC aP1 aP2 aP3 aPF1 aPF2 aRB1 aRB2 aRBL aRI1 aRI2 aRIT "
+             "aRIf aRP1 aRP2 aRPL bAD bDPa bDPf bDPr bIADb bIAQb bMQ bTAf "
+             "bTAr bTBf bTBr c2BQ2 c2LB1 c2LB2 c2LBL c2LP0 c2LP1 c2LP2 "
+             "c2LPL c2RB1 c2RB2 c2RBL c2RP0 c2RP1 c2RP2 c2RPL cDP0a cDP12f "
+             "cDP12r cDP1f cDP1r cDP2f cDP2r cDP3f cDP3r cDPMf cDPMr cDPmf "
+             "cDPmr cIADf cIADr cIAQf cIAQr cIDQf cIDQr dDP1 dDP2 "
+             "gapSa").split()
+# capitals written by sum_DPv, fed between dpv and qual
+CAP_DPV_TAGS = ("CDP1v", "CDP1w", "CDP1x", "CDP2v", "CDP2w", "CDP2x")
+
+R_SET = set(calling.R_PLANE_TAGS)
+
+PREP_MAP = {  # SegFormatPrepSet fields read by dpv/qual (main.hpp shim)
+    "segprep_a_dp": "a_dp", "segprep_a_pcr_dp": "a_pcr_dp",
+    "segprep_a_near_pcr_clip_dp": "a_near_pcr_clip_dp",
+    "segprep_a_dnv_dp": "a_dnv_dp", "segprep_a_snv_dp": "a_snv_dp",
+    "segprep_a_umi_dp": "a_umi_dp",
+}
+
+PS_FIELDS = None  # lazily: reference CommandLineArgs scalar/string fields
+
+
+def _ps_lines(cfg):
+    """One `ps` line mirroring the pipeline's UVCConfig into the oracle's
+    CommandLineArgs (defaults already match; send everything to be safe)."""
+    global PS_FIELDS
+    if PS_FIELDS is None:
+        PS_FIELDS = record_oracle._parse_cmdline_fields()
+    import dataclasses
+    parts = []
+    for f in dataclasses.fields(cfg):
+        kind = PS_FIELDS.get(f.name)
+        if kind is None:
+            continue
+        v = getattr(cfg, f.name)
+        if kind == "string":
+            parts.append(f"{f.name}={record_oracle.esc(str(v))}")
+        elif kind == "float":
+            parts.append(f"{f.name}={float(v)!r}")
+        else:
+            parts.append(f"{f.name}={int(v)}")
+    return "ps " + " ".join(parts)
+
+
+def _run_pipeline(tmp_path, *, n=8000, depth=80, seed=7, umi=None,
+                  variants=None):
+    ref = simulate.random_ref(n, seed)
+    if variants is None:
+        variants = [
+            simulate.Variant(1200, f"{ref[1200]}>"
+                             + ("A" if ref[1200] != "A" else "G"), 0.35),
+            simulate.Variant(2500, "+CT", 0.30),
+            simulate.Variant(4200, "-2", 0.30),
+            simulate.Variant(6000, f"{ref[6000]}>"
+                             + ("C" if ref[6000] != "C" else "T"), 0.08),
+        ]
+    path = str(tmp_path / "o.bam")
+    kw = dict(umi) if umi else {}
+    simulate.build_bam(path, ref, depth=depth, variants=variants, seed=seed,
+                       **kw)
+    header, batch = bam_mod.read_bam(path)
+    cfg = UVCConfig()
+    cfg.bam_input_fname = path
+    cfg.self_update_by_platform(SequencingPlatform.ILLUMINA, 150, 60)
+    ref_lens = {i: ln for i, ln in enumerate(header.ref_lens)}
+    plans = regions_mod.plan(batch, ref_lens, cfg.mem_per_thread)
+    prepared = []
+    for plan in plans:
+        sub = regions_mod.slice_batch(batch, plan)
+        refstring = ref[plan.ext_beg:plan.ext_end].encode()
+        ref_syms = CHAR_TO_SYMBOL[np.frombuffer(refstring, np.uint8) & 0x7F]
+        rctx = calling.prepare_region(sub, ref_syms, plan.ext_beg, cfg)
+        rctx["_refstring"] = refstring
+        prepared.append(rctx)
+    calling.model_stage_batched(prepared, cfg, is_tumor_only=True)
+    return prepared, cfg
+
+
+def _fmt_feed(fmtd, F, p, s):
+    """fmt-field assignments for the oracle from one candidate's planes."""
+    parts = []
+    for k in FEED_TAGS:
+        if k not in fmtd and k.startswith("C2"):
+            # c2 capitals outside the print plan (not-in-vcf struct fields,
+            # read as [0] only): type-sum straight from the model plane
+            parts.append(f"{k}={int(F[k][p, s])}")
+            continue
+        v = fmtd.get(k)
+        assert v is not None, f"plan_fmt missing {k}"
+        if k in R_SET or k in ("gapSa", "VTI"):
+            vals = [v[-1]]    # per-allele: the reference vector holds only
+            # this allele's value at calc time (REF-rotation happens later)
+        else:
+            vals = list(v) if isinstance(v, tuple) else [v]
+        enc = ",".join(record_oracle.esc(str(x)) for x in vals)
+        parts.append(f"{k}={enc}")
+    parts.append("enable_tier2_consensus_format_tags=%d"
+                 % int(F["enable_tier2"][p, s]))
+    return "fmt " + " ".join(parts)
+
+
+def _candidates(rctx, limit=None):
+    cand = np.asarray(rctx["cand"])
+    ps_, ss_ = np.nonzero(cand)
+    pairs = list(zip(ps_.tolist(), ss_.tolist()))
+    return pairs[:limit] if limit else pairs
+
+
+def _ref_link(F, p, s):
+    return int(F["ref_syms"][p]) if s < 6 else int(Symbol.LINK_M)
+
+
+def _expected_fts(F, p, s):
+    return "|".join(f"{nm}-{int(ratio[p, s])}"
+                    for nm, (flag, ratio) in F["FTS"].items()
+                    if flag[p, s]) or "PASS"
+
+
+def _replay_candidate(orc, rctx, p, s, cfg, ps_line):
+    """Feed one candidate through the compiled reference calc_DPv +
+    calc_qual; return (oracle_fields, our plan_fmt dict)."""
+    F, res = rctx["F"], rctx["res"]
+    rl = _ref_link(F, p, s)
+    fmtd = calling.plan_fmt(F, res, p, s, rl, 0)
+    orc.send("reset")
+    orc.send(ps_line)
+    prep = res.bq.prep
+    orc.send("prep " + " ".join(
+        f"{k}={int(getattr(prep, a)[p])}" for k, a in PREP_MAP.items()))
+    orc.send(f"rtr1 tracklen={int(F['rtr1_tracklen_3'][p])} "
+             f"unitlen={int(F['rtr1_unitlen_3'][p])}")
+    orc.send(f"rtr2 tracklen={int(F['rtr2_tracklen_3'][p])} "
+             f"unitlen={int(F['rtr2_unitlen_3'][p])} "
+             f"anyTR_tracklen={int(F['rtr2_anyTR_tracklen_3'][p])}")
+    orc.send(_fmt_feed(fmtd, F, p, s))
+    assert orc.ask(f"dpv -1.0 {rl} {p}") == "OK"
+    # capitals produced by sum_DPv over the position's symboltype group
+    # (main.hpp:4846-4906) — validated separately by test_calling's
+    # sum_dpv tests; feed the pipeline's values so calc_qual sees them
+    caps = " ".join(f"{k}={fmtd[k][0]},{fmtd[k][1]}" for k in CAP_DPV_TAGS)
+    orc.send("fmt " + caps)
+    rulen = int(F["ctx_unitlen"][p])
+    ru = rctx["_refstring"][p:p + rulen].decode() or "A"
+    qargs = (f"{int(F['ins_cdepth'][p])} {int(F['del_cdepth'][p])} "
+             f"{int(F['ins1_cdepth'][p])} {int(F['del1_cdepth'][p])} "
+             f"{record_oracle.esc(ru)} {int(F['ctx_repeatnum'][p])} "
+             f"0 -1.0 {rl} {p}")
+    assert orc.ask("qual " + qargs) == "OK"
+    out = record_oracle.parse_out(orc.ask("print"))
+    return out, fmtd
+
+
+def _check_candidate(orc, rctx, p, s, cfg, ps_line, errs):
+    F = rctx["F"]
+    out, fmtd = _replay_candidate(orc, rctx, p, s, cfg, ps_line)
+
+    def expect(tag, ours):
+        theirs = out[tag]
+        ours = [str(x) for x in ours]
+        if theirs != ours:
+            errs.append(f"(p={p},s={s}) {tag}: ref={theirs} py={ours}")
+
+    for tag in ("cDP1v cDP1w cDP1x cDP2v cDP2w cDP2x bNMa bNMb bNMQ".split()):
+        expect(tag, [fmtd[tag][-1]])
+    expect("nPF", list(fmtd["nPF"]))
+    for tag in ("nNFA", "nAFA", "nBCFA"):
+        expect(tag, list(fmtd[tag]))
+    fts = out["FTS"][-1] if out["FTS"] else ""
+    ours_fts = _expected_fts(F, p, s)
+    if fts != ours_fts:
+        errs.append(f"(p={p},s={s}) FTS: ref={fts!r} py={ours_fts!r}")
+    for tag in ("bIAQ cIAQ bTINQ cTINQ cPLQ1 cPLQ2 cPCQ1 cPCQ2 cVQ1 cVQ2 "
+                "gVQ1 CONTQ cMmQ dVQinc bMQQ".split()):
+        expect(tag, [fmtd[tag][-1]])
+
+
+def test_dpv_qual_parity_plain(oracle, tmp_path):
+    prepared, cfg = _run_pipeline(tmp_path, seed=7)
+    ps_line = _ps_lines(cfg)
+    errs = []
+    n = 0
+    for rctx in prepared:
+        for p, s in _candidates(rctx):
+            _check_candidate(oracle, rctx, p, s, cfg, ps_line, errs)
+            n += 1
+    assert n >= 8, f"too few candidates exercised: {n}"
+    assert not errs, f"{len(errs)} mismatches of {n} candidates:\n" + \
+        "\n".join(errs[:40])
+
+
+def test_dpv_qual_parity_umi(oracle, tmp_path):
+    prepared, cfg = _run_pipeline(tmp_path, seed=11, depth=120,
+                                  umi=dict(umi=True, n_umi_families=400))
+    ps_line = _ps_lines(cfg)
+    errs = []
+    n = 0
+    for rctx in prepared:
+        for p, s in _candidates(rctx):
+            _check_candidate(oracle, rctx, p, s, cfg, ps_line, errs)
+            n += 1
+    assert n >= 8, f"too few candidates exercised: {n}"
+    assert not errs, f"{len(errs)} mismatches of {n} candidates:\n" + \
+        "\n".join(errs[:40])
+
+
+def test_hetlodq_sweep(oracle):
+    from uvc_tpu.model import germline
+    import jax.numpy as jnp
+    qs = []
+    grid = []
+    for a1 in (0.0, 1.0, 3.0, 10.0, 45.0, 200.0):
+        for a2 in (0.0, 2.0, 9.0, 55.0, 300.0):
+            for ef in (0.47, 0.5):
+                grid.append((a1, a2, ef))
+                qs.append(oracle.ask(f"hetlodq {a1!r} {a2!r} {ef!r} 3.0"))
+    ours = [int(germline.het_lodq(jnp.float64(a1), jnp.float64(a2),
+                                  ef, 3.0)) for a1, a2, ef in grid]
+    assert [int(q) for q in qs] == ours

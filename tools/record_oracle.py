@@ -1,0 +1,577 @@
+"""Compile the reference's record-quality core into an in-env oracle.
+
+Extends the tools/math_oracle.py shim technique (VERDICT round-2, task 3)
+up the call stack: `BcfFormat_symbol_calc_DPv` (main.hpp:4253-4844),
+`BcfFormat_symbol_sum_DPv` (main.hpp:4846-4906), `BcfFormat_symbol_calc_qual`
+(main.hpp:4908-5343) and `hetLODQ` (main.hpp:5457-5462) operate on a
+`bcfrec::BcfFormat` struct plus scalars — no htslib handles — so they
+compile against the same 20-line htslib shims once `bcf_formats.step1.hpp`
+is produced by the reference's own build-time generator (Makefile:55-59).
+The `const auto & symbol2CountCoverageSet12` template parameter is satisfied
+by a mock carrying one real `SegFormatPrepSet` (the only member the two
+functions read, via `.seg_format_prep_sets.getByPos(refpos)`).
+
+The driver binary speaks a line protocol on stdin:
+
+    reset                       fresh fmt + paramset + prep + rtrs + tki
+    ps NAME=VAL ...             CommandLineArgs field overrides
+    prep NAME=INT ...           SegFormatPrepSet fields
+    rtr1 NAME=INT ... / rtr2    RegionalTandemRepeat args
+    tki NAME=VAL ...            TumorKeyInfo fields
+    fmt NAME=V1,V2 ...          BcfFormat fields (values %-escaped)
+    dpv TPFA REFSYMBOL REFPOS   run BcfFormat_symbol_calc_DPv
+    qual INS DEL INS1 DEL1 RU RNUM RESC TPFA REFSYMBOL REFPOS
+    hetlodq A1 A2 EXPFRAC POW   print one quality
+    print                       dump every fmt field as NAME=V1,V2;...
+
+All function bodies are cut out of the reference source AT BUILD TIME
+(nothing is checked in); pytest feeds it the python pipeline's own planes
+and pins model/{dpv,qual}.py per-field (tests/test_record_oracle.py).
+"""
+
+import os
+import re
+import subprocess
+import sys
+
+REF = os.environ.get("UVC_REFERENCE_DIR", "/root/reference")
+TOOLS = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, TOOLS)
+
+from math_oracle import SAM_SHIM, VCF_SHIM  # noqa: E402
+
+
+def _extract_named(src, name):
+    """Cut one complete function/struct definition out of the reference
+    source: the definition line `name(` (or `struct name {`), preceded by
+    its return-type line and an optional template<> line, brace-matched to
+    the closing brace."""
+    m = re.search(r"^(?:template\s*<[^\n>]*>\s*\n)?"
+                  r"(?:static\s+)?(?:inline\s+)?(?:const\s+)?"
+                  r"(?:auto|int|double|bool|struct|uvc1_[a-z0-9_]+_t)[ \t]*\n?"
+                  r"\s*" + re.escape(name) + r"\s*[({]",
+                  src, re.MULTILINE)
+    assert m, f"definition of {name} not found"
+    beg = m.start()
+    i = src.index("{", beg)
+    depth = 0
+    while True:
+        c = src[i]
+        if c == "{":
+            depth += 1
+        elif c == "}":
+            depth -= 1
+            if depth == 0:
+                break
+        i += 1
+    end = i + 1
+    # include a trailing `;` (struct definitions)
+    while end < len(src) and src[end] in ";\n \t":
+        if src[end] == ";":
+            end += 1
+            break
+        end += 1
+    return src[beg:end]
+
+
+def _extract_span(src, start_name, end_name):
+    """Contiguous slice from the definition of start_name through the end
+    of end_name (keeps interleaved enums/const arrays/helpers)."""
+    whole = _extract_named(src, start_name)
+    beg = src.index(whole)
+    tail = _extract_named(src, end_name)
+    end = src.index(tail) + len(tail)
+    return src[beg:end]
+
+
+def _extract_defines(src, names):
+    out = []
+    for n in names:
+        m = re.search(r"^#define\s+" + re.escape(n) + r"\b[^\n]*", src,
+                      re.MULTILINE)
+        assert m, f"#define {n} not found"
+        out.append(m.group(0).split("//")[0].rstrip())
+    return "\n".join(out)
+
+
+def _compile_gates():
+    gates = {}
+    for line in open(os.path.join(REF, "common.hpp")):
+        m = re.match(r"#define\s+(COMPILATION_\w+)\s+(\d+)", line)
+        if m:
+            gates[m.group(1)] = int(m.group(2))
+    return gates
+
+
+def _parse_cmdline_fields():
+    """(name -> ckind) for every CommandLineArgs field, with compile gates
+    applied; ckind in {'int','float','string'}."""
+    src = open(os.path.join(REF, "CmdLineArgs.hpp")).read()
+    body = src.split("struct CommandLineArgs {", 1)[1].split("\n};", 1)[0]
+    gates = _compile_gates()
+    fields = {}
+    skip_depth = 0
+    for line in body.splitlines():
+        stripped = line.strip()
+        if stripped.startswith("#if"):
+            m = re.match(r"#if\s+(\w+)", stripped)
+            gated_off = m and not gates.get(m.group(1), 1)
+            if skip_depth or gated_off:
+                skip_depth += 1
+            continue
+        if stripped.startswith("#endif"):
+            skip_depth = max(0, skip_depth - 1)
+            continue
+        if skip_depth:
+            continue
+        line = line.split("//")[0]
+        m = re.match(r"^\s*(?:const\s+)?([A-Za-z_][A-Za-z0-9_:<>]*)\s+"
+                     r"([A-Za-z_][A-Za-z0-9_]*)\s*=\s*[^;]+;", line)
+        if not m:
+            continue
+        ctype, name = m.group(1), m.group(2)
+        if name == "NOT_PROVIDED":
+            continue
+        if "string" in ctype:
+            fields[name] = "string"
+        elif ctype in ("double", "float"):
+            fields[name] = "float"
+        else:
+            fields[name] = "int"
+    assert len(fields) > 180, f"parser regression: {len(fields)} fields"
+    return fields
+
+
+def _parse_fmt_fields(step1_src):
+    """(name -> (kind, arity, elemtype)) from the generated struct
+    BcfFormat; mirrors tools/gen_schema._parse_struct."""
+    lines = step1_src.splitlines()
+    start = next(i for i, l in enumerate(lines) if "struct BcfFormat" in l)
+    fields = {}
+
+    def etype(t):
+        if "string" in t:
+            return "str"
+        if "float" in t or "double" in t:
+            return "float"
+        return "int"
+
+    for l in lines[start + 1:]:
+        if l.startswith("static "):
+            break
+        m = re.match(r"\s*std::vector<\s*([\w:<>\s]+?)\s*>\s*(\w+)\s*[;=]", l)
+        if m:
+            fields[m.group(2)] = ("vector", None, etype(m.group(1)))
+            continue
+        m = re.match(r"\s*std::array\s*<\s*([\w:<>\s]+?)\s*,\s*(\d+)\s*>"
+                     r"\s*(\w+)\s*[;=]", l)
+        if m:
+            fields[m.group(3)] = ("array", int(m.group(2)), etype(m.group(1)))
+            continue
+        m = re.match(r"\s*std::string\s+(\w+)\s*[;=]", l)
+        if m:
+            fields[m.group(1)] = ("string", None, "str")
+            continue
+        m = re.match(r"\s*(bool|float|double|u?int\d+_t|int)\s+(\w+)\s*[;=]",
+                     l)
+        if m:
+            fields[m.group(2)] = ("scalar", None, etype(m.group(1)))
+    return fields
+
+
+SEGPREP_FIELDS = """segprep_a_dp segprep_a_near_ins_dp segprep_a_near_del_dp
+segprep_a_near_RTR_ins_dp segprep_a_near_RTR_del_dp segprep_a_pcr_dp
+segprep_a_umi_dp segprep_a_snv_dp segprep_a_dnv_dp segprep_a_highBQ_dp
+segprep_a_near_pcr_clip_dp segprep_a_near_long_clip_dp segprep_a_at_ins_dp
+segprep_a_at_del_dp segprep_a_XM1500 segprep_a_GO1500 segprep_a_GAPLEN
+segprep_a_qlen segprep_a_near_ins_pow2len segprep_a_near_del_pow2len
+segprep_a_near_ins_inv100len segprep_a_near_del_inv100len segprep_a_LI
+segprep_a_LIDP segprep_a_RI segprep_a_RIDP segprep_a_l_dist_sum
+segprep_a_r_dist_sum segprep_a_inslen_sum segprep_a_dellen_sum
+segprep_a_l_BAQ_sum segprep_a_r_BAQ_sum segprep_a_insBAQ_sum
+segprep_a_delBAQ_sum""".split()
+
+RTR_FIELDS = ("begpos tracklen unitlen indelphred anyTR_begpos "
+              "anyTR_tracklen anyTR_unitlen").split()
+
+TKI_INT_FIELDS = ("VTI pos BDP bDP CDP1x cDP1x cVQ1 cPCQ1 CDP2x cDP2x cVQ2 "
+                  "cPCQ2 bNMQ vHGQ tDP nDP tDPC").split()
+
+
+DRIVER_TMPL = r"""
+// record-quality oracle driver — GENERATED by tools/record_oracle.py.
+// The EXTRACTED_* blocks are cut from the reference main.hpp at build
+// time; everything else is original harness code.
+#include "bcf_formats.step1.hpp"
+#include "CmdLineArgs.hpp"
+#include "common.hpp"
+#include "main_conversion.hpp"
+
+#include <iostream>
+#include <map>
+#include <sstream>
+#include <string>
+#include <vector>
+
+%(extracted)s
+
+// --- mock of Symbol2CountCoverageSet: the calc functions only read
+// .seg_format_prep_sets.getByPos(refpos) (main.hpp:4288,4931) ---
+struct MockPrepSets {
+    SegFormatPrepSet prep = SegFormatPrepSet();
+    const SegFormatPrepSet & getByPos(uvc1_refgpos_t) const { return prep; }
+};
+struct MockS2CCS {
+    MockPrepSets seg_format_prep_sets;
+};
+
+// --- value encoding: %%XX escape for , ; = %% space and control bytes ---
+static std::string esc(const std::string & s) {
+    static const char *hex = "0123456789ABCDEF";
+    std::string o;
+    for (unsigned char c : s) {
+        if (c <= 0x20 || c == ',' || c == ';' || c == '=' || c == '%%'
+                || c >= 0x7f) {
+            o += '%%'; o += hex[c >> 4]; o += hex[c & 15];
+        } else {
+            o += (char)c;
+        }
+    }
+    return o;
+}
+static std::string unesc(const std::string & s) {
+    std::string o;
+    for (size_t i = 0; i < s.size(); i++) {
+        if (s[i] == '%%' && i + 2 < s.size()) {
+            o += (char)std::stoi(s.substr(i + 1, 2), nullptr, 16);
+            i += 2;
+        } else {
+            o += s[i];
+        }
+    }
+    return o;
+}
+static std::vector<std::string> split(const std::string & s, char sep) {
+    std::vector<std::string> o;
+    if (s.empty()) { return o; }
+    std::string cur;
+    for (char c : s) {
+        if (c == sep) { o.push_back(cur); cur.clear(); }
+        else { cur += c; }
+    }
+    o.push_back(cur);
+    return o;
+}
+
+// --- print helpers ---
+static void pv1(std::ostream & os, const std::string & v) { os << esc(v); }
+static void pv1(std::ostream & os, double v) {
+    char b[64]; snprintf(b, sizeof(b), "%%.17g", v); os << b;
+}
+static void pv1(std::ostream & os, float v) { pv1(os, (double)v); }
+static void pv1(std::ostream & os, bool v) { os << (v ? 1 : 0); }
+template <class T> static void pv1(std::ostream & os, T v) {
+    os << (long long)v;
+}
+template <class T, size_t N>
+static void pv(std::ostream & os, const std::array<T, N> & a) {
+    for (size_t i = 0; i < N; i++) { if (i) os << ','; pv1(os, a[i]); }
+}
+template <class T>
+static void pv(std::ostream & os, const std::vector<T> & a) {
+    for (size_t i = 0; i < a.size(); i++) { if (i) os << ','; pv1(os, a[i]); }
+}
+template <class T> static void pv(std::ostream & os, const T & v) {
+    pv1(os, v);
+}
+
+// --- assign helpers ---
+static void av1(std::string & dst, const std::string & v) { dst = unesc(v); }
+static void av1(double & dst, const std::string & v) { dst = strtod(v.c_str(), 0); }
+static void av1(float & dst, const std::string & v) { dst = (float)strtod(v.c_str(), 0); }
+static void av1(bool & dst, const std::string & v) { dst = (bool)strtoll(v.c_str(), 0, 10); }
+template <class T> static void av1(T & dst, const std::string & v) {
+    dst = (T)strtoll(v.c_str(), 0, 10);
+}
+template <class T, size_t N>
+static void av(std::array<T, N> & a, const std::vector<std::string> & vs) {
+    for (size_t i = 0; i < N && i < vs.size(); i++) { av1(a[i], vs[i]); }
+}
+template <class T>
+static void av(std::vector<T> & a, const std::vector<std::string> & vs) {
+    a.clear(); a.resize(vs.size());
+    for (size_t i = 0; i < vs.size(); i++) { av1(a[i], vs[i]); }
+}
+template <class T> static void av(T & dst, const std::vector<std::string> & vs) {
+    if (!vs.empty()) { av1(dst, vs[0]); }
+}
+
+// --- generated field tables ---
+static bool set_fmt_field(bcfrec::BcfFormat & fmt, const std::string & k,
+                          const std::vector<std::string> & vs) {
+%(fmt_setters)s
+    return false;
+}
+static void print_fmt(const bcfrec::BcfFormat & fmt, std::ostream & os) {
+%(fmt_printers)s
+}
+// symbol_init pushes one element into every per-allele vector before the
+// calc functions run (main.hpp:4094-4251); mirror that precondition
+static void ensure_fmt_nonempty(bcfrec::BcfFormat & fmt) {
+%(fmt_ensures)s
+}
+static bool set_ps_field(CommandLineArgs & ps, const std::string & k,
+                         const std::string & v) {
+%(ps_setters)s
+    return false;
+}
+static bool set_prep_field(SegFormatPrepSet & p, const std::string & k,
+                           const std::string & v) {
+%(prep_setters)s
+    return false;
+}
+static bool set_rtr_field(RegionalTandemRepeat & r, const std::string & k,
+                          const std::string & v) {
+%(rtr_setters)s
+    return false;
+}
+static bool set_tki_field(TumorKeyInfo & t, const std::string & k,
+                          const std::string & v) {
+%(tki_setters)s
+    if (k == "ref_alt") { t.ref_alt = unesc(v); return true; }
+    return false;
+}
+
+int main() {
+    bcfrec::BcfFormat fmt;
+    CommandLineArgs ps;
+    MockS2CCS s2ccs;
+    RegionalTandemRepeat rtr1, rtr2;
+    TumorKeyInfo tki;
+    std::string line;
+    while (std::getline(std::cin, line)) {
+        std::istringstream iss(line);
+        std::string op;
+        iss >> op;
+        std::string kv;
+        if (op == "reset") {
+            fmt = bcfrec::BcfFormat();
+            ps.~CommandLineArgs();          // const member blocks operator=
+            new (&ps) CommandLineArgs();
+            s2ccs = MockS2CCS();
+            rtr1 = RegionalTandemRepeat();
+            rtr2 = RegionalTandemRepeat();
+            tki = TumorKeyInfo();
+        } else if (op == "ps" || op == "prep" || op == "rtr1"
+                   || op == "rtr2" || op == "tki" || op == "fmt") {
+            while (iss >> kv) {
+                size_t eq = kv.find('=');
+                if (eq == std::string::npos) { continue; }
+                std::string k = kv.substr(0, eq), v = kv.substr(eq + 1);
+                bool ok = false;
+                if (op == "ps") { ok = set_ps_field(ps, k, v); }
+                else if (op == "prep") {
+                    ok = set_prep_field(s2ccs.seg_format_prep_sets.prep, k, v);
+                } else if (op == "rtr1") { ok = set_rtr_field(rtr1, k, v); }
+                else if (op == "rtr2") { ok = set_rtr_field(rtr2, k, v); }
+                else if (op == "tki") { ok = set_tki_field(tki, k, v); }
+                else { ok = set_fmt_field(fmt, k, split(v, ',')); }
+                if (!ok) {
+                    std::cout << "ERR unknown " << op << " field " << k
+                              << "\n";
+                    return 3;
+                }
+            }
+        } else if (op == "dpv") {
+            double tpfa; int refsymbol; long refpos;
+            iss >> tpfa >> refsymbol >> refpos;
+            ensure_fmt_nonempty(fmt);
+            BcfFormat_symbol_calc_DPv(fmt, rtr1, rtr2, tpfa, tki,
+                    AlignmentSymbol(refsymbol), s2ccs,
+                    (uvc1_refgpos_t)refpos, ps, 0);
+            std::cout << "OK\n";
+        } else if (op == "qual") {
+            long insd, deld, ins1, del1, rnum, resc, refpos;
+            int refsymbol; double tpfa; std::string ru;
+            iss >> insd >> deld >> ins1 >> del1 >> ru >> rnum >> resc
+                >> tpfa >> refsymbol >> refpos;
+            ensure_fmt_nonempty(fmt);
+            BcfFormat_symbol_calc_qual(fmt,
+                    (uvc1_readnum_t)insd, (uvc1_readnum_t)deld,
+                    (uvc1_readnum_t)ins1, (uvc1_readnum_t)del1,
+                    unesc(ru), (uvc1_readpos_t)rnum, (bool)resc,
+                    rtr1, rtr2, 0, (uvc1_refgpos_t)refpos,
+                    AlignmentSymbol(refsymbol), tpfa, s2ccs, ps, 0);
+            std::cout << "OK\n";
+        } else if (op == "hetlodq") {
+            double a1, a2, ef, pl;
+            iss >> a1 >> a2 >> ef >> pl;
+            std::cout << (long long)hetLODQ(a1, a2, ef, pl) << "\n";
+        } else if (op == "print") {
+            std::ostringstream os;
+            print_fmt(fmt, os);
+            std::cout << "OUT " << os.str() << "\n";
+        } else {
+            std::cout << "ERR unknown op " << op << "\n";
+            return 2;
+        }
+        std::cout.flush();
+    }
+    return 0;
+}
+"""
+
+
+EXTRACT_NAMES = [
+    "does_fmt_imply_short_frag",     # main.hpp:170-175
+    "PhredMutationTable",            # main.hpp:213-262
+    "indel_len_rusize_phred",        # main.hpp:757-790
+    "indel_phred",                   # main.hpp:792-801
+    "hetLODQ",                       # main.hpp:5457-5462
+]
+
+
+def build_oracle(workdir):
+    """Generate shims + bcf_formats.step1.hpp, extract the reference
+    quality core, codegen the driver, compile.  Returns the binary path."""
+    os.makedirs(os.path.join(workdir, "htslib"), exist_ok=True)
+    with open(os.path.join(workdir, "htslib", "sam.h"), "w") as f:
+        f.write(SAM_SHIM)
+    with open(os.path.join(workdir, "htslib", "vcf.h"), "w") as f:
+        f.write(VCF_SHIM)
+    import gen_schema
+    step1 = gen_schema.build_and_run_oracle(workdir)
+    with open(os.path.join(workdir, "bcf_formats.step1.hpp"), "w") as f:
+        f.write(step1)
+
+    main_hpp = open(os.path.join(REF, "main.hpp")).read()
+    parts = [_extract_defines(main_hpp, ["INS_N_ANCHOR_BASES", "TVN_MICRO_VQ_DELTA", "TIN_CONTAM_MICRO_VQ_DELTA"])]
+    parts += [_extract_named(main_hpp, n) for n in EXTRACT_NAMES[:-1]]
+    # contiguous span keeps the ReductionType enum + REDUCTION_DPS consts
+    # interleaved between calc_DPv and calc_qual (main.hpp:4253-5343)
+    parts.append(_extract_span(main_hpp, "calc_normFA_from_rawFA_refbias",
+                               "BcfFormat_symbol_calc_qual"))
+    parts.append(_extract_named(main_hpp, EXTRACT_NAMES[-1]))
+    extracted = "\n\n".join(parts)
+
+    fmt_fields = _parse_fmt_fields(step1)
+    fmt_setters, fmt_printers, fmt_ensures = [], [], []
+    for name, (kind, _, _) in fmt_fields.items():
+        fmt_setters.append(
+            f'    if (k == "{name}") {{ av(fmt.{name}, vs); return true; }}')
+        fmt_printers.append(
+            f'    os << "{name}="; pv(os, fmt.{name}); os << ";";')
+        if kind == "vector" and name not in ("FTS", "nAFA", "nBCFA", "nNFA"):
+            # FTS/nAFA/nBCFA/nNFA are push-accumulators that START empty at
+            # calc_DPv in the reference flow; the rest are per-allele
+            # vectors symbol_init would have seeded with one element
+            fmt_ensures.append(f'    if (fmt.{name}.empty()) '
+                               f'{{ fmt.{name}.resize(1); }}')
+    ps_fields = _parse_cmdline_fields()
+    ps_setters = []
+    for name, kind in ps_fields.items():
+        if kind == "string":
+            ps_setters.append(f'    if (k == "{name}") '
+                              f'{{ ps.{name} = unesc(v); return true; }}')
+        else:
+            ps_setters.append(f'    if (k == "{name}") '
+                              f'{{ av1(ps.{name}, v); return true; }}')
+    prep_setters = [
+        f'    if (k == "{n}") {{ av1(p.{n}, v); return true; }}'
+        for n in SEGPREP_FIELDS]
+    rtr_setters = [
+        f'    if (k == "{n}") {{ av1(r.{n}, v); return true; }}'
+        for n in RTR_FIELDS]
+    tki_setters = [
+        f'    if (k == "{n}") {{ av1(t.{n}, v); return true; }}'
+        for n in TKI_INT_FIELDS]
+
+    src = DRIVER_TMPL % dict(
+        extracted=extracted,
+        fmt_setters="\n".join(fmt_setters),
+        fmt_printers="\n".join(fmt_printers),
+        fmt_ensures="\n".join(fmt_ensures),
+        ps_setters="\n".join(ps_setters),
+        prep_setters="\n".join(prep_setters),
+        rtr_setters="\n".join(rtr_setters),
+        tki_setters="\n".join(tki_setters),
+    )
+    cpp = os.path.join(workdir, "record_oracle.cpp")
+    with open(cpp, "w") as f:
+        f.write(src)
+    exe = os.path.join(workdir, "record_oracle")
+    r = subprocess.run(
+        ["g++", "-std=c++14", "-O1", "-fconcepts", "-I", workdir, "-I", REF,
+         cpp, "-o", exe], capture_output=True, text=True)
+    if r.returncode != 0:
+        raise RuntimeError("oracle compile failed:\n" + r.stderr[-8000:])
+    return exe
+
+
+class Oracle:
+    """Line-protocol client around the driver binary."""
+
+    def __init__(self, exe):
+        self.proc = subprocess.Popen(
+            [exe], stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
+            bufsize=1)
+
+    def send(self, line):
+        self.proc.stdin.write(line + "\n")
+        self.proc.stdin.flush()
+
+    def ask(self, line):
+        self.send(line)
+        out = self.proc.stdout.readline().rstrip("\n")
+        if out.startswith("ERR"):
+            raise RuntimeError(out)
+        return out
+
+    def close(self):
+        try:
+            self.proc.stdin.close()
+            self.proc.wait(timeout=10)
+        except Exception:
+            self.proc.kill()
+
+
+ESC_SAFE = re.compile(r"[,;=%\s\x00-\x20\x7f-\xff]")
+
+
+def esc(s):
+    if isinstance(s, bytes):
+        s = s.decode("latin1")
+    return ESC_SAFE.sub(lambda m: "%%%02X" % ord(m.group(0)), s)
+
+
+def unesc(s):
+    return re.sub(r"%([0-9A-Fa-f]{2})",
+                  lambda m: chr(int(m.group(1), 16)), s)
+
+
+def parse_out(line):
+    """OUT name=v1,v2;... -> {name: [str values]}"""
+    assert line.startswith("OUT ")
+    out = {}
+    for part in line[4:].split(";"):
+        if not part:
+            continue
+        k, _, v = part.partition("=")
+        out[k] = [unesc(x) for x in v.split(",")] if v else []
+    return out
+
+
+if __name__ == "__main__":
+    import tempfile
+    d = tempfile.mkdtemp(prefix="uvc_record_oracle_")
+    exe = build_oracle(d)
+    orc = Oracle(exe)
+    orc.send("reset")
+    orc.send("fmt VTI=1 bDPf=10 bDPr=12 BDPb=50,55 CDP1b=40,45 CDP2b=20,22")
+    print(orc.ask("hetlodq 10 12 0.5 3.0"))
+    print(orc.ask("dpv -1.0 0 100"))
+    out = parse_out(orc.ask("print"))
+    print({k: out[k] for k in ("cDP1v", "cDP1w", "cDP1x", "FTS")
+           if k in out})
+    orc.close()
+    print("oracle OK:", exe)

@@ -319,6 +319,15 @@ class UVCConfig:
     inferred_is_fastq_generated: bool = False
     inferred_is_vcf_generated: bool = True
 
+    def __setattr__(self, name, value):
+        # invalidate the memoized jit-cache key (calling._cfg_cache_key)
+        # on any field mutation so a post-setup tweak can never silently
+        # reuse a stale traced program
+        if name != "_cache_key" and getattr(self, "_cache_key", None) \
+                is not None:
+            object.__setattr__(self, "_cache_key", None)
+        object.__setattr__(self, name, value)
+
     def self_update_by_platform(self, inferred: SequencingPlatform,
                                 central_readlen: int = 0, maxMQ: int = 0):
         """Platform-conditional parameter shifts (CmdLineArgs.cpp:36-136).

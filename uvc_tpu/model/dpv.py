@@ -550,20 +550,23 @@ def calc_dpv(F, cfg, is_tumor_only=True, tpfa=None):
         fts[name] = (biasFA < refFA * thresr,
                      np.round(100.0 * biasFA / refFA).astype(_itype()))
     F["FTS"] = fts
-    # nNFA/nAFA/nBCFA deciphred diagnostics (bcf_formats_generator1.cpp:
-    # 482-486): allele fractions as -10*100*log10 values; ONE stacked log
-    # pass over all 21 planes instead of 21 separate ufunc dispatches
+    # nNFA/nAFA/nBCFA deciphred diagnostics in the reference's exact push
+    # order (main.hpp:4745-4773: nNFA counterbias/aDP/b/c0/c2; nAFA
+    # aSSFA2,aPFFA,aSIFA,aLBFA2,aRBFA2,aLPFA2,aRPFA2,aLIFA2,aRIFA2; nBCFA
+    # cFA0,bFA,cROFA1,cROFA2,c2LPFA2,c2RPFA2,c2LBFA2,c2RBFA2,cFA2L,cFA2R);
+    # ONE stacked log pass over all 25 planes instead of 25 ufunc dispatches
     _dp_src = (counterbias_P_FA, counterbias_BQ_FA, aDPFA, bFA, cFA0, cFA2,
-               aDPFA, aLPFA2, aRPFA2, aLBFA2, aRBFA2, aLIFA2, aRIFA2,
-               aSSFA2, aPFFA,
-               bFA, cFA0, cFA2, cFA3, cROFA1, cROFA2)
+               aSSFA2, aPFFA, aSIFA, aLBFA2, aRBFA2, aLPFA2, aRPFA2,
+               aLIFA2, aRIFA2,
+               cFA0, bFA, cROFA1, cROFA2, c2LPFA2, c2RPFA2, c2LBFA2,
+               c2RBFA2, cFA2L, cFA2R)
     _dp_stack = np.stack([np.broadcast_to(x, aDPFA.shape) for x in _dp_src])
     _dp_all = (-np.round(100.0 / math.log(10.0)
                          * np.log(np.maximum(_dp_stack, 1e-12)))
                .astype(_itype()))
     F["nNFA"] = [_dp_all[i] for i in range(6)]
     F["nAFA"] = [_dp_all[i] for i in range(6, 15)]
-    F["nBCFA"] = [_dp_all[i] for i in range(15, 21)]
+    F["nBCFA"] = [_dp_all[i] for i in range(15, 25)]
 
     aNCFA = np.where(
         is_tumor_only & short_frag & is_indel

@@ -273,23 +273,28 @@ def calc_qual(F, cfg, is_tumor_only=True, tpfa=None, tki=None):
                               / (eff_tl + 1.0))
     sscs_ivd = np.round(cfg.powlaw_exponent
                         * numstates2phred(cfg.indel_del_to_ins_err_ratio)).astype(_itype())
-    extra_reward = np.maximum(
-        sscs_ivd - (sscs_ic * np.where(is_ins, 0, eff_tl)
-                    / round(cfg.indel_polymerase_size)).astype(_itype()), 0) \
-        - sscs_ivd // 2
+    # non_neg_minus(int, double) keeps the subtrahend in DOUBLE (no inner
+    # truncation); the final value truncates toward zero at the
+    # uvc1_qual_t assignment (main.hpp:5268-5272)
+    extra_reward = np.trunc(
+        np.maximum(sscs_ivd - sscs_ic * np.where(is_ins, 0, eff_tl)
+                   / round(cfg.indel_polymerase_size), 0.0)
+        - sscs_ivd // 2).astype(_itype())
     sscs_v = sscs_v + np.where(has_indelstr,
                                np.round(sscs_ic).astype(_itype()) + extra_reward, 0)
     sscs_w = sscs_w + np.where(has_indelstr,
                                np.round(sscs_ic).astype(_itype()) + extra_reward, 0)
     sscs_binom_qual = sscs_binom_qual + np.where(
         has_indelstr, np.round(indel_pq).astype(_itype()) + extra_reward, 0)
+    # non_neg_minus of the overseq ratio above the flat threshold, NOT a
+    # min-cap (main.hpp:5278-5281)
     indel_UMI_penal = np.where(
         has_indelstr & F["enable_tier2"],
-        np.minimum(((F["BDP"] + 1.0) / (F["CDP1"] + 1.0)
-                    * cfg.fam_indel_nonUMI_phred_dec_per_fold_overseq),
-                   (cfg.fam_thres_emperr_all_flat_indel + 1)
+        np.maximum((F["BDP"] + 1.0) / (F["CDP1"] + 1.0)
                    * cfg.fam_indel_nonUMI_phred_dec_per_fold_overseq
-                   ).astype(_itype()), 0)
+                   - (cfg.fam_thres_emperr_all_flat_indel + 1)
+                   * cfg.fam_indel_nonUMI_phred_dec_per_fold_overseq,
+                   0.0).astype(_itype()), 0)
     if is_rescued:
         sscs_binom_qual = np.where(is_oxidation,
                                    np.maximum(sscs_binom_qual, np.minimum(aDP, 3)),
