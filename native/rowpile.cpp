@@ -133,6 +133,12 @@ int pass_c_kernel(
 ) {
     const int64_t NS = 14;
     const int64_t plane = P * NS;
+    // accumulate in [P,14,N_PLANES] layout: one event touches ONE
+    // contiguous 312-byte row instead of ~34 distant planes; the
+    // plane-major result expected by the caller is produced by a
+    // single cache-friendly transpose at the end
+    static thread_local std::vector<int64_t> pc_acc;
+    pc_acc.assign((size_t)(plane * N_PLANES), 0);
     for (int64_t e = 0; e < n_events; e++) {
         const int64_t pos = e_pos[e];
         const int64_t sym = e_sym[e];
@@ -151,29 +157,30 @@ int pass_c_kernel(
         const bool paired = r[RF_paired] != 0;
         const int64_t flag = r[RF_flag];
         const int64_t *th = thres + pos * N_TH;
+        int64_t *o = pc_acc.data() + idx * N_PLANES;
 
-        out[O_bg * plane + idx] += bq;
-        out[(isrc ? O_a1BQr : O_a1BQf) * plane + idx] += bq;
-        out[(isrc ? O_a2BQr : O_a2BQf) * plane + idx] += bq * bq / 32;
-        out[O_aMQs * plane + idx] += r[RF_mapq];
+        o[O_bg] += bq;
+        o[isrc ? O_a1BQr : O_a1BQf] += bq;
+        o[isrc ? O_a2BQr : O_a2BQf] += bq * bq / 32;
+        o[O_aMQs] += r[RF_mapq];
         const int q = strand ? (isrc ? O_aDPrr : O_aDPrf)
                              : (isrc ? O_aDPfr : O_aDPff);
-        out[q * plane + idx] += 1;
+        o[q] += 1;
 
         const int64_t seg_l_nbases = rpos_abs - r[RF_pos] + 1;
         const int64_t seg_r_nbases = r[RF_rend] - rpos_abs;
         if (imin(imin(dist, seg_l_nbases), seg_r_nbases)
                 >= cfg[CF_interfering_indel])
-            out[O_aP3 * plane + idx] += 1;
-        if (r[RF_clipcnt] == 0) out[O_aNC * plane + idx] += 1;
+            o[O_aP3] += 1;
+        if (r[RF_clipcnt] == 0) o[O_aNC] += 1;
 
         const int64_t MAXI = cfg[CF_max_insert];
         const int64_t frag_l2 = (isize != 0)
             ? imin(rpos_abs - r[RF_fragL] + 1, MAXI) : MAXI;
         const int64_t frag_r2 = (isize != 0)
             ? imin(r[RF_fragR] - rpos_abs, MAXI) : MAXI;
-        if (isrc && isize != 0) out[O_aLIT * plane + idx] += frag_l2;
-        if (!isrc && isize != 0) out[O_aRIT * plane + idx] += frag_r2;
+        if (isrc && isize != 0) o[O_aLIT] += frag_l2;
+        if (!isrc && isize != 0) o[O_aRIT] += frag_r2;
 
         const int64_t p_beg = iclip(r[RF_pos], 0, P - 1);
         const int64_t p_end = iclip(r[RF_rend] - 1, 0, P - 1);
@@ -203,19 +210,19 @@ int pass_c_kernel(
         const int64_t min_d2i = paired ? imin(frag_l2, frag_r2)
                                        : (isrc ? seg_r_nbases : seg_l_nbases);
         if (is_far && is_unaff && (min_d2i > cfg[CF_primerlen2] || !is_amp))
-            out[O_aP1 * plane + idx] += 1;
-        if (is_umi || !is_amp) out[O_aP2 * plane + idx] += 1;
+            o[O_aP1] += 1;
+        if (is_umi || !is_amp) o[O_aP2] += 1;
 
         const int64_t t1 = cfg[CF_PFBQ1], t2 = cfg[CF_PFBQ2];
         const int64_t pf1 = (bq < t1) ? 100 * bq * bq / (t1 * t1) : 100;
         const int64_t pf2 = (bq < t2) ? 100 * bq * bq / (t2 * t2) : 100;
-        out[O_aPF1 * plane + idx] += isgap ? imin((int64_t)100, pf1) : pf1;
-        out[O_aPF2 * plane + idx] += isgap ? imin((int64_t)100, pf2) : pf2;
+        o[O_aPF1] += isgap ? imin((int64_t)100, pf1) : pf1;
+        o[O_aPF2] += isgap ? imin((int64_t)100, pf2) : pf2;
         if (!isgap) {
             const int64_t xm = r[RF_xm1500];
-            out[O_a2XM2 * plane + idx] +=
+            o[O_a2XM2] +=
                 (xm > 20) ? 100 * 400 / imax(xm * xm, (int64_t)1) : 100;
-            out[O_a2BM2 * plane + idx] += 100;  // bm1500 per-symbol == 0
+            o[O_a2BM2] += 100;  // bm1500 per-symbol == 0
         }
 
         const bool gate = isgap ? (dist >= cfg[CF_interfering_indel])
@@ -224,27 +231,27 @@ int pass_c_kernel(
         if (gate) {
             if (is_far) {
                 if (seg_l_nbases + indel_len >= th[TH_aLP1t])
-                    out[O_aLP1 * plane + idx] += 1;
+                    o[O_aLP1] += 1;
                 if (seg_l_nbases + indel_len >= th[TH_aLP2t] && tier2)
-                    out[O_aLP2 * plane + idx] += 1;
+                    o[O_aLP2] += 1;
                 if (seg_r_nbases >= th[TH_aRP1t])
-                    out[O_aRP1 * plane + idx] += 1;
+                    o[O_aRP1] += 1;
                 if (seg_r_nbases >= th[TH_aRP2t] && tier2)
-                    out[O_aRP2 * plane + idx] += 1;
-                out[O_aLPL * plane + idx] += seg_l_nbases;
-                out[O_aRPL * plane + idx] += seg_r_nbases;
+                    o[O_aRP2] += 1;
+                o[O_aLPL] += seg_l_nbases;
+                o[O_aRPL] += seg_r_nbases;
             }
             if (is_unaff) {
-                if (seg_l_baq >= cfg[CF_BAQ1]) out[O_aLB1 * plane + idx] += 1;
+                if (seg_l_baq >= cfg[CF_BAQ1]) o[O_aLB1] += 1;
                 if (seg_l_baq >= cfg[CF_BAQ2] && tier2)
-                    out[O_aLB2 * plane + idx] += 1;
-                if (seg_r_baq >= cfg[CF_BAQ1]) out[O_aRB1 * plane + idx] += 1;
+                    o[O_aLB2] += 1;
+                if (seg_r_baq >= cfg[CF_BAQ1]) o[O_aRB1] += 1;
                 if (seg_r_baq >= cfg[CF_BAQ2] && tier2)
-                    out[O_aRB2 * plane + idx] += 1;
-                out[O_aLBL * plane + idx] += seg_l_baq;
-                out[O_aRBL * plane + idx] += seg_r_baq;
+                    o[O_aRB2] += 1;
+                o[O_aLBL] += seg_l_baq;
+                o[O_aRBL] += seg_r_baq;
             }
-            out[O_aBQ2 * plane + idx] += 1;
+            o[O_aBQ2] += 1;
         }
 
         const bool mate_ok = ((flag & 0x8) == 0) || ((flag & 0x1) == 0);
@@ -260,22 +267,26 @@ int pass_c_kernel(
             const int64_t d2 = frag_l2;
             if (d2 >= th[TH_aLI1t] && (d2 <= th[TH_aLI1T] || isgap)
                     && (is_norm || (isgap && l_nonb)))
-                out[O_aLI1 * plane + idx] += 1;
+                o[O_aLI1] += 1;
             if (d2 >= th[TH_aLI2t] && (d2 <= th[TH_aLI2T] || isgap)
                     && (is_norm || (isgap && l_nonb)) && pos_good2)
-                out[O_aLI2 * plane + idx] += 1;
-            if (pos_good2) out[O_aLIr * plane + idx] += 1;
+                o[O_aLI2] += 1;
+            if (pos_good2) o[O_aLIr] += 1;
         } else {
             const int64_t d2 = frag_r2;
             if (d2 >= th[TH_aRI1t] && (d2 <= th[TH_aRI1T] || isgap)
                     && (is_norm || (isgap && r_nonb)))
-                out[O_aRI1 * plane + idx] += 1;
+                o[O_aRI1] += 1;
             if (d2 >= th[TH_aRI2t] && (d2 <= th[TH_aRI2T] || isgap)
                     && (is_norm || (isgap && r_nonb)) && pos_good2)
-                out[O_aRI2 * plane + idx] += 1;
-            if (pos_good2) out[O_aRIf * plane + idx] += 1;
+                o[O_aRI2] += 1;
+            if (pos_good2) o[O_aRIf] += 1;
         }
         (void)pos_good;
+    }
+    for (int64_t i = 0; i < plane; i++) {
+        const int64_t *o = pc_acc.data() + i * N_PLANES;
+        for (int k = 0; k < N_PLANES; k++) out[(int64_t)k * plane + i] += o[k];
     }
     return 0;
 }
@@ -1100,6 +1111,17 @@ int fq_sweep2_kernel(
         if (rc::g_pos_bits != pos_bits) return -1;
         nu = (int64_t)rc::ug.size();
     }
+    static const int RP_POW10_N = 256;
+    static thread_local std::vector<double> rp_pow10;
+    if (rp_pow10.empty()) {
+        rp_pow10.resize(RP_POW10_N);
+        for (int q = 0; q < RP_POW10_N; q++)
+            rp_pow10[q] = std::pow(10.0, -(double)q / 10.0);
+    }
+    static thread_local std::vector<int64_t> rp_memo_key;
+    static thread_local std::vector<double> rp_memo_val;
+    rp_memo_key.assign((size_t)(P * NS * 2), INT64_MIN);
+    rp_memo_val.resize((size_t)(P * NS * 2));
     int64_t tp = 0;
     for (int64_t i = 0; i < n2; i++) {
         const int64_t g = g2[i], pos = p2[i], st = st2[i];
@@ -1136,10 +1158,22 @@ int fq_sweep2_kernel(
         const int64_t major = cdpM[idx];
         const int64_t minor = cdpm[idx];
         const double w = 1.0 / ((double)minor + 1.0);
-        const double realphred = -INV_LOG10 * std::log(
-            ((double)minor + w)
-            / ((double)major + (double)minor
-               + w / std::pow(10.0, -(double)avgBQ / 10.0)));
+        // realphred depends only on (idx, avgBQ): memoize one entry per
+        // idx (hit rate is high because families at one locus share BQ),
+        // and take pow10 of small integer avgBQ from an exact LUT --
+        // both reproduce the direct std::log/std::pow doubles bit-for-bit
+        double realphred;
+        if (rp_memo_key[idx] == avgBQ) {
+            realphred = rp_memo_val[idx];
+        } else {
+            const double pw = (avgBQ >= 0 && avgBQ < RP_POW10_N)
+                ? rp_pow10[avgBQ] : std::pow(10.0, -(double)avgBQ / 10.0);
+            realphred = -INV_LOG10 * std::log(
+                ((double)minor + w)
+                / ((double)major + (double)minor + w / pw));
+            rp_memo_key[idx] = avgBQ;
+            rp_memo_val[idx] = realphred;
+        }
         const int64_t indep = (int64_t)std::nearbyint(
             (double)(2 * con_nfrags - tot_nfrags) * realphred);
         int64_t confam;
