@@ -345,3 +345,28 @@ def test_model_read_planes_matches_discovery(tmp_path):
         reads |= set(calling._discover_model_reads(
             arrays, ctx["F"]["P"], cfg, ito, rescued))
     assert sorted(reads | {"cDP0a"}) == sorted(calling.MODEL_READ_PLANES)
+
+
+def test_model_request_shards_over_local_devices(tmp_path):
+    """Multi-device hosts run packed model requests SPMD over all local
+    devices (SURVEY §2 parallelism row 1): under the 8-virtual-device CPU
+    mesh the sharded evaluation must engage all devices and return
+    bit-identical matrices to a single-device run."""
+    import jax
+    import numpy as np
+    from uvc_tpu import calling
+    from uvc_tpu.model.example import example_model_payload
+
+    assert jax.local_device_count() == 8
+    arrays, cand, cfg = example_model_payload(n_pos=512, seed=3, pad_to=512)
+    packed = calling.pack_model_request((arrays, cand, None, None, True,
+                                         False))
+    oi, of, ospec = calling.model_eval_packed(packed, cfg)
+    assert calling._LOCAL_MESH is not None
+    assert calling._LOCAL_MESH.devices.size == 8
+    # single-device reference: bypass the sharding helper
+    pi, pf, ispec, is_tumor_only, rescued = packed
+    fn, _ = calling._get_packed_model(cfg, True, False, ispec, "<f8")
+    oi1, of1 = fn(pi, pf)
+    np.testing.assert_array_equal(oi, np.asarray(oi1))
+    np.testing.assert_array_equal(of, np.asarray(of1))

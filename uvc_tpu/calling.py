@@ -448,7 +448,9 @@ _X64_CHECKED = False
 
 def _maybe_enable_x64():
     """On a CPU backend, run the model in float64 so it is bit-comparable
-    with the reference's double math (tests, goldens); TPU stays f32."""
+    with the reference's double math (tests, goldens); TPU stays f32.
+    UVC_TPU_MODEL_F32=1 keeps a CPU backend in f32/i32, emulating exactly
+    the accelerator number regime (tests/test_f32_parity.py)."""
     global _X64_CHECKED
     if _X64_CHECKED:
         return
@@ -458,7 +460,9 @@ def _maybe_enable_x64():
             jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
         except RuntimeError:
             pass  # backend already initialized with the right platforms
-    if jax.default_backend() == "cpu" and not jax.config.jax_enable_x64:
+    if os.environ.get("UVC_TPU_MODEL_F32") == "1":
+        pass  # stay in the f32/i32 regime even on CPU
+    elif jax.default_backend() == "cpu" and not jax.config.jax_enable_x64:
         jax.config.update("jax_enable_x64", True)
     # persistent compile cache: the model program is identical across
     # processes/runs, so recompiles (several seconds each) amortize away
@@ -720,6 +724,30 @@ def _get_packed_model(cfg, is_tumor_only, rescued, ispec, f_dtype_str):
     return ent
 
 
+_LOCAL_MESH = None
+
+
+def _maybe_shard_rows(pi, pf):
+    """Multi-device hosts run each packed request SPMD over ALL local
+    devices: rows are position-independent (no cross-row dataflow in the
+    model), so sharding the row axis needs no collectives and the result
+    is bit-identical to single-device execution (SURVEY §2 parallelism
+    row 1: region batches data-parallel over devices).  Single-device
+    hosts (the one-chip axon tunnel) take the plain path."""
+    global _LOCAL_MESH
+    ndev = jax.local_device_count()
+    if ndev <= 1 or pi.shape[0] % ndev != 0:
+        return pi, pf
+    from .parallel import mesh as mesh_mod
+    if _LOCAL_MESH is None:
+        _LOCAL_MESH = mesh_mod.make_mesh(jax.local_devices())
+    sh = mesh_mod.plane_sharding(_LOCAL_MESH, 2)
+    pi = jax.device_put(pi, sh)
+    if pf is not None:
+        pf = jax.device_put(pf, sh)
+    return pi, pf
+
+
 def model_eval_packed(packed, cfg):
     """Parent-side (device owner): run one packed model request and return
     (int matrix, float matrix, output spec) — exactly two device
@@ -729,6 +757,7 @@ def model_eval_packed(packed, cfg):
     f_dtype_str = pf.dtype.str if pf is not None else "<f8"
     fn, ospec = _get_packed_model(cfg, is_tumor_only, rescued, ispec,
                                   f_dtype_str)
+    pi, pf = _maybe_shard_rows(pi, pf)
     oi, of = fn(pi, pf)
     return np.asarray(oi), np.asarray(of), ospec
 
