@@ -275,3 +275,94 @@ def test_hetlodq_sweep(oracle):
     ours = [int(germline.het_lodq(jnp.float64(a1), jnp.float64(a2),
                                   ef, 3.0)) for a1, a2, ef in grid]
     assert [int(q) for q in qs] == ours
+
+
+def _germ_feed_fields(fmtd, F, p, s):
+    """Germline-relevant fmt fields, post-rotation layout ([ref, own] for
+    per-allele vectors, exactly the streamFrontPushBcfFormatR state in
+    which output_germline runs, main.cpp:1031-1056)."""
+    parts = [f"VTI={fmtd['VTI'][0]},{s}"]
+    for k in ("gVQ1", "cDP1v", "cDP0a", "CONTQ", "cDP12f", "cDP12r"):
+        parts.append(f"{k}={fmtd[k][0]},{fmtd[k][1]}")
+    parts.append(f"CDP1b={fmtd['CDP1b'][0]},{fmtd['CDP1b'][1]}")
+    parts.append(f"CDP1d={fmtd['CDP1d'][0]},{fmtd['CDP1d'][1]}")
+    tab = F["gapTab"].get((p, s))
+    if tab is not None:
+        nf, nr, seqs, bads, cads = tab[0], tab[1], tab[2], tab[3], tab[4]
+        enc = lambda xs: ",".join(  # noqa: E731
+            record_oracle.esc(x if isinstance(x, (str, bytes)) else str(x))
+            for x in xs)
+        parts.append(f"gapNf={nf}")
+        parts.append(f"gapNr={nr}")
+        if len(seqs):
+            parts.append(f"gapSeq={enc(seqs)}")
+            parts.append(f"gapbAD1={enc(bads)}")
+            parts.append(f"gapcAD1={enc(cads)}")
+    return "gfmt %d " % s + " ".join(parts)
+
+
+def test_germline_parity(oracle, tmp_path):
+    """output_germline (main.hpp:5483-5775) vs model/germline.py +
+    vcfout/aux_records.emit_germline: nlodq and the emitted GERMLINE line
+    must match at every candidate position of a real pipeline run."""
+    from uvc_tpu.constants import OUTVAR_GERMLINE
+    from uvc_tpu.vcfout import aux_records
+
+    prepared, cfg = _run_pipeline(tmp_path, seed=23)
+    # GERMLINE lines are opt-in (outvar_flag excludes OUTVAR_GERMLINE by
+    # default); enable them so the line comparison is exercised — the
+    # gating is emit-side on both implementations, no model rerun needed
+    cfg.outvar_flag |= OUTVAR_GERMLINE
+    ps_line = _ps_lines(cfg)
+    n_checked = 0
+    n_emitted = 0
+    errs = []
+    for rctx in prepared:
+        F, res = rctx["F"], rctx["res"]
+        cand = np.asarray(rctx["cand"])
+        germ = F["_germ"]
+        refstring = rctx["_refstring"]
+        for p in sorted(set(np.nonzero(cand)[0].tolist())):
+            for st, lo, hi in ((0, 0, 6), (1, 6, 14)):
+                syms = [s for s in range(lo, hi) if cand[p, s]]
+                refsym = _ref_link(F, p, lo)
+                if not syms or refsym not in syms:
+                    continue
+                orc = oracle
+                orc.send("reset")
+                orc.send(ps_line)
+                for s in syms:
+                    if s == 5:      # BASE_NN excluded (main.cpp:1043)
+                        continue
+                    fmtd = calling.plan_fmt(F, res, p, s, refsym, 0)
+                    orc.send(_germ_feed_fields(fmtd, F, p, s))
+                rs = record_oracle.esc(refstring.decode())
+                out = orc.ask(f"germline {refsym} {p} 0 {rs}")
+                assert out.startswith("GERM ")
+                _, nlodq_s, line_esc = out.split(" ", 2)
+                ours_nlodq = int(germ[st]["nlodq"][p])
+                if int(nlodq_s) != ours_nlodq:
+                    errs.append(f"(p={p},st={st}) nlodq ref={nlodq_s} "
+                                f"py={ours_nlodq}")
+                ref_line = record_oracle.unesc(line_esc).strip()
+                our_lines = aux_records.emit_germline(
+                    F, germ, rctx["cand"], cfg, "chrT", refstring, 0,
+                    p, p + 1)
+                our_line = ""
+                for l in our_lines:
+                    stl = 0 if l.split("\t")[4][0] not in "<" else None
+                    our_line = l if (st == 0) == (int(l.split("\t")[1])
+                                                  == p + 1) else our_line
+                if bool(ref_line) != bool(our_line):
+                    errs.append(f"(p={p},st={st}) emission ref={bool(ref_line)}"
+                                f" py={bool(our_line)} [{ref_line[:80]}]"
+                                f" [{our_line[:80]}]")
+                elif ref_line and ref_line != our_line:
+                    errs.append(f"(p={p},st={st})\nref: {ref_line}\npy:  "
+                                f"{our_line}")
+                if ref_line:
+                    n_emitted += 1
+                n_checked += 1
+    assert n_checked >= 8, n_checked
+    assert n_emitted >= 2, f"no GERMLINE lines compared ({n_checked} pos)"
+    assert not errs, f"{len(errs)} of {n_checked}:\n" + "\n".join(errs[:14])

@@ -48,7 +48,8 @@ def _extract_named(src, name):
     the closing brace."""
     m = re.search(r"^(?:template\s*<[^\n>]*>\s*\n)?"
                   r"(?:static\s+)?(?:inline\s+)?(?:const\s+)?"
-                  r"(?:auto|int|double|bool|struct|uvc1_[a-z0-9_]+_t)[ \t]*\n?"
+                  r"(?:auto|int|double|bool|struct|std::[^\n;{]*|uvc1_[a-z0-9_]+_t)"
+                  r"[ \t]*\n?"
                   r"\s*" + re.escape(name) + r"\s*[({]",
                   src, re.MULTILINE)
     assert m, f"definition of {name} not found"
@@ -344,6 +345,8 @@ static bool set_tki_field(TumorKeyInfo & t, const std::string & k,
 
 int main() {
     bcfrec::BcfFormat fmt;
+    std::vector<bcfrec::BcfFormat> gfmts;
+    std::vector<int> gsyms;
     CommandLineArgs ps;
     MockS2CCS s2ccs;
     RegionalTandemRepeat rtr1, rtr2;
@@ -356,6 +359,8 @@ int main() {
         std::string kv;
         if (op == "reset") {
             fmt = bcfrec::BcfFormat();
+            gfmts.clear();
+            gsyms.clear();
             ps.~CommandLineArgs();          // const member blocks operator=
             new (&ps) CommandLineArgs();
             s2ccs = MockS2CCS();
@@ -382,6 +387,51 @@ int main() {
                     return 3;
                 }
             }
+        } else if (op == "gfmt") {
+            // append one symbol's fmt for the germline group
+            int sym; iss >> sym;
+            gsyms.push_back(sym);
+            gfmts.push_back(bcfrec::BcfFormat());
+            bcfrec::BcfFormat & gf = gfmts.back();
+            while (iss >> kv) {
+                size_t eq = kv.find('=');
+                if (eq == std::string::npos) { continue; }
+                if (!set_fmt_field(gf, kv.substr(0, eq),
+                                   split(kv.substr(eq + 1), ','))) {
+                    std::cout << "ERR unknown gfmt field "
+                              << kv.substr(0, eq) << "\n";
+                    return 3;
+                }
+            }
+        } else if (op == "germline") {
+            int refsymbol; long refpos, extbeg; std::string rs;
+            iss >> refsymbol >> refpos >> extbeg >> rs;
+            std::vector<std::pair<AlignmentSymbol, bcfrec::BcfFormat*>> vec;
+            for (size_t i = 0; i < gfmts.size(); i++) {
+                ensure_fmt_nonempty(gfmts[i]);
+                vec.push_back(std::make_pair(AlignmentSymbol(gsyms[i]),
+                                             &gfmts[i]));
+            }
+            // pad with the caller's init_fmt entries (main.cpp:1046-1055)
+            bcfrec::BcfFormat init_fmt;
+            ensure_fmt_nonempty(init_fmt);
+            clear_push(init_fmt.VTI, (int32_t)END_ALIGNMENT_SYMBOLS);
+            clear_push(init_fmt.gVQ1, 0);
+            clear_push(init_fmt.CONTQ, 0);
+            clear_push(init_fmt.cDP12f, 0);
+            clear_push(init_fmt.cDP12r, 0);
+            clear_push(init_fmt.cDP0a, 0);
+            clear_push(init_fmt.cDP1v, 50);
+            while (vec.size() <= 4) {
+                vec.push_back(std::make_pair(END_ALIGNMENT_SYMBOLS,
+                                             &init_fmt));
+            }
+            std::string out_string;
+            auto ret = output_germline(out_string, AlignmentSymbol(refsymbol),
+                    vec, "chrT", unesc(rs), (uvc1_refgpos_t)refpos,
+                    (uvc1_refgpos_t)extbeg, ps, 0);
+            std::cout << "GERM " << (long long)std::get<0>(ret) << " "
+                      << esc(out_string) << "\n";
         } else if (op == "dpv") {
             double tpfa; int refsymbol; long refpos;
             iss >> tpfa >> refsymbol >> refpos;
@@ -427,7 +477,6 @@ EXTRACT_NAMES = [
     "PhredMutationTable",            # main.hpp:213-262
     "indel_len_rusize_phred",        # main.hpp:757-790
     "indel_phred",                   # main.hpp:792-801
-    "hetLODQ",                       # main.hpp:5457-5462
 ]
 
 
@@ -446,12 +495,18 @@ def build_oracle(workdir):
 
     main_hpp = open(os.path.join(REF, "main.hpp")).read()
     parts = [_extract_defines(main_hpp, ["INS_N_ANCHOR_BASES", "TVN_MICRO_VQ_DELTA", "TIN_CONTAM_MICRO_VQ_DELTA"])]
-    parts += [_extract_named(main_hpp, n) for n in EXTRACT_NAMES[:-1]]
+    parts += [_extract_named(main_hpp, n) for n in EXTRACT_NAMES]
     # contiguous span keeps the ReductionType enum + REDUCTION_DPS consts
     # interleaved between calc_DPv and calc_qual (main.hpp:4253-5343)
     parts.append(_extract_span(main_hpp, "calc_normFA_from_rawFA_refbias",
                                "BcfFormat_symbol_calc_qual"))
-    parts.append(_extract_named(main_hpp, EXTRACT_NAMES[-1]))
+    # SYMBOL_TO_INDEL_N_UNITS lookup table (main.hpp:271-280)
+    i0 = main_hpp.index("const uvc1_refgpos_t SYMBOL_TO_INDEL_N_UNITS")
+    parts.append(main_hpp[i0:main_hpp.index("};", i0) + 2])
+    # indel_get_majority + hetLODQ + compute_norm_ad + ALODQ +
+    # output_germline form one contiguous block (main.hpp:5407-5775)
+    parts.append(_extract_span(main_hpp, "indel_get_majority",
+                               "output_germline"))
     extracted = "\n\n".join(parts)
 
     fmt_fields = _parse_fmt_fields(step1)
