@@ -82,48 +82,50 @@ def bench_device_model():
     from uvc_tpu import calling
     from uvc_tpu.model.example import example_model_payload
 
-    # the PRODUCTION model program (calc_DPv -> calc_qual -> TLODQ, the
-    # same _model_core the CLI ships to the device) on real prepared
-    # pileup planes, padded to a large row bucket
+    # the PRODUCTION model program — the exact packed request the CLI
+    # ships to the device (pack_model_request -> jitted unpack/_model_core/
+    # pack), on real prepared pileup planes padded to a large row bucket
     P = 65536
     arrays, cand, cfg = example_model_payload(n_pos=4096, seed=2, pad_to=4096)
     reps = P // 4096
     arrays = {k: np.concatenate([v] * reps, axis=0) for k, v in arrays.items()}
     cand = np.concatenate([cand] * reps, axis=0)
+    calling._MODEL_CAST_F32 = True     # the accelerator wire cast
+    pi, pf, ispec, is_tumor_only, rescued = calling.pack_model_request(
+        (arrays, cand, None, None, True, False))
+    fn, _ospec = calling._get_packed_model(cfg, True, False, ispec, "<f4")
 
     # device-resident inputs: the timed loop must measure the model program,
     # not the host->device transfer of the input planes (which the tunnel
     # serves at ~215 MB/s and the production path pays once per packed
     # request, not per model step)
-    arrays = jax.device_put(arrays)
-    cand = jax.device_put(cand)
-    jax.block_until_ready(arrays)
+    pi_d = jax.device_put(pi)
+    jax.block_until_ready(pi_d)
 
-    n_iter = 20
+    n_iter = 10
 
     @jax.jit
-    def steps(a, c):
+    def steps(pi):
         # n_iter model evaluations chained on-device; the scalar readback
         # at the end forces true completion (block_until_ready does not
         # reliably block through the device tunnel, so we time a tiny
-        # host readback instead). The perturbation of one input plane
-        # keeps XLA from dead-code-eliminating or deduplicating
-        # iterations.
+        # host readback instead). Perturbing the wire matrix keeps XLA
+        # from dead-code-eliminating or deduplicating iterations.
         def body(i, acc):
-            a2 = dict(a)
-            a2["aMQs"] = a["aMQs"] + (acc.astype(a["aMQs"].dtype) % 2)
-            out = calling._model_core(a2, c, None, None, cfg, True)
-            return (acc + jnp.sum(out["cVQ1"]).astype(jnp.float32)
-                    + jnp.sum(out["_tlodq"]).astype(jnp.float32))
-        return jax.lax.fori_loop(0, n_iter, body,
-                                 jnp.zeros((), jnp.float32))
+            oi, of = fn(pi + (acc % 2).astype(pi.dtype), None)
+            return acc + jnp.sum(oi[:, :1]).astype(jnp.int32)
+        return jax.lax.fori_loop(0, n_iter, body, jnp.zeros((), jnp.int32))
 
-    float(steps(arrays, cand))  # compile + warm
+    int(steps(pi_d))  # compile + warm
     from uvc_tpu.utils.profiling import maybe_trace
-    t0 = time.time()
+    # best of 3 timed loops: the shared TPU shows multi-x swings from
+    # neighbor load through the tunnel; min is the honest device rate
+    dt = float("inf")
     with maybe_trace("device_quality_model"):  # UVC_TPU_JAX_TRACE_DIR
-        float(steps(arrays, cand))  # scalar device_get = true completion
-    dt = (time.time() - t0) / n_iter
+        for _ in range(3):
+            t0 = time.time()
+            int(steps(pi_d))  # scalar device_get = true completion
+            dt = min(dt, (time.time() - t0) / n_iter)
     cols_per_s = P / dt
     return cols_per_s, dt
 
