@@ -177,7 +177,9 @@ def _expected_fts(F, p, s):
 
 def _replay_candidate(orc, rctx, p, s, cfg, ps_line):
     """Feed one candidate through the compiled reference calc_DPv +
-    calc_qual; return (oracle_fields, our plan_fmt dict)."""
+    calc_qual; return (oracle_fields, our plan_fmt dict).  Rescued
+    (tumor-normal) mode is detected from the context: the tki and the
+    tumor-FA priors are forwarded exactly as main.cpp:931-989 does."""
     F, res = rctx["F"], rctx["res"]
     rl = _ref_link(F, p, s)
     fmtd = calling.plan_fmt(F, res, p, s, rl, 0)
@@ -191,8 +193,27 @@ def _replay_candidate(orc, rctx, p, s, cfg, ps_line):
     orc.send(f"rtr2 tracklen={int(F['rtr2_tracklen_3'][p])} "
              f"unitlen={int(F['rtr2_unitlen_3'][p])} "
              f"anyTR_tracklen={int(F['rtr2_anyTR_tracklen_3'][p])}")
+    tpfa_dpv = tpfa_qual = -1.0
+    is_rescued = 0
+    tkis = rctx.get("rescued", {}).get((p, s))
+    if rctx.get("tpfa_dpv") is not None:
+        is_rescued = 1
+        tpfa_dpv = float(rctx["tpfa_dpv"][p, s])
+        tpfa_qual = float(rctx["tpfa_qual"][p, s])
+        if tkis:
+            t = tkis[0]
+            orc.send("tki " + " ".join(
+                f"{k}={int(getattr(t, a))}" for k, a in (
+                    ("VTI", "VTI"), ("pos", "pos"), ("BDP", "BDP"),
+                    ("bDP", "bDP"), ("CDP1x", "CDP1x"), ("cDP1x", "cDP1x"),
+                    ("cVQ1", "cVQ1"), ("cPCQ1", "cPCQ1"),
+                    ("CDP2x", "CDP2x"), ("cDP2x", "cDP2x"),
+                    ("cVQ2", "cVQ2"), ("cPCQ2", "cPCQ2"),
+                    ("bNMQ", "bNMQ"), ("vHGQ", "vHGQ"),
+                    ("enable_tier2_consensus_format_tags",
+                     "enable_tier2"))))
     orc.send(_fmt_feed(fmtd, F, p, s))
-    assert orc.ask(f"dpv -1.0 {rl} {p}") == "OK"
+    assert orc.ask(f"dpv {tpfa_dpv!r} {rl} {p}") == "OK"
     # capitals produced by sum_DPv over the position's symboltype group
     # (main.hpp:4846-4906) — validated separately by test_calling's
     # sum_dpv tests; feed the pipeline's values so calc_qual sees them
@@ -203,7 +224,7 @@ def _replay_candidate(orc, rctx, p, s, cfg, ps_line):
     qargs = (f"{int(F['ins_cdepth'][p])} {int(F['del_cdepth'][p])} "
              f"{int(F['ins1_cdepth'][p])} {int(F['del1_cdepth'][p])} "
              f"{record_oracle.esc(ru)} {int(F['ctx_repeatnum'][p])} "
-             f"0 -1.0 {rl} {p}")
+             f"{is_rescued} {tpfa_qual!r} {rl} {p}")
     assert orc.ask("qual " + qargs) == "OK"
     out = record_oracle.parse_out(orc.ask("print"))
     return out, fmtd
@@ -366,3 +387,78 @@ def test_germline_parity(oracle, tmp_path):
     assert n_checked >= 8, n_checked
     assert n_emitted >= 2, f"no GERMLINE lines compared ({n_checked} pos)"
     assert not errs, f"{len(errs)} of {n_checked}:\n" + "\n".join(errs[:14])
+
+
+def _run_tn_pipeline(tmp_path):
+    """Tumor CLI run -> tumor VCF -> library NORMAL pipeline with the
+    rescue join (is_tumor_only=False), mirroring cli/uvc1.py's tki_map
+    construction."""
+    import subprocess
+    ref = simulate.random_ref(8000, 31)
+    variants = [
+        simulate.Variant(1200, f"{ref[1200]}>"
+                         + ("A" if ref[1200] != "A" else "G"), 0.35),
+        simulate.Variant(2500, "+CT", 0.30),
+        simulate.Variant(4200, "-2", 0.30),
+        simulate.Variant(6100, f"{ref[6100]}>"
+                         + ("C" if ref[6100] != "C" else "T"), 0.15),
+    ]
+    tbam = str(tmp_path / "t.bam")
+    simulate.build_bam(tbam, ref, depth=90, variants=variants, seed=31)
+    # normal: low-level contamination of one somatic site
+    nbam = str(tmp_path / "n.bam")
+    simulate.build_bam(nbam, ref, depth=70, seed=32, variants=[
+        simulate.Variant(1200, f"{ref[1200]}>"
+                         + ("A" if ref[1200] != "A" else "G"), 0.02)])
+    fa = str(tmp_path / "r.fa")
+    open(fa, "w").write(">chr1\n" + ref + "\n")
+    tvcf = str(tmp_path / "t.vcf.gz")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    subprocess.run([sys.executable, "-m", "uvc_tpu.cli.uvc1", "-f", fa,
+                    "-o", tvcf, "-t", "1", "--tn-is-paired", "1", tbam],
+                   check=True, env=env, cwd=REPO, capture_output=True,
+                   timeout=600)
+    from uvc_tpu.vcfout import reader as vcf_reader
+    header, batch = bam_mod.read_bam(nbam)
+    cfg = UVCConfig()
+    cfg.bam_input_fname = nbam
+    cfg.vcf_tumor_fname = tvcf
+    cfg.self_update_by_platform(SequencingPlatform.ILLUMINA, 150, 60)
+    tki_all = vcf_reader.read_tumor_vcf(tvcf, header.name2tid())
+    ref_lens = {i: ln for i, ln in enumerate(header.ref_lens)}
+    plans = regions_mod.plan(batch, ref_lens, cfg.mem_per_thread)
+    prepared = []
+    for plan in plans:
+        sub = regions_mod.slice_batch(batch, plan)
+        refstring = ref[plan.ext_beg:plan.ext_end].encode()
+        ref_syms = CHAR_TO_SYMBOL[np.frombuffer(refstring, np.uint8) & 0x7F]
+        tki_map = {k: v for k, v in tki_all.items()
+                   if plan.ext_beg <= k[1] < plan.ext_end}
+        rctx = calling.prepare_region(sub, ref_syms, plan.ext_beg, cfg,
+                                      is_tumor_only=False, tki_map=tki_map)
+        rctx["_refstring"] = refstring
+        prepared.append(rctx)
+    calling.model_stage_batched(prepared, cfg, is_tumor_only=False)
+    return prepared, cfg
+
+
+def test_dpv_qual_parity_tumor_normal(oracle, tmp_path):
+    """Rescued-mode parity: the tumor-normal branches of calc_DPv /
+    calc_qual (sqrt(2) unbias ratios, +31 all-bias prior, tpfa priors,
+    tki-driven tier-2 gating, main.hpp:4282-4284,4475) against the
+    compiled reference, fed from a REAL tumor-then-normal pipeline."""
+    prepared, cfg = _run_tn_pipeline(tmp_path)
+    ps_line = _ps_lines(cfg)
+    errs = []
+    n = 0
+    n_resc = 0
+    for rctx in prepared:
+        for p, s in _candidates(rctx):
+            _check_candidate(oracle, rctx, p, s, cfg, ps_line, errs)
+            if rctx["rescued"].get((p, s)):
+                n_resc += 1
+            n += 1
+    assert n >= 20, f"too few candidates exercised: {n}"
+    assert n_resc >= 2, f"no tki-rescued candidates exercised: {n_resc}"
+    assert not errs, f"{len(errs)} mismatches of {n} candidates:\n" + \
+        "\n".join(errs[:40])

@@ -196,7 +196,8 @@ RTR_FIELDS = ("begpos tracklen unitlen indelphred anyTR_begpos "
               "anyTR_tracklen anyTR_unitlen").split()
 
 TKI_INT_FIELDS = ("VTI pos BDP bDP CDP1x cDP1x cVQ1 cPCQ1 CDP2x cDP2x cVQ2 "
-                  "cPCQ2 bNMQ vHGQ tDP nDP tDPC").split()
+                  "cPCQ2 bNMQ vHGQ tDP nDP tDPC "
+                  "enable_tier2_consensus_format_tags").split()
 
 
 DRIVER_TMPL = r"""

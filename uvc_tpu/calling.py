@@ -190,6 +190,7 @@ def prepare_region(batch, ref_syms, region_offset, cfg,
     rescued = {}
     tpfa_dpv = None
     tpfa_qual = None
+    F["tki_et2"] = np.zeros((P, NS), dtype=bool)
     if not is_tumor_only and tki_map:
         tpfa_dpv = np.full((P, NS), -1.0)
         tpfa_qual = np.full((P, NS), -1.0)
@@ -200,6 +201,7 @@ def prepare_region(batch, ref_syms, region_offset, cfg,
                 tki = tkis[0]
                 tpfa_dpv[p, vti] = (tki.cDP1x + 1.0) / (tki.CDP1x + 2.0)
                 tpfa_qual[p, vti] = (tki.bDP + 0.5) / (tki.BDP + 1.0)
+                F["tki_et2"][p, vti] = bool(tki.enable_tier2)
     rescued_pos = sorted({p for (p, s) in rescued})
     cand = dpv.candidate_mask(
         F, cfg, is_tumor_only,
@@ -428,7 +430,8 @@ MODEL_READ_PLANES = (
     "cDPmr cIADf cIADr cIAQf cIAQr cIDQf cIDQr ctx_repeatnum ctx_unitlen "
     "dDP1 dDP2 del1_cdepth del_cdepth gapLen ins1_cdepth ins_cdepth "
     "minABQ_indel_p minABQ_snv_p ref_syms rtr1_tracklen_3 "
-    "rtr1_unitlen_3 rtr2_anyTR_tracklen_3 rtr2_tracklen_3 rtr2_unitlen_3"
+    "rtr1_unitlen_3 rtr2_anyTR_tracklen_3 rtr2_tracklen_3 rtr2_unitlen_3 "
+    "tki_et2"
 ).split()
 
 # When set (by the CLI), (packed, cfg) -> packed response through the

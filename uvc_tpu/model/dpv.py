@@ -317,7 +317,12 @@ def calc_dpv(F, cfg, is_tumor_only=True, tpfa=None):
     try_t2 = ((c2DP >= 2)
               & (normBDP * cfg.fam_bias_overseq_perc >= normCDP1 * 100)
               & ((prepdp[:, 11] * 100 > prepdp[:, 0] * 50)[:, None]))
-    F["enable_tier2"] = try_t2  # rescued mode overrides via tki
+    if tpfa is not None:
+        # rescued fmts take the TUMOR record's tier-2 flag (is_rescued ?
+        # tki.enable_tier2_consensus_format_tags : try_..., main.hpp:4475)
+        try_t2 = np.where(np.asarray(tpfa) >= 0,
+                          F["tki_et2"].astype(bool), try_t2)
+    F["enable_tier2"] = try_t2
 
     cFA2L = np.where(try_t2,
                      (np.square(F["c2LP0"].astype(_ftype())) * 2
