@@ -462,3 +462,97 @@ def test_dpv_qual_parity_tumor_normal(oracle, tmp_path):
     assert n_resc >= 2, f"no tki-rescued candidates exercised: {n_resc}"
     assert not errs, f"{len(errs)} mismatches of {n} candidates:\n" + \
         "\n".join(errs[:40])
+
+
+def test_dpv_qual_parity_iontorrent(oracle, tmp_path):
+    """IonTorrent-mode parity: platform-shifted parameters plus the
+    proton-only branches (is_indel_penal_applied indel_penal_base,
+    homopolymer strand-bias derating, main.hpp:5199-5204,5037-5047)
+    against the compiled reference."""
+    ref = simulate.random_ref(6000, 57)
+    variants = [
+        simulate.Variant(1000, f"{ref[1000]}>"
+                         + ("A" if ref[1000] != "A" else "G"), 0.35),
+        simulate.Variant(2200, "+CT", 0.30),
+        simulate.Variant(3400, "-1", 0.30),
+        simulate.Variant(4600, "+A", 0.25),
+    ]
+    path = str(tmp_path / "ion.bam")
+    simulate.build_bam(path, ref, depth=80, variants=variants, seed=57)
+    header, batch = bam_mod.read_bam(path)
+    cfg = UVCConfig()
+    cfg.bam_input_fname = path
+    cfg.self_update_by_platform(SequencingPlatform.IONTORRENT, 200, 60)
+    ref_lens = {i: ln for i, ln in enumerate(header.ref_lens)}
+    plans = regions_mod.plan(batch, ref_lens, cfg.mem_per_thread)
+    prepared = []
+    for plan in plans:
+        sub = regions_mod.slice_batch(batch, plan)
+        refstring = ref[plan.ext_beg:plan.ext_end].encode()
+        ref_syms = CHAR_TO_SYMBOL[np.frombuffer(refstring, np.uint8) & 0x7F]
+        rctx = calling.prepare_region(sub, ref_syms, plan.ext_beg, cfg)
+        rctx["_refstring"] = refstring
+        prepared.append(rctx)
+    calling.model_stage_batched(prepared, cfg, is_tumor_only=True)
+    ps_line = _ps_lines(cfg)
+    errs = []
+    n = 0
+    for rctx in prepared:
+        for p, s in _candidates(rctx):
+            _check_candidate(oracle, rctx, p, s, cfg, ps_line, errs)
+            n += 1
+    assert n >= 10, f"too few candidates exercised: {n}"
+    assert not errs, f"{len(errs)} mismatches of {n} candidates:\n" + \
+        "\n".join(errs[:40])
+
+
+def test_vq_fmts_parity(oracle, tmp_path):
+    """fill_symbol_VQ_fmts (main.hpp:3820-3887) vs the in-model VQ layer
+    (_vq_fmts_traced): the rss-BQ sums a2BQf/a2BQr, the rms aBQ, the
+    systematic-BQ quality aBQQ and the rms bMQ are pinned per candidate
+    against the compiled reference, fed the pipeline's RAW planes."""
+    prepared, cfg = _run_pipeline(tmp_path, seed=41, depth=90)
+    ps_line = _ps_lines(cfg)
+    errs = []
+    n = 0
+    for rctx in prepared:
+        F, res = rctx["F"], rctx["res"]
+        for p, s in _candidates(rctx):
+            rl = _ref_link(F, p, s)
+            fmtd = calling.plan_fmt(F, res, p, s, rl, 0)
+            orc = oracle
+            orc.send("reset")
+            orc.send(ps_line)
+            parts = []
+            for k in ("aDPff", "aDPfr", "aDPrf", "aDPrr", "bDPf", "bDPr",
+                      "a2XM2", "a2BM2"):
+                parts.append(f"{k}={fmtd[k][-1]}")
+            for k in ("ADPff", "ADPfr", "ADPrf", "ADPrr"):
+                parts.append(f"{k}={fmtd[k][0]},{fmtd[k][1]}")
+            orc.send("fmt " + " ".join(parts))
+            raw = {"a2BQf": int(F["a2BQf_raw"][p, s]),
+                   "a2BQr": int(F["a2BQr_raw"][p, s]),
+                   "bMQ": int(F["bMQ_raw"][p, s]),
+                   "bIAQb": int(F["bIAQb"][p, s]),
+                   "bIADb": int(F["bIADb"][p, s]),
+                   "cIAQf": int(F["cIAQf"][p, s]),
+                   "cIADf": int(F["cIADf"][p, s]),
+                   "cIDQf": int(F["cIDQf"][p, s]),
+                   "cIAQr": int(F["cIAQr"][p, s]),
+                   "cIADr": int(F["cIADr"][p, s]),
+                   "cIDQr": int(F["cIDQr"][p, s])}
+            orc.send("vqset %d " % s
+                     + " ".join(f"{k}={v}" for k, v in raw.items()))
+            minabq = int(F["minABQ_snv_p"][p] if s < 6
+                         else F["minABQ_indel_p"][p])
+            assert orc.ask(f"vqf {s} {minabq} {p}") == "OK"
+            out = record_oracle.parse_out(orc.ask("print"))
+            for tag in ("a2BQf", "a2BQr", "aBQ", "aBQQ", "bMQ"):
+                theirs = out[tag][-1]
+                ours = str(fmtd[tag][-1])
+                if theirs != ours:
+                    errs.append(f"(p={p},s={s}) {tag}: ref={theirs} "
+                                f"py={ours}")
+            n += 1
+    assert n >= 10, n
+    assert not errs, f"{len(errs)} of {n}:\n" + "\n".join(errs[:30])

@@ -48,7 +48,7 @@ def _extract_named(src, name):
     the closing brace."""
     m = re.search(r"^(?:template\s*<[^\n>]*>\s*\n)?"
                   r"(?:static\s+)?(?:inline\s+)?(?:const\s+)?"
-                  r"(?:auto|int|double|bool|struct|std::[^\n;{]*|uvc1_[a-z0-9_]+_t)"
+                  r"(?:auto|void|int|double|bool|struct|std::[^\n;{]*|uvc1_[a-z0-9_]+_t)"
                   r"[ \t]*\n?"
                   r"\s*" + re.escape(name) + r"\s*[({]",
                   src, re.MULTILINE)
@@ -217,6 +217,14 @@ DRIVER_TMPL = r"""
 
 %(extracted)s
 
+// --- mock of the per-position VQ tag sets read by fill_symbol_VQ_fmts
+// (symbol_to_VQ_format_tag_sets.getByPos(refpos)[symbol][VQ_tag]) ---
+struct MockVQSets {
+    std::array<std::array<int64_t, 64>, 16> v {};
+    const std::array<std::array<int64_t, 64>, 16> &
+    getByPos(uvc1_refgpos_t) const { return v; }
+};
+
 // --- mock of Symbol2CountCoverageSet: the calc functions only read
 // .seg_format_prep_sets.getByPos(refpos) (main.hpp:4288,4931) ---
 struct MockPrepSets {
@@ -346,6 +354,7 @@ static bool set_tki_field(TumorKeyInfo & t, const std::string & k,
 
 int main() {
     bcfrec::BcfFormat fmt;
+    MockVQSets vqsets;
     std::vector<bcfrec::BcfFormat> gfmts;
     std::vector<int> gsyms;
     CommandLineArgs ps;
@@ -360,6 +369,7 @@ int main() {
         std::string kv;
         if (op == "reset") {
             fmt = bcfrec::BcfFormat();
+            vqsets = MockVQSets();
             gfmts.clear();
             gsyms.clear();
             ps.~CommandLineArgs();          // const member blocks operator=
@@ -388,6 +398,36 @@ int main() {
                     return 3;
                 }
             }
+        } else if (op == "vqset") {
+            int sym; iss >> sym;
+            while (iss >> kv) {
+                size_t eq = kv.find('=');
+                if (eq == std::string::npos) { continue; }
+                const std::string k = kv.substr(0, eq);
+                const int64_t val = strtoll(kv.c_str() + eq + 1, 0, 10);
+                int tag = -1;
+                if (k == "a2BQf") tag = VQ_a2BQf;
+                else if (k == "a2BQr") tag = VQ_a2BQr;
+                else if (k == "bMQ") tag = VQ_bMQ;
+                else if (k == "bIAQb") tag = VQ_bIAQb;
+                else if (k == "bIADb") tag = VQ_bIADb;
+                else if (k == "bIDQb") tag = VQ_bIDQb;
+                else if (k == "cIAQf") tag = VQ_cIAQf;
+                else if (k == "cIADf") tag = VQ_cIADf;
+                else if (k == "cIDQf") tag = VQ_cIDQf;
+                else if (k == "cIAQr") tag = VQ_cIAQr;
+                else if (k == "cIADr") tag = VQ_cIADr;
+                else if (k == "cIDQr") tag = VQ_cIDQr;
+                if (tag < 0) { std::cout << "ERR vq tag " << k << "\n"; return 3; }
+                vqsets.v[sym][tag] = val;
+            }
+        } else if (op == "vqf") {
+            int sym; long minabq, refpos;
+            iss >> sym >> minabq >> refpos;
+            ensure_fmt_nonempty(fmt);
+            fill_symbol_VQ_fmts(fmt, vqsets, (uvc1_refgpos_t)refpos,
+                    AlignmentSymbol(sym), (uvc1_qual_t)minabq, ps, 0);
+            std::cout << "OK\n";
         } else if (op == "gfmt") {
             // append one symbol's fmt for the germline group
             int sym; iss >> sym;
@@ -501,6 +541,10 @@ def build_oracle(workdir):
     # interleaved between calc_DPv and calc_qual (main.hpp:4253-5343)
     parts.append(_extract_span(main_hpp, "calc_normFA_from_rawFA_refbias",
                                "BcfFormat_symbol_calc_qual"))
+    # fill_symbol_fmt + fill_symbol_VQ_fmts (main.hpp:3796-3887): the
+    # per-symbol VQ-tag init layer (aBQ/aBQQ/bMQ systematic-BQ math)
+    parts.append(_extract_span(main_hpp, "fill_symbol_fmt",
+                               "fill_symbol_VQ_fmts"))
     # SYMBOL_TO_INDEL_N_UNITS lookup table (main.hpp:271-280)
     i0 = main_hpp.index("const uvc1_refgpos_t SYMBOL_TO_INDEL_N_UNITS")
     parts.append(main_hpp[i0:main_hpp.index("};", i0) + 2])

@@ -17,7 +17,7 @@ import math
 import jax.numpy as jnp
 import numpy as onp
 
-from ..constants import Symbol, NUM_SYMBOLS
+from ..constants import Symbol, NUM_SYMBOLS, SequencingPlatform
 
 # The whole DPv battery is pure [P,14] elementwise tensor math, so it is
 # written in jax.numpy and traced into ONE jitted program together with
@@ -253,7 +253,13 @@ def calc_dpv(F, cfg, is_tumor_only=True, tpfa=None):
                        > (aDP + aDPplus) * dp_coef)
     is_in_rtr = np.maximum(rtr1_tl, rtr2_tl) > round(cfg.indel_polymerase_size)
 
-    m_read = (is_in_indel_read
+    # IonTorrent: DNV-dominated reads also lower the position-bias prior
+    # (is_in_dnv_read, main.hpp:4429-4431); APDP carries snv_dp at [6] and
+    # dnv_dp at [7]
+    is_in_dnv_read = ((cfg.inferred_sequencing_platform
+                       == SequencingPlatform.IONTORRENT)
+                      & (prepdp[:, 7][:, None] * 2 > prepdp[:, 6][:, None]))
+    m_read = (is_in_indel_read | is_in_dnv_read
               | (is_indel & (apxm0 > apxm1
                              * cfg.microadjust_bias_pos_indel_misma_to_indel_ratio)))
     aPprior -= np.where(m_read, cfg.bias_priorfreq_indel_in_read_div, 0)
@@ -435,7 +441,10 @@ def calc_dpv(F, cfg, is_tumor_only=True, tpfa=None):
     c2LPFA = np.where(big_reg & try_t2, np.minimum(c2LPFA, aLP_minA), c2LPFA)
     c2RPFA = np.where(big_reg & try_t2, np.minimum(c2RPFA, aRP_minA), c2RPFA)
 
-    if not is_tumor_only:
+    # rescued runs AND IonTorrent take the max of the two insert-end FAs
+    # (main.hpp:4653-4655)
+    if (not is_tumor_only) or (cfg.inferred_sequencing_platform
+                               == SequencingPlatform.IONTORRENT):
         airmax = np.maximum(aLIFA, aRIFA)
         aLIFA = airmax
         aRIFA = airmax.copy()

@@ -13,7 +13,7 @@ import math
 
 import jax.numpy as jnp
 
-from ..constants import Symbol, NUM_SYMBOLS
+from ..constants import Symbol, NUM_SYMBOLS, SequencingPlatform
 from .dpv import (IS_SUBST, IS_INS, IS_DEL, numstates2phred, phred2nat,
                   _ftype, _itype, _minr, _maxr)
 from . import sscs as sscs_mod
@@ -219,7 +219,21 @@ def calc_qual(F, cfg, is_tumor_only=True, tpfa=None, tki=None):
                          1.0, (F["cDP1v"] + 0.5) / (F["CDP1"] * 100 + 1.0))))
                      ).astype(_itype())
 
-    indel_penal_base = np.zeros((P, NS), dtype=_itype())  # IonTorrent-only
+    # IonTorrent-only flat near-indel penalty applied to every allele
+    # quality of the position (is_indel_penal_applied, main.hpp:5199-5204);
+    # C round() is half-AWAY-from-zero — floor(x+0.5) for the non-negative
+    # log ratio, not banker's rounding
+    is_proton = (cfg.inferred_sequencing_platform
+                 == SequencingPlatform.IONTORRENT)
+    if is_proton and not is_rescued:
+        _e = FLT_EPSILON
+        _m3 = _maxr([aDP + _e, F["APDP"][:, 1][:, None],
+                     F["APDP"][:, 2][:, None]])
+        indel_penal_base = np.floor(
+            cfg.indel_multiallele_samepos_penal / math.log(2.0)
+            * np.log(_m3 / (aDP + _e)) + 0.5).astype(_itype())
+    else:
+        indel_penal_base = np.zeros((P, NS), dtype=_itype())
 
     # indel-specific adjustments (main.hpp:5122-5181)
     repeatnum = F["ctx_repeatnum"][:, None].astype(_itype())
@@ -256,6 +270,10 @@ def calc_qual(F, cfg, is_tumor_only=True, tpfa=None, tki=None):
     ipg = np.round(cfg.indel_tetraallele_germline_penal_value / math.log(2.0)
                    * np.log((ins_cd + del_cd + eps) / (F["cDP0a"] + eps))
                    ).astype(_itype()) - int(cfg.indel_tetraallele_germline_penal_thres)
+    # IonTorrent is more error-prone with complex InDels: be lenient
+    # (non_neg_minus of samepos_penal, main.hpp:5244-5246)
+    if is_proton:
+        ipm1 = np.maximum(ipm1 - int(cfg.indel_multiallele_samepos_penal), 0)
     ins_pc = cfg.indel_ins_penal_pseudocount
     ipm_ins = ipm1 * ins_pc // (ins_pc + F["gapLen"])
     indel_penal4multi = np.where(has_indelstr,
