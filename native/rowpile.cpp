@@ -129,16 +129,14 @@ int pass_c_kernel(
     const int64_t *baq, const int64_t *baq2,  // [>= P]
     const int64_t *cfg,     // [N_CFG]
     int64_t P,
-    int64_t *out            // [N_PLANES, P, 14] zeroed by caller
+    int64_t *out            // [P, 14, N_PLANES] zeroed by caller
 ) {
     const int64_t NS = 14;
-    const int64_t plane = P * NS;
-    // accumulate in [P,14,N_PLANES] layout: one event touches ONE
-    // contiguous 312-byte row instead of ~34 distant planes; the
-    // plane-major result expected by the caller is produced by a
-    // single cache-friendly transpose at the end
-    static thread_local std::vector<int64_t> pc_acc;
-    pc_acc.assign((size_t)(plane * N_PLANES), 0);
+    // accumulate directly in the caller's [P,14,N_PLANES] buffer: one
+    // event touches ONE contiguous 312-byte row instead of ~34 distant
+    // planes, and the caller reads the planes as strided views -- no
+    // kernel-side zeroing or transpose (the old thread_local staging
+    // buffer cost ~P*14*N_PLANES*24 bytes of traffic per call)
     for (int64_t e = 0; e < n_events; e++) {
         const int64_t pos = e_pos[e];
         const int64_t sym = e_sym[e];
@@ -157,7 +155,7 @@ int pass_c_kernel(
         const bool paired = r[RF_paired] != 0;
         const int64_t flag = r[RF_flag];
         const int64_t *th = thres + pos * N_TH;
-        int64_t *o = pc_acc.data() + idx * N_PLANES;
+        int64_t *o = out + idx * N_PLANES;
 
         o[O_bg] += bq;
         o[isrc ? O_a1BQr : O_a1BQf] += bq;
@@ -283,10 +281,6 @@ int pass_c_kernel(
             if (pos_good2) o[O_aRIf] += 1;
         }
         (void)pos_good;
-    }
-    for (int64_t i = 0; i < plane; i++) {
-        const int64_t *o = pc_acc.data() + i * N_PLANES;
-        for (int k = 0; k < N_PLANES; k++) out[(int64_t)k * plane + i] += o[k];
     }
     return 0;
 }
@@ -1695,13 +1689,13 @@ int64_t frag_cons_direct(int64_t n_streams, const int64_t *stream_off,
 // output order.  Returns ug.size() or -1 on an input-order violation
 // (caller falls back to rc2_run_fc).
 
-extern "C" {
-
-int64_t fam_cons_direct(int64_t n, const int64_t *frag, const int64_t *pos,
-                        const int64_t *sym, const int64_t *con_cnt,
-                        const int64_t *tot, const int64_t *st,
-                        const int64_t *fam_of_frag, int64_t n_frags,
-                        int64_t n_fams, int64_t highbq_snv, int64_t P) {
+static int64_t fam_cons_core(int64_t n, const int64_t *frag,
+                             const int64_t *pos, const int64_t *sym,
+                             const int64_t *con_cnt, const int64_t *tot,
+                             const int64_t *st, const int64_t *fam_of_frag,
+                             int64_t n_frags, int64_t n_fams,
+                             int64_t highbq_snv, int64_t P,
+                             int64_t *fbeg, int64_t *fend) {
     int pos_bits = rc::bit_width_u64((uint64_t)(P > 1 ? P - 1 : 1));
     rc::g_P = P;
     rc::g_pos_bits = pos_bits;
@@ -1743,6 +1737,27 @@ int64_t fam_cons_direct(int64_t n, const int64_t *frag, const int64_t *pos,
                                   fcd::frag_cnt.end() - 1);
         for (int64_t fr = 0; fr < n_frags; fr++)
             fcd::frag_read[fill[fam_of_frag[fr]]++] = fr;
+    }
+
+    // per-family covered-position extent over the RAW fragment rows
+    // (engine_fq._c2_bias fbeg/fend; rows per fragment are key-sorted, so
+    // the first/last row of each member give its extent)
+    if (fbeg != nullptr && fend != nullptr) {
+        for (int64_t fm = 0; fm < n_fams; fm++) {
+            int64_t b = INT64_MAX, e = -1;
+            for (int64_t fi = fcd::frag_cnt[fm]; fi < fcd::frag_cnt[fm + 1];
+                 fi++) {
+                const int64_t fr = fcd::frag_read[fi];
+                if (fcd::soff[fr] < fcd::soff[fr + 1]) {
+                    const int64_t pb = pos[fcd::soff[fr]];
+                    const int64_t pe = pos[fcd::soff[fr + 1] - 1];
+                    if (pb < b) b = pb;
+                    if (pe > e) e = pe;
+                }
+            }
+            fbeg[fm] = b;
+            fend[fm] = e;
+        }
     }
 
     // 3) per-family merge: acc1 = #rows passing the sweep-1 filter,
@@ -1824,6 +1839,367 @@ int64_t fam_cons_direct(int64_t n, const int64_t *frag, const int64_t *pos,
                        rc::c2g, rc::c2p, rc::c2st, rc::c2cs, rc::c2cc,
                        rc::c2tot);
     return w1;
+}
+
+extern "C" {
+
+int64_t fam_cons_direct(int64_t n, const int64_t *frag, const int64_t *pos,
+                        const int64_t *sym, const int64_t *con_cnt,
+                        const int64_t *tot, const int64_t *st,
+                        const int64_t *fam_of_frag, int64_t n_frags,
+                        int64_t n_fams, int64_t highbq_snv, int64_t P) {
+    return fam_cons_core(n, frag, pos, sym, con_cnt, tot, st, fam_of_frag,
+                         n_frags, n_fams, highbq_snv, P, nullptr, nullptr);
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Statics-resident region fast path.  The fragment-consensus rows produced
+// by frag_cons_direct (~depth x P rows) stay inside the thread_local
+// rc:: buffers for the whole pass-D + family chain instead of being copied
+// into numpy and passed back for every kernel: pass_d_statics reads them
+// in place (emitting only the SPARSE mutated / indel-winner rows that the
+// python phase-signature and exact-indel passes need), fam_cons_statics
+// swaps them into scratch (O(1)) and reduces them into the family tables,
+// and the sweep kernels read those tables in place, again emitting only
+// sparse good-family / mutated rows.  This removes ~n_rows*6*8B*4 of
+// memcpy + numpy allocation per region and keeps the whole chain
+// GIL-free.  Replaces the dense-row protocol of updateByAlns3UsingFQ
+// (/root/reference/main.hpp:2832-3594) with zero row materialization.
+
+namespace sres {
+// swapped-in fragment rows (inputs of the family merge)
+static thread_local std::vector<int64_t> in_g, in_p, in_st, in_cs, in_cc,
+    in_tot;
+// pass_d sparse outputs
+static thread_local std::vector<int64_t> mutf, mutp, mutst, muts;
+static thread_local std::vector<int64_t> winf, winp, wins;
+// sweep-1 good-family rows
+static thread_local std::vector<int64_t> g1g, g1p, g1st, g1s, g1c, g1t;
+// sweep-2 phase-eligible rows (+ confam_ok flag)
+static thread_local std::vector<int64_t> m2g, m2p, m2st, m2s, m2ok;
+}  // namespace sres
+
+extern "C" {
+
+int64_t frag_cons_nrows() { return (int64_t)rc::cg.size(); }
+
+// pass_d_kernel over the resident rows; sparse mut/win outputs.
+int pass_d_statics(
+    const int64_t *bg, const int64_t *aDP4, const int64_t *ref_syms,
+    const int64_t *frag_strand, const int64_t *normMQ,
+    int64_t P, int64_t n_frags, int64_t highbq_thres, int64_t mut_window,
+    int64_t *bdp, int64_t *bta, int64_t *btb,  // [P*14*2]
+    int64_t *vq_bMQ,                            // [P*14]
+    int64_t *hist,                              // [P*14*16]
+    int64_t *counts_out                         // [2]: n_mut, n_win
+) {
+    const int64_t NS = 14;
+    const int NBUCKETS = 16;
+    const int64_t n_rows = (int64_t)rc::cg.size();
+    const int64_t *g_frag = rc::cg.data(), *g_pos = rc::cp_.data();
+    const int64_t *g_st = rc::cst.data(), *con_sym = rc::ccs.data();
+    const int64_t *con_cnt = rc::ccc.data(), *tot = rc::ctot.data();
+    sres::mutf.clear(); sres::mutp.clear();
+    sres::mutst.clear(); sres::muts.clear();
+    sres::winf.clear(); sres::winp.clear(); sres::wins.clear();
+    std::vector<int64_t> cov_pos, mut_pos;
+    int64_t i = 0;
+    while (i < n_rows) {
+        const int64_t fr = g_frag[i];
+        if (fr < 0 || fr >= n_frags) return -1;
+        int64_t j = i;
+        while (j < n_rows && g_frag[j] == fr) j++;
+        const int64_t strand = frag_strand[fr];
+        const int64_t mq2 = normMQ[fr] * normMQ[fr] / 32;
+        cov_pos.clear();
+        mut_pos.clear();
+        for (int64_t k = i; k < j; k++) {
+            const int64_t pos = g_pos[k];
+            const int64_t sym = con_sym[k];
+            if ((uint64_t)pos >= (uint64_t)P || (uint64_t)sym >= 14u)
+                return -1;
+            const int64_t idx = pos * NS + sym;
+            const int64_t cq = con_cnt[k] * 2 - tot[k];
+            const int64_t maxq = 8 + bg[idx] / imax(aDP4[idx], (int64_t)1);
+            const int64_t phredlike = imin(cq, maxq);
+            int64_t pb = maxq - phredlike;
+            if (pb < 0) pb = 0;
+            if (pb < NBUCKETS) hist[idx * NBUCKETS + pb] += 1;
+            bdp[idx * 2 + strand] += 1;
+            vq_bMQ[idx] += mq2;
+            bool mut;
+            if (g_st[k] == 0) {
+                const int64_t rs = ref_syms[pos];
+                mut = (rs != sym) && (rs < 4) && (sym < 4)
+                      && (cq >= highbq_thres);
+            } else {
+                mut = (sym != 6) && (sym != 13);
+                if (sym >= 7 && sym <= 12) {
+                    sres::winf.push_back(fr);
+                    sres::winp.push_back(pos);
+                    sres::wins.push_back(sym);
+                }
+            }
+            if (mut) {
+                sres::mutf.push_back(fr);
+                sres::mutp.push_back(pos);
+                sres::mutst.push_back(g_st[k]);
+                sres::muts.push_back(sym);
+            }
+            if (cov_pos.empty() || cov_pos.back() != pos)
+                cov_pos.push_back(pos);
+            if (mut && (mut_pos.empty() || mut_pos.back() != pos))
+                mut_pos.push_back(pos);
+        }
+        int64_t n_cov = (int64_t)cov_pos.size();
+        int64_t n_near = 0;
+        if (!mut_pos.empty()) {
+            size_t mi = 0;
+            for (int64_t p : cov_pos) {
+                while (mi + 1 < mut_pos.size() && mut_pos[mi] < p - mut_window)
+                    mi++;
+                bool near = false;
+                for (size_t m2 = mi; m2 < mut_pos.size()
+                         && mut_pos[m2] <= p + mut_window; m2++) {
+                    if (mut_pos[m2] >= p - mut_window) { near = true; break; }
+                }
+                if (near) n_near++;
+            }
+        }
+        for (int64_t k = i; k < j; k++) {
+            const int64_t idx = g_pos[k] * NS + con_sym[k];
+            bta[idx * 2 + strand] += n_cov;
+            btb[idx * 2 + strand] += n_near;
+        }
+        i = j;
+    }
+    counts_out[0] = (int64_t)sres::mutf.size();
+    counts_out[1] = (int64_t)sres::winf.size();
+    return 0;
+}
+
+void pass_d_fetch_mut(int64_t *f, int64_t *p, int64_t *st, int64_t *s) {
+    memcpy(f, sres::mutf.data(), sres::mutf.size() * 8);
+    memcpy(p, sres::mutp.data(), sres::mutp.size() * 8);
+    memcpy(st, sres::mutst.data(), sres::mutst.size() * 8);
+    memcpy(s, sres::muts.data(), sres::muts.size() * 8);
+}
+
+void pass_d_fetch_win(int64_t *f, int64_t *p, int64_t *s) {
+    memcpy(f, sres::winf.data(), sres::winf.size() * 8);
+    memcpy(p, sres::winp.data(), sres::winp.size() * 8);
+    memcpy(s, sres::wins.data(), sres::wins.size() * 8);
+}
+
+// family merge over the resident rows: O(1)-swaps them into scratch, runs
+// fam_cons_core (famcov uniques + both consensus tables land back in the
+// rc:: statics), and reports per-family extents.  On validation failure
+// the rows are swapped back so the caller can fetch them for the
+// fallback path.
+int64_t fam_cons_statics(const int64_t *fam_of_frag, int64_t n_frags,
+                         int64_t n_fams, int64_t highbq_snv, int64_t P,
+                         int64_t *fbeg, int64_t *fend) {
+    const int64_t n = (int64_t)rc::cg.size();
+    std::swap(rc::cg, sres::in_g);
+    std::swap(rc::cp_, sres::in_p);
+    std::swap(rc::cst, sres::in_st);
+    std::swap(rc::ccs, sres::in_cs);
+    std::swap(rc::ccc, sres::in_cc);
+    std::swap(rc::ctot, sres::in_tot);
+    const int64_t w1 = fam_cons_core(
+        n, sres::in_g.data(), sres::in_p.data(), sres::in_cs.data(),
+        sres::in_cc.data(), sres::in_tot.data(), sres::in_st.data(),
+        fam_of_frag, n_frags, n_fams, highbq_snv, P, fbeg, fend);
+    if (w1 < 0) {
+        std::swap(rc::cg, sres::in_g);
+        std::swap(rc::cp_, sres::in_p);
+        std::swap(rc::cst, sres::in_st);
+        std::swap(rc::ccs, sres::in_cs);
+        std::swap(rc::ccc, sres::in_cc);
+        std::swap(rc::ctot, sres::in_tot);
+    }
+    return w1;
+}
+
+// fq_sweep1_kernel over the resident famcov consensus (rc::cg...), with
+// the strand/has-umi gathers done in-kernel; emits good-family rows
+// sparsely.  Returns the good-row count.
+int64_t fq_sweep1_statics(
+    const int64_t *fam_strand, const int64_t *fam_dflag,
+    int64_t P,
+    int64_t dup1add, int64_t dup1perc, int64_t dup2add, int64_t dup2perc,
+    int64_t fam_flag,
+    int64_t emperr_snv, int64_t emperc_snv,
+    int64_t emperr_indel, int64_t emperc_indel,
+    int64_t *cdp12, int64_t *cdp21, int64_t *cdp2, int64_t *cdp3,
+    int64_t *cdpm, int64_t *cdpM) {
+    const int64_t NS = 14;
+    const bool flag2 = (fam_flag & 0x2) != 0;
+    const int64_t n = (int64_t)rc::cg.size();
+    sres::g1g.clear(); sres::g1p.clear(); sres::g1st.clear();
+    sres::g1s.clear(); sres::g1c.clear(); sres::g1t.clear();
+    for (int64_t i = 0; i < n; i++) {
+        const int64_t g = rc::cg[i], pos = rc::cp_[i], st = rc::cst[i];
+        const int64_t sym = rc::ccs[i], cnt = rc::ccc[i], tot = rc::ctot[i];
+        const int64_t strand = fam_strand[g];
+        const int64_t idx = (pos * NS + sym) * 2 + strand;
+        cdp12[idx] += 1;
+        if (tot == 1) cdp21[idx] += 1;
+        const bool umi = (fam_dflag[g] & 0x1) != 0;
+        const bool good = tot >= dup1add && cnt * 100 >= tot * dup1perc
+            && (umi || flag2);
+        if (good) {
+            cdp2[idx] += 1;
+            sres::g1g.push_back(g);
+            sres::g1p.push_back(pos);
+            sres::g1st.push_back(st);
+            sres::g1s.push_back(sym);
+            sres::g1c.push_back(cnt);
+            sres::g1t.push_back(tot);
+        }
+        if (tot >= dup2add && cnt * 100 >= tot * dup2perc) cdp3[idx] += 1;
+        const bool is_base = sym < 6;
+        const int64_t emperr = is_base ? emperr_snv : emperr_indel;
+        const int64_t emperc = is_base ? emperc_snv : emperc_indel;
+        if (tot >= emperr && cnt * 100 >= tot * emperc) {
+            cdpm[idx] += tot - cnt;
+            cdpM[idx] += tot * (is_base ? 5 : 7);
+        }
+    }
+    return (int64_t)sres::g1g.size();
+}
+
+void fq_fetch_good(int64_t *g, int64_t *p, int64_t *st, int64_t *s,
+                   int64_t *c, int64_t *t) {
+    memcpy(g, sres::g1g.data(), sres::g1g.size() * 8);
+    memcpy(p, sres::g1p.data(), sres::g1p.size() * 8);
+    memcpy(st, sres::g1st.data(), sres::g1st.size() * 8);
+    memcpy(s, sres::g1s.data(), sres::g1s.size() * 8);
+    memcpy(c, sres::g1c.data(), sres::g1c.size() * 8);
+    memcpy(t, sres::g1t.data(), sres::g1t.size() * 8);
+}
+
+// fq_sweep2_kernel over the resident fammmm consensus (rc::c2g...) and
+// famcov unique table (rc::ug/uv); emits phase-eligible rows sparsely.
+// Returns the mut-row count, or -1 on a stale-table state.
+int64_t fq_sweep2_statics(
+    const int64_t *fam_strand, const int64_t *ref_syms,
+    const int64_t *sscs_flat,
+    const int64_t *cdpM, const int64_t *cdpm,  // [P,14,2]
+    int64_t P, int64_t rescue_add, int64_t fam_phred_indel_inc,
+    int64_t dup1add, int64_t dup1perc, int64_t highbq_thres,
+    int64_t *cdp1,                        // [P,14,2] zeroed by caller
+    int64_t *hist                         // [2,P,14,16] zeroed by caller
+) {
+    const int64_t NS = 14;
+    const double INV_LOG10 = 10.0 / std::log(10.0);
+    int pos_bits = 1;
+    while (((int64_t)1 << pos_bits) < P) pos_bits++;
+    if (rc::g_pos_bits != pos_bits) return -1;
+    const int64_t n2 = (int64_t)rc::c2g.size();
+    const int64_t nu = (int64_t)rc::ug.size();
+    const int64_t *iug = rc::ug.data();
+    const int64_t *iuv = rc::uv.data();
+    sres::m2g.clear(); sres::m2p.clear(); sres::m2st.clear();
+    sres::m2s.clear(); sres::m2ok.clear();
+    static const int RP_POW10_N = 256;
+    static thread_local std::vector<double> rp_pow10;
+    if (rp_pow10.empty()) {
+        rp_pow10.resize(RP_POW10_N);
+        for (int q = 0; q < RP_POW10_N; q++)
+            rp_pow10[q] = std::pow(10.0, -(double)q / 10.0);
+    }
+    static thread_local std::vector<int64_t> rp_memo_key;
+    static thread_local std::vector<double> rp_memo_val;
+    rp_memo_key.assign((size_t)(P * NS * 2), INT64_MIN);
+    rp_memo_val.resize((size_t)(P * NS * 2));
+    int64_t tp = 0;
+    for (int64_t i = 0; i < n2; i++) {
+        const int64_t g = rc::c2g[i], pos = rc::c2p[i], st = rc::c2st[i];
+        const int64_t con_sym = rc::c2cs[i], con_cnt = rc::c2cc[i];
+        const int64_t tot = rc::c2tot[i];
+        const int64_t strand = fam_strand[g];
+        const int64_t idx = (pos * NS + con_sym) * 2 + strand;
+        cdp1[idx] += 1;
+        const uint64_t gp = ((uint64_t)g << pos_bits) | (uint64_t)pos;
+        int64_t con_nfrags = 0, tot_nfrags = 0;
+        while (tp < nu && ((uint64_t)iug[tp] >> 4) < gp) tp++;
+        for (int64_t j = tp; j < nu; j++) {
+            const uint64_t k = (uint64_t)iug[j];
+            if ((k >> 4) != gp) break;
+            const int64_t sj = (int64_t)(k & 15);
+            if ((sj >= 6 ? 1 : 0) == st) tot_nfrags += iuv[j];
+            if (sj == con_sym) con_nfrags = iuv[j];
+        }
+        const int64_t avgBQ = tot_nfrags == 0 ? 1
+            : con_cnt / (tot_nfrags > 1 ? tot_nfrags : 1);
+        const int64_t major = cdpM[idx];
+        const int64_t minor = cdpm[idx];
+        const double w = 1.0 / ((double)minor + 1.0);
+        double realphred;
+        if (rp_memo_key[idx] == avgBQ) {
+            realphred = rp_memo_val[idx];
+        } else {
+            const double pw = (avgBQ >= 0 && avgBQ < RP_POW10_N)
+                ? rp_pow10[avgBQ] : std::pow(10.0, -(double)avgBQ / 10.0);
+            realphred = -INV_LOG10 * std::log(
+                ((double)minor + w)
+                / ((double)major + (double)minor + w / pw));
+            rp_memo_key[idx] = avgBQ;
+            rp_memo_val[idx] = realphred;
+        }
+        const int64_t indep = (int64_t)std::nearbyint(
+            (double)(2 * con_nfrags - tot_nfrags) * realphred);
+        int64_t confam;
+        if (st == 1) {
+            const int64_t cap = fam_phred_indel_inc
+                + (int64_t)std::nearbyint(realphred);
+            confam = indep < cap ? indep : cap;
+        } else {
+            const int64_t cap = 2 * con_cnt - tot;
+            confam = indep < cap ? indep : cap;
+        }
+        if (confam < 1) confam = 1;
+        const int64_t max_qual =
+            sscs_flat[ref_syms[pos] * NS + con_sym] + rescue_add;
+        const int64_t confam2 = confam < max_qual ? confam : max_qual;
+        if (tot_nfrags >= dup1add) {
+            int64_t d = max_qual - confam2 + 2;
+            int64_t pb = d >= 0 ? d / 4 : -((-d + 3) / 4);
+            if (pb < 0) pb = 0;
+            if (pb > 15) pb = 15;
+            hist[((strand * P + pos) * NS + con_sym) * 16 + pb] += 1;
+        }
+        bool mut;
+        if (st == 0) {
+            const int64_t rs = ref_syms[pos];
+            mut = rs != con_sym && rs < 4 && con_sym < 4
+                && confam >= highbq_thres;
+        } else {
+            mut = con_sym != 6 && con_sym != 13;
+        }
+        if (mut) {
+            sres::m2g.push_back(g);
+            sres::m2p.push_back(pos);
+            sres::m2st.push_back(st);
+            sres::m2s.push_back(con_sym);
+            sres::m2ok.push_back(
+                (tot_nfrags >= dup1add
+                 && con_nfrags * 100 >= tot_nfrags * dup1perc) ? 1 : 0);
+        }
+    }
+    return (int64_t)sres::m2g.size();
+}
+
+void fq_fetch_mut2(int64_t *g, int64_t *p, int64_t *st, int64_t *s,
+                   int64_t *ok) {
+    memcpy(g, sres::m2g.data(), sres::m2g.size() * 8);
+    memcpy(p, sres::m2p.data(), sres::m2p.size() * 8);
+    memcpy(st, sres::m2st.data(), sres::m2st.size() * 8);
+    memcpy(s, sres::m2s.data(), sres::m2s.size() * 8);
+    memcpy(ok, sres::m2ok.data(), sres::m2ok.size() * 8);
 }
 
 }  // extern "C"

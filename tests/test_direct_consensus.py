@@ -106,3 +106,74 @@ def test_frag_cons_direct_rejects_unsorted(tmp_path):
             allev.pos[so[0] + 1], allev.pos[so[0]]
     assert nr.frag_cons_direct(allev, famgrp.frag_of_read, famgrp.n_frags,
                                P) is None
+
+@pytest.mark.skipif(not nr.available() or not nr.has_statics_path(),
+                    reason="statics kernels not built")
+@pytest.mark.parametrize("umi", [False, True])
+def test_statics_resident_chain_parity(tmp_path, umi):
+    """The statics-resident pass_d + family chain (rows never leave the
+    .so) must reproduce the dense fetch path bit-for-bit: pass-D planes,
+    mutforms, frag_indel, and every FQResult field."""
+    from uvc_tpu.family import engine_fq
+    from uvc_tpu.model import sscs
+    from uvc_tpu.pileup import strscan
+    from uvc_tpu.constants import CHAR_TO_SYMBOL
+
+    cfg, batch, famgrp, allev, P = _prep(tmp_path, umi=umi, duplex=False)
+    ref = None
+    ref_syms = None
+    # rebuild the inputs _prep used internally
+    import uvc_tpu.io.simulate as simulate_mod
+    ref = simulate_mod.random_ref(2500, seed=3)
+    ref_syms = np.asarray(CHAR_TO_SYMBOL)[np.frombuffer(ref.encode(),
+                                                        np.uint8)]
+    tracks = strscan.scan_repeats(
+        ref_syms, cfg.indel_str_repeatsize_max, cfg.indel_vntr_repeatsize_max,
+        cfg.indel_BQ_max, cfg.indel_polymerase_slip_rate,
+        cfg.indel_del_to_ins_err_ratio)
+    kw = dict(indel_str_phred_per_region=cfg.indel_str_phred_per_region,
+              indel_nonSTR_phred_per_base=cfg.indel_nonSTR_phred_per_base,
+              indel_polymerase_size=cfg.indel_polymerase_size)
+    baq = strscan.baq_offsets(tracks, use_anyTR=True, **kw)
+    baq2 = strscan.baq_offsets(tracks, use_anyTR=False, **kw)
+    table = events.expand(batch)
+    dflag = famgrp.frag_dflag[famgrp.frag_of_read]
+    prep = engine_bq.pass_a_prep(table, batch, ref_syms, tracks, baq, 0, P,
+                                 cfg, dflag)
+    thres = engine_bq.pass_b_thres(prep, tracks, cfg, False)
+    allev, gap_info = engine_bq.compute_event_values(
+        table, batch, ref_syms, tracks, baq, baq2, prep, thres, 0, P, cfg,
+        dflag)
+    info, bg, a1, a2 = engine_bq.pass_c_scatter(
+        allev, table, baq, baq2, thres, 0, P, cfg, dflag)
+    sscs_table = sscs.table_from_cfg(cfg)
+
+    def run_chain(statics):
+        fc = nr.frag_cons_direct(allev, famgrp.frag_of_read, famgrp.n_frags,
+                                 P, fetch=not statics)
+        assert fc is not None
+        if not statics:
+            fc = cns.GroupConsensus(*fc)
+        pd = engine_bq.pass_d_fragments(
+            allev, gap_info, table, ref_syms, famgrp.frag_of_read,
+            famgrp.frag_strand, P, cfg, info, bg, frag_gc=fc, batch=batch)
+        fq = engine_fq.run_fq(fc, gap_info, famgrp, ref_syms, sscs_table,
+                              thres, baq, baq2, table, batch, P, cfg)
+        return pd, fq
+
+    pd_s, fq_s = run_chain(statics=True)
+    pd_d, fq_d = run_chain(statics=False)
+    for i in range(5):
+        np.testing.assert_array_equal(pd_s[i], pd_d[i], err_msg=f"pd[{i}]")
+    assert pd_s[5] == pd_d[5]            # frag_indel
+    assert pd_s[6] == pd_d[6]            # mutforms
+    for name in ("cdp1", "cdp12", "cdp2", "cdp3", "cdp21", "cdpM", "cdpm",
+                 "cdpD", "ddp1", "ddp2", "vq_cIAQ", "vq_cIAD", "vq_cIDQ"):
+        np.testing.assert_array_equal(getattr(fq_s, name),
+                                      getattr(fq_d, name), err_msg=name)
+    for nm in engine_fq.C2_NAMES:
+        np.testing.assert_array_equal(fq_s.c2info[nm], fq_d.c2info[nm],
+                                      err_msg=nm)
+    assert fq_s.fam_indel == fq_d.fam_indel
+    assert fq_s.mutforms_fq == fq_d.mutforms_fq
+    assert fq_s.mutforms_f2q == fq_d.mutforms_f2q

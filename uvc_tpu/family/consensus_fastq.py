@@ -23,6 +23,12 @@ def generate(frag_cons, famgrp, batch, table, P, cfg, region_offset, tid):
     if not cfg.fam_consensus_out_fastq:
         return ["", "", ""]
     fc = frag_cons
+    if not hasattr(fc, "group"):
+        # a statics-resident handle must never reach this point: the rows
+        # it refers to were reused by the family merge long before the
+        # emit stage runs (region.py forces a fetch under this flag)
+        raise RuntimeError("consensus_fastq: got a statics handle; "
+                           "fam_consensus_out_fastq requires fetched rows")
     fam_of_row = famgrp.fam_of_frag[fc.group]
     # family BASE consensus per position: counts over fragments
     bmask = fc.st == 0

@@ -60,8 +60,24 @@ C2_NAMES = ("c2LP1 c2LP2 c2LPL c2RP1 c2RP2 c2RPL c2LP0 c2RP0 "
 def run_fq(frag_cons, frag_gap_info, famgrp, ref_syms, sscs_table, thres,
            baq, baq2, table, batch, P, cfg, is_normal=False) -> FQResult:
     """frag_cons: GroupConsensus per (fragment, pos, symboltype) from the
-    shared fragment MAX-merge; frag_gap_info: exact-indel info per kept gap
-    event (read, pos, sym, len, is_del, qpos, val)."""
+    shared fragment MAX-merge (or a StaticFragCons handle to rows resident
+    in the .so); frag_gap_info: exact-indel info per kept gap event
+    (read, pos, sym, len, is_del, qpos, val)."""
+    from ..ops import native_rowpile as _nrs
+    if isinstance(frag_cons, _nrs.StaticFragCons):
+        # statics-resident fast path: family merge + sweeps run fully
+        # inside the .so; python sees only sparse good/mut rows.  The
+        # duplex tiers need dense s1 rows, so duplex-flagged inputs take
+        # the fetch path below.
+        if (_nrs.has_statics_path()
+                and not bool(np.any((famgrp.fam_dflag & 0x2) != 0))):
+            out = _run_fq_statics(frag_gap_info, famgrp, ref_syms,
+                                  sscs_table, thres, baq, baq2, batch, P,
+                                  cfg)
+            if out is not None:
+                return out
+        frag_cons = cns.GroupConsensus(
+            *_nrs.fetch_frag_cons(frag_cons.n))
     fam_of_frag = famgrp.fam_of_frag
     fam_strand = famgrp.fam_strand
     fam_dflag = famgrp.fam_dflag
@@ -320,6 +336,149 @@ def run_fq(frag_cons, frag_gap_info, famgrp, ref_syms, sscs_table, thres,
                     vq_cIAQ=vq_cIAQ, vq_cIAD=vq_cIAD, vq_cIDQ=vq_cIDQ,
                     fam_indel=fam_indel, mutforms_fq=mutforms_fq,
                     mutforms_f2q=mutforms_f2q)
+
+
+def _run_fq_statics(frag_gap_info, famgrp, ref_syms, sscs_table, thres,
+                    baq, baq2, batch, P, cfg):
+    """run_fq over the statics-resident fragment rows
+    (updateByAlns3UsingFQ, main.hpp:2832-3594): the family merge, both
+    sweeps and the row scans run inside the .so with zero dense-row
+    materialization; python receives the [P,14,*] planes plus only the
+    sparse good-family and phase-eligible rows.  Returns None when the
+    native merge rejects its input (the caller then fetches the rows and
+    runs the dense path)."""
+    from ..ops import native_rowpile as nr
+    fam_of_frag = famgrp.fam_of_frag
+    res1 = nr.fam_cons_statics(fam_of_frag, famgrp.n_fams,
+                               cfg.fam_thres_highBQ_snv, P)
+    if res1 is None:
+        return None
+    _, fbeg, fend = res1
+    z3 = lambda: np.zeros((P, NS, 2), dtype=np.int64)  # noqa: E731
+    cdp1, cdp12, cdp2, cdp3, cdp21 = z3(), z3(), z3(), z3(), z3()
+    cdpM, cdpm, cdpD = z3(), z3(), z3()
+    gg, gp, gst, gs, gcnt, gtot = nr.fq_sweep1_statics(
+        famgrp.fam_strand, famgrp.fam_dflag, P, cfg,
+        cdp12, cdp21, cdp2, cdp3, cdpm, cdpM)
+    c2info = {nm: np.zeros((P, NS), dtype=np.int64) for nm in C2_NAMES}
+    if len(gg):
+        _c2_bias_sparse(c2info, gg, gp, gst, gs, fbeg, fend, thres, baq,
+                        baq2, P, cfg)
+    ind = (gs >= 7) & (gs <= 12)
+    good_set = set(zip(gg[ind].tolist(), gp[ind].tolist(),
+                       gs[ind].tolist()))
+
+    rescue_add = 0 if cfg.vcf_tumor_fname in (".", "") else 4
+    hist = np.zeros((2, P, NS, NUM_BUCKETS), dtype=np.int64)
+    m2 = nr.fq_sweep2_statics(famgrp.fam_strand, ref_syms, sscs_table,
+                              cdpM, cdpm, P, rescue_add, cfg, cdp1, hist)
+    if m2 is None:
+        raise RuntimeError("fq_sweep2_statics: stale internal table")
+    mutforms_fq, mutforms_f2q = _phase_signatures_sparse(
+        m2, famgrp.fam_strand)
+
+    # duplex tiers are gated off on this path (no 0x2 dflags; see run_fq)
+    ddp1 = np.zeros((P, NS), dtype=np.int64)
+    ddp2 = np.zeros((P, NS), dtype=np.int64)
+    fam_indel = _family_indels(frag_gap_info, None, fam_of_frag, P,
+                               famgrp.frag_of_read, batch,
+                               famgrp.fam_strand, good_set, frozenset(),
+                               famgrp.duplex_pair, frozenset())
+
+    vq_cIAQ = np.zeros((P, NS, 2), dtype=np.int64)
+    vq_cIAD = np.zeros((P, NS, 2), dtype=np.int64)
+    vq_cIDQ = np.zeros((P, NS, 2), dtype=np.int64)
+    refmat = np.broadcast_to(ref_syms[:, None], (P, NS))
+    symmat = np.broadcast_to(np.arange(NS)[None, :], (P, NS))
+    mq_all = sscs_table[refmat, symmat] + rescue_add
+    tot_types = cns.sum_by_symboltype(
+        np.ascontiguousarray(cdp1.transpose(2, 0, 1)))
+    for strand in (0, 1):
+        q, ad, bq = _iid_scan(mq_all, 4, hist[strand], tot_types[strand])
+        vq_cIAQ[:, :, strand] = q
+        vq_cIAD[:, :, strand] = ad
+        vq_cIDQ[:, :, strand] = bq
+
+    return FQResult(cdp1=cdp1, cdp12=cdp12, cdp2=cdp2, cdp3=cdp3,
+                    cdp21=cdp21, cdpM=cdpM, cdpm=cdpm, cdpD=cdpD,
+                    ddp1=ddp1, ddp2=ddp2, c2info=c2info,
+                    vq_cIAQ=vq_cIAQ, vq_cIAD=vq_cIAD, vq_cIDQ=vq_cIDQ,
+                    fam_indel=fam_indel, mutforms_fq=mutforms_fq,
+                    mutforms_f2q=mutforms_f2q)
+
+
+def _phase_signatures_sparse(m2, fam_strand):
+    """_phase_signatures over the sparse phase-eligible rows emitted by
+    fq_sweep2_statics (g, pos, st, sym, confam_ok; sorted by (g,pos,st))."""
+    mg, mp, mst, msym, mok = m2
+    mutforms_fq = {}
+    mutforms_f2q = {}
+    if len(mg) == 0:
+        return mutforms_fq, mutforms_f2q
+    order = np.lexsort((1 - mst, mp, mg))
+    go = mg[order]
+    gstart = np.concatenate([[True], go[1:] != go[:-1]])
+    bounds = np.append(np.flatnonzero(gstart), len(go))
+    for bi in np.flatnonzero(np.diff(bounds) >= 2):
+        lo, hi = int(bounds[bi]), int(bounds[bi + 1])
+        rows = order[lo:hi]
+        sig = tuple(zip(mp[rows].tolist(), msym[rows].tolist()))
+        strand = int(fam_strand[int(go[lo])])
+        mutforms_fq.setdefault(sig, [0, 0])[strand] += 1
+        rows_cf = rows[mok[rows] != 0]
+        if len(rows_cf) >= 2:
+            sig2 = tuple(zip(mp[rows_cf].tolist(), msym[rows_cf].tolist()))
+            mutforms_f2q.setdefault(sig2, [0, 0])[strand] += 1
+    return mutforms_fq, mutforms_f2q
+
+
+def _c2_bias_sparse(c2info, g, pos, st, sym, fbeg, fend, thres, baq, baq2,
+                    P, cfg):
+    """_c2_bias over the sparse good-family rows (statics path); fbeg/fend
+    come from the native family merge instead of a dense row scan."""
+    is_gap = st == 1
+    l_nb = np.maximum(pos + 1 - fbeg[g], 0)
+    r_nb = np.maximum(fend[g] + 1 - pos, 0)
+
+    const_LPxT = np.where(is_gap, thres.aLPxT[pos],
+                          np.minimum(thres.aLPxT[pos], thres.aRPxT[pos]))
+    is_far = (l_nb >= const_LPxT) & (r_nb >= thres.aRPxT[pos])
+
+    def bidir(prefix, nl, nr, L1, L2, R1, R2, mask):
+        l1 = mask & (nl >= L1)
+        l2 = mask & (nl >= L2)
+        r1 = mask & (nr >= R1)
+        r2 = mask & (nr >= R2)
+        fast_add_at(c2info[prefix[0] + "1"], (pos[l1], sym[l1]), 1)
+        fast_add_at(c2info[prefix[0] + "2"], (pos[l2], sym[l2]), 1)
+        fast_add_at(c2info[prefix[1] + "1"], (pos[r1], sym[r1]), 1)
+        fast_add_at(c2info[prefix[1] + "2"], (pos[r2], sym[r2]), 1)
+        fast_add_at(c2info[prefix[0] + "L"], (pos[mask], sym[mask]), nl[mask])
+        fast_add_at(c2info[prefix[1] + "L"], (pos[mask], sym[mask]), nr[mask])
+
+    bidir(("c2LP", "c2RP"), l_nb, r_nb,
+          thres.aLP1t[pos], thres.aLP2t[pos],
+          thres.aRP1t[pos], thres.aRP2t[pos], is_far)
+    m0l = l_nb >= cfg.bias_thres_strict_c2LRP0
+    fast_add_at(c2info["c2LP0"], (pos[m0l], sym[m0l]), 1)
+    m0r = r_nb >= cfg.bias_thres_strict_c2LRP0
+    fast_add_at(c2info["c2RP0"], (pos[m0r], sym[m0r]), 1)
+
+    from ..constants import MAX_STR_N_BASES
+    lo = np.maximum(fbeg[g], np.maximum(pos - MAX_STR_N_BASES, 0))
+    hi = np.minimum(np.minimum(fend[g], pos + MAX_STR_N_BASES), P - 1)
+    l_baq = baq[pos] - baq[np.clip(lo, 0, P - 1)] + 1
+    r_baq_ = baq[np.clip(hi, 0, P - 1)] - baq[pos] + 1
+    r_baq = np.where(is_gap,
+                     np.minimum(r_baq_,
+                                baq2[np.clip(hi, 0, P - 1)] - baq2[pos] + 7),
+                     r_baq_)
+    thr_baq = cfg.bias_thres_highBAQ + np.where(is_gap, 0, 3)
+    una = (l_baq >= thr_baq) & (r_baq >= thr_baq)
+    bidir(("c2LB", "c2RB"), l_baq, r_baq,
+          cfg.bias_thres_BAQ1, cfg.bias_thres_BAQ2,
+          cfg.bias_thres_BAQ1, cfg.bias_thres_BAQ2, una)
+    fast_add_at(c2info["c2BQ2"], (pos, sym), 1)
 
 
 def _merge_lookup(key_t, kv, key_q):

@@ -159,15 +159,38 @@ def reduce_consensus2(group, pos, sym, val, filt, P):
     return uniq, cons1, cons2
 
 
+class StaticFragCons:
+    """Handle to fragment-consensus rows resident in the .so's
+    thread_local statics (frag_cons_direct(fetch=False)).  Valid on the
+    producing thread until the next consensus-producing kernel call; use
+    fetch_frag_cons() to materialize the rows for the fallback paths."""
+
+    __slots__ = ("n",)
+
+    def __init__(self, n):
+        self.n = int(n)
+
+
+def fetch_frag_cons(n):
+    """Copy the resident consensus rows out as the usual 6-tuple."""
+    lib = _load()
+    cons = tuple(np.empty(n, dtype=np.int64) for _ in range(6))
+    lib.rc_fetch_consensus(*(a.ctypes.data_as(ctypes.c_void_p)
+                             for a in cons))
+    return cons
+
+
 def frag_cons_direct(allev, frag_of_read, n_frags, P,
-                     link_m_overridden=True):
+                     link_m_overridden=True, fetch=True):
     """Sort-free fragment MAX-merge: k-way merges the per-read event
     streams (strictly key-sorted within each read) per fragment instead of
     radix-sorting the whole event table.  Exact parity with
     reduce_consensus(mode=max) -- same row order, same consensus rule.
-    Returns a 6-tuple of consensus arrays, or None when the kernel is
-    unavailable, the event table has no stream map, or a stream violates
-    the per-read sort invariant (caller falls back to the sorting path)."""
+    Returns a 6-tuple of consensus arrays (or, with fetch=False, a
+    StaticFragCons handle leaving the rows resident in the .so), or None
+    when the kernel is unavailable, the event table has no stream map, or
+    a stream violates the per-read sort invariant (caller falls back to
+    the sorting path)."""
     lib = _load()
     so = getattr(allev, "stream_off", None)
     if lib is None or not hasattr(lib, "frag_cons_direct") or so is None:
@@ -187,10 +210,137 @@ def frag_cons_direct(allev, frag_of_read, n_frags, P,
         ctypes.c_int64(1 if link_m_overridden else 0))
     if nrows < 0:
         return None
-    cons = tuple(np.empty(nrows, dtype=np.int64) for _ in range(6))
-    lib.rc_fetch_consensus(*(a.ctypes.data_as(ctypes.c_void_p)
-                             for a in cons))
-    return cons
+    if not fetch:
+        return StaticFragCons(nrows)
+    return fetch_frag_cons(nrows)
+
+
+def has_statics_path():
+    """True when the statics-resident pass_d + family chain is built."""
+    lib = _load()
+    return lib is not None and all(
+        hasattr(lib, nm) for nm in
+        ("pass_d_statics", "fam_cons_statics", "fq_sweep1_statics",
+         "fq_sweep2_statics"))
+
+
+def pass_d_statics(bg, aDP4, ref_syms, frag_strand, normMQ, P, n_frags,
+                   highbq_thres, mut_window):
+    """pass_d_kernel over the resident rows; returns (bdp, bta, btb, hist,
+    vq_bMQ, (mut frag,pos,st,sym), (win frag,pos,sym)) or None."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "pass_d_statics"):
+        return None
+    bdp = np.zeros((P, 14, 2), dtype=np.int64)
+    bta = np.zeros((P, 14, 2), dtype=np.int64)
+    btb = np.zeros((P, 14, 2), dtype=np.int64)
+    vq_bmq = np.zeros((P, 14), dtype=np.int64)
+    hist = np.zeros((P, 14, 16), dtype=np.int64)
+    counts = np.zeros(2, dtype=np.int64)
+
+    def cp(a, dt=np.int64):
+        return np.ascontiguousarray(a, dtype=dt).ctypes.data_as(
+            ctypes.c_void_p)
+
+    rc = lib.pass_d_statics(
+        cp(bg), cp(aDP4), cp(ref_syms), cp(frag_strand), cp(normMQ),
+        ctypes.c_int64(P), ctypes.c_int64(int(n_frags)),
+        ctypes.c_int64(highbq_thres), ctypes.c_int64(mut_window),
+        bdp.ctypes.data_as(ctypes.c_void_p),
+        bta.ctypes.data_as(ctypes.c_void_p),
+        btb.ctypes.data_as(ctypes.c_void_p),
+        vq_bmq.ctypes.data_as(ctypes.c_void_p),
+        hist.ctypes.data_as(ctypes.c_void_p),
+        counts.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        raise RuntimeError("pass_d_statics failed")
+    n_mut, n_win = int(counts[0]), int(counts[1])
+    mut = tuple(np.empty(n_mut, dtype=np.int64) for _ in range(4))
+    lib.pass_d_fetch_mut(*(a.ctypes.data_as(ctypes.c_void_p) for a in mut))
+    win = tuple(np.empty(n_win, dtype=np.int64) for _ in range(3))
+    lib.pass_d_fetch_win(*(a.ctypes.data_as(ctypes.c_void_p) for a in win))
+    return bdp, bta, btb, hist, vq_bmq, mut, win
+
+
+def fam_cons_statics(fam_of_frag, n_fams, highbq_snv, P):
+    """Family merge over the resident rows; returns (n_famcov_uniques,
+    fbeg [n_fams], fend [n_fams]) or None on a validation failure (the
+    rows are then restored for fetch_frag_cons)."""
+    lib = _load()
+    fbeg = np.empty(int(n_fams), dtype=np.int64)
+    fend = np.empty(int(n_fams), dtype=np.int64)
+    fam_of_frag = np.ascontiguousarray(fam_of_frag, dtype=np.int64)
+    lib.fam_cons_statics.restype = ctypes.c_int64
+    w1 = lib.fam_cons_statics(
+        fam_of_frag.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(len(fam_of_frag)), ctypes.c_int64(int(n_fams)),
+        ctypes.c_int64(highbq_snv), ctypes.c_int64(P),
+        fbeg.ctypes.data_as(ctypes.c_void_p),
+        fend.ctypes.data_as(ctypes.c_void_p))
+    if w1 < 0:
+        return None
+    return int(w1), fbeg, fend
+
+
+def fq_sweep1_statics(fam_strand, fam_dflag, P, cfg, cdp12, cdp21, cdp2,
+                      cdp3, cdpm, cdpM):
+    """Sweep 1 over the resident famcov consensus; fills the cdp planes
+    and returns the sparse good-family rows (g, pos, st, sym, cnt, tot)."""
+    lib = _load()
+
+    def cp(a, dt=np.int64):
+        return np.ascontiguousarray(a, dtype=dt).ctypes.data_as(
+            ctypes.c_void_p)
+
+    lib.fq_sweep1_statics.restype = ctypes.c_int64
+    n_good = lib.fq_sweep1_statics(
+        cp(fam_strand), cp(fam_dflag), ctypes.c_int64(P),
+        ctypes.c_int64(cfg.fam_thres_dup1add),
+        ctypes.c_int64(cfg.fam_thres_dup1perc),
+        ctypes.c_int64(cfg.fam_thres_dup2add),
+        ctypes.c_int64(cfg.fam_thres_dup2perc),
+        ctypes.c_int64(cfg.fam_flag),
+        ctypes.c_int64(cfg.fam_thres_emperr_all_flat_snv),
+        ctypes.c_int64(cfg.fam_thres_emperr_con_perc_snv),
+        ctypes.c_int64(cfg.fam_thres_emperr_all_flat_indel),
+        ctypes.c_int64(cfg.fam_thres_emperr_con_perc_indel),
+        cdp12.ctypes.data_as(ctypes.c_void_p),
+        cdp21.ctypes.data_as(ctypes.c_void_p),
+        cdp2.ctypes.data_as(ctypes.c_void_p),
+        cdp3.ctypes.data_as(ctypes.c_void_p),
+        cdpm.ctypes.data_as(ctypes.c_void_p),
+        cdpM.ctypes.data_as(ctypes.c_void_p))
+    good = tuple(np.empty(int(n_good), dtype=np.int64) for _ in range(6))
+    lib.fq_fetch_good(*(a.ctypes.data_as(ctypes.c_void_p) for a in good))
+    return good
+
+
+def fq_sweep2_statics(fam_strand, ref_syms, sscs_table, cdpM, cdpm, P,
+                      rescue_add, cfg, cdp1, hist):
+    """Sweep 2 over the resident fammmm consensus; fills cdp1/hist and
+    returns the sparse phase-eligible rows (g, pos, st, sym, confam_ok),
+    or None on a stale-table state."""
+    lib = _load()
+
+    def cp(a, dt=np.int64):
+        return np.ascontiguousarray(a, dtype=dt).ctypes.data_as(
+            ctypes.c_void_p)
+
+    lib.fq_sweep2_statics.restype = ctypes.c_int64
+    n_mut = lib.fq_sweep2_statics(
+        cp(fam_strand), cp(ref_syms), cp(sscs_table), cp(cdpM), cp(cdpm),
+        ctypes.c_int64(P), ctypes.c_int64(rescue_add),
+        ctypes.c_int64(cfg.fam_phred_indel_inc_before_barcode_labeling),
+        ctypes.c_int64(cfg.fam_thres_dup1add),
+        ctypes.c_int64(cfg.fam_thres_dup1perc),
+        ctypes.c_int64(cfg.bias_thres_highBQ),
+        cdp1.ctypes.data_as(ctypes.c_void_p),
+        hist.ctypes.data_as(ctypes.c_void_p))
+    if n_mut < 0:
+        return None
+    mut = tuple(np.empty(int(n_mut), dtype=np.int64) for _ in range(5))
+    lib.fq_fetch_mut2(*(a.ctypes.data_as(ctypes.c_void_p) for a in mut))
+    return mut
 
 
 def pass_d_native(gc, bg, aDP4, ref_syms, frag_strand, normMQ, P, n_frags,
@@ -271,7 +421,9 @@ def pass_c_native(allev, table, baq, baq2, thres, off, P, cfg, dflag):
         cfg.microadjust_nobias_pos_indel_maxlen, MAX_INSERT_SIZE, 0],
         dtype=np.int64)
 
-    out = np.zeros((len(PLANES), P, 14), dtype=np.int64)
+    # [P,14,N_PLANES]: the kernel accumulates in place (calloc-zeroed
+    # pages, no kernel-side staging/transpose); planes are strided views
+    out = np.zeros((P, 14, len(PLANES)), dtype=np.int64)
 
     def cp(a):
         return np.ascontiguousarray(a).ctypes.data_as(ctypes.c_void_p)
@@ -299,7 +451,7 @@ def pass_c_native(allev, table, baq, baq2, thres, off, P, cfg, dflag):
         ctypes.c_int64(P), out.ctypes.data_as(ctypes.c_void_p))
     if rc != 0:
         raise RuntimeError("pass_c_kernel failed")
-    return {nm: out[i] for i, nm in enumerate(PLANES)}
+    return {nm: out[:, :, i] for i, nm in enumerate(PLANES)}
 
 
 PASS_A_PLANES = ("a_pcr_dp a_umi_dp a_dp a_qlen a_XM1500 a_GO1500 a_GAPLEN "

@@ -1016,20 +1016,26 @@ def pass_c_scatter(allev: EventValues, table, baq, baq2, thres: SegThres,
 
 
 def _pass_d_frag_indel(gap_info, frag_of_read, g_frag, g_pos, g_st,
-                       con_sym, batch, frag_strand=None):
+                       con_sym, batch, frag_strand=None, win_key=None):
     """Exact indel consensus per fragment (first max-val gap event of the
     fragment matching the winning (pos, sym)).  Counts per strand when
     frag_strand is given: {(pos,sym): {key: [fwd, rev]}} (the reference's
-    per-strand PosToIseqToData/PosToDlenToData maps)."""
+    per-strand PosToIseqToData/PosToDlenToData maps).  win_key, when
+    given, is the precomputed {(frag,pos,sym)} indel-winner set (the
+    statics-resident pass_d emits it sparsely)."""
     frag_indel = {}
     gk_read, gk_pos, gsym, gk_len, gk_del, gk_qpos, g_val = gap_info
     if len(gk_read):
         gfrag = frag_of_read[gk_read]
-        win_ins = (g_st == 1) & np.isin(con_sym, (10, 11, 12))
-        win_del = (g_st == 1) & np.isin(con_sym, (7, 8, 9))
-        win_key = dict()
-        for i in np.flatnonzero(win_ins | win_del):
-            win_key[(int(g_frag[i]), int(g_pos[i]), int(con_sym[i]))] = None
+        if win_key is not None:
+            win_key = dict.fromkeys(win_key)
+        else:
+            win_ins = (g_st == 1) & np.isin(con_sym, (10, 11, 12))
+            win_del = (g_st == 1) & np.isin(con_sym, (7, 8, 9))
+            win_key = dict()
+            for i in np.flatnonzero(win_ins | win_del):
+                win_key[(int(g_frag[i]), int(g_pos[i]),
+                         int(con_sym[i]))] = None
         for j in range(len(gk_read)):
             k = (int(gfrag[j]), int(gk_pos[j]), int(gsym[j]))
             if k in win_key and win_key[k] is None:
@@ -1074,6 +1080,25 @@ def _pass_d_mutforms(g_frag, g_pos, g_st, con_sym, is_mut, frag_strand):
     return mutforms
 
 
+def _pass_d_mutforms_sparse(mf, mp, mst, msym, frag_strand):
+    """_pass_d_mutforms over the SPARSE mut rows emitted by the
+    statics-resident pass_d (rows arrive sorted by (frag, pos, st))."""
+    mutforms = {}
+    if len(mf) == 0:
+        return mutforms
+    starts = np.concatenate([[True], mf[1:] != mf[:-1]])
+    bounds = np.append(np.flatnonzero(starts), len(mf))
+    for bi in np.flatnonzero(np.diff(bounds) >= 2):
+        lo, hi = int(bounds[bi]), int(bounds[bi + 1])
+        poss = mp[lo:hi]
+        sts = mst[lo:hi]
+        osel = np.lexsort((1 - sts, poss))
+        sig = tuple(zip(poss[osel].tolist(), msym[lo:hi][osel].tolist()))
+        cnts = mutforms.setdefault(sig, [0, 0])
+        cnts[int(frag_strand[int(mf[lo])])] += 1
+    return mutforms
+
+
 def pass_d_fragments(allev: EventValues, gap_info, table, ref_syms,
                      frag_of_read, frag_strand, P, cfg, info: SegInfo,
                      bg: np.ndarray, frag_gc=None, batch=None,
@@ -1083,7 +1108,6 @@ def pass_d_fragments(allev: EventValues, gap_info, table, ref_syms,
     the family engine."""
     e = allev
     n_frags = int(frag_of_read.max()) + 1 if len(frag_of_read) else 0
-    frag = frag_of_read[e.read]
     NS = NUM_SYMBOLS
 
     if len(e.pos) == 0:
@@ -1092,15 +1116,6 @@ def pass_d_fragments(allev: EventValues, gap_info, table, ref_syms,
                 np.zeros((P, NS, NUM_BUCKETS), dtype=np.int64),
                 np.zeros((P, NS), dtype=np.int64), {}, {})
 
-    # segment max over (frag, pos, sym), then consensus per (frag, pos, st)
-    from . import consensus as cns
-    if frag_gc is None:
-        _, frag_gc = cns.reduce_and_consensus(frag, e.pos, e.sym, e.val, P,
-                                              "max", link_m_overridden=True)
-    gc = frag_gc
-    con_sym, con_cnt, tot = gc.con_sym, gc.con_cnt, gc.tot
-    g_pos, g_frag, g_st = gc.pos, gc.group, gc.st
-
     # normMQ per fragment
     normMQ = np.zeros(n_frags, dtype=np.int64)
     np.maximum.at(normMQ, frag_of_read, table.reads.mapq)
@@ -1108,6 +1123,35 @@ def pass_d_fragments(allev: EventValues, gap_info, table, ref_syms,
     aDP4 = info.aDPff + info.aDPfr + info.aDPrf + info.aDPrr
 
     from ..ops import native_rowpile
+    if isinstance(frag_gc, native_rowpile.StaticFragCons) and use_native:
+        # statics-resident path: the kernel reads the rows in place and
+        # returns only the sparse mut / indel-winner rows
+        out = native_rowpile.pass_d_statics(
+            bg, aDP4, ref_syms, frag_strand, normMQ, P, n_frags,
+            cfg.bias_thres_highBQ, cfg.syserr_mut_region_n_bases)
+        if out is not None:
+            bdp, bta, btb, hist, vq_bMQ, mut_rows, win_rows = out
+            win_key = set(zip(win_rows[0].tolist(), win_rows[1].tolist(),
+                              win_rows[2].tolist()))
+            frag_indel = _pass_d_frag_indel(gap_info, frag_of_read, None,
+                                            None, None, None, batch,
+                                            frag_strand, win_key=win_key)
+            mutforms = _pass_d_mutforms_sparse(*mut_rows,
+                                               frag_strand=frag_strand)
+            return bdp, bta, btb, hist, vq_bMQ, frag_indel, mutforms
+    # segment max over (frag, pos, sym), then consensus per (frag, pos, st)
+    from . import consensus as cns
+    if isinstance(frag_gc, native_rowpile.StaticFragCons):
+        frag_gc = cns.GroupConsensus(
+            *native_rowpile.fetch_frag_cons(frag_gc.n))
+    if frag_gc is None:
+        frag = frag_of_read[e.read]
+        _, frag_gc = cns.reduce_and_consensus(frag, e.pos, e.sym, e.val, P,
+                                              "max", link_m_overridden=True)
+    gc = frag_gc
+    con_sym, con_cnt, tot = gc.con_sym, gc.con_cnt, gc.tot
+    g_pos, g_frag, g_st = gc.pos, gc.group, gc.st
+
     use_native = use_native and native_rowpile.available() and hasattr(
         native_rowpile._load(), "pass_d_kernel")
     if use_native:

@@ -91,9 +91,18 @@ def call_region(batch, ref_syms, region_offset, cfg,
     # shared fragment consensus: sort-free per-fragment stream merge when
     # the native kernel is built (exact parity), else the sorting reduce
     from ..ops import native_rowpile as nr
+    # statics mode keeps the consensus rows inside the .so for the pass-D +
+    # family chain; the consensus-FASTQ emitter reads res.frag_cons much
+    # later (after the statics were reused), so that flag forces a fetch
     fc6 = nr.frag_cons_direct(allev, famgrp.frag_of_read, famgrp.n_frags, P,
-                              link_m_overridden=True)
-    if fc6 is not None:
+                              link_m_overridden=True,
+                              fetch=not nr.has_statics_path()
+                              or bool(cfg.fam_consensus_out_fastq))
+    if isinstance(fc6, nr.StaticFragCons):
+        # rows stay resident in the .so statics: pass_d and the family
+        # chain read them in place (no numpy round trip)
+        frag_gc = fc6
+    elif fc6 is not None:
         frag_gc = cns.GroupConsensus(*fc6)
     else:
         frag = famgrp.frag_of_read[allev.read]
