@@ -2205,6 +2205,329 @@ void fq_fetch_mut2(int64_t *g, int64_t *p, int64_t *st, int64_t *s,
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
+// Fully fused family chain: ONE walk over the resident fragment rows does
+// the family merge, BOTH consensus scans (plain rule) and sweep 1 inline;
+// sweep 2 runs over compact stored rows with con_nfrags/tot_nfrags
+// captured at flush time (so its famcov-unique merge scan disappears).
+// Replaces fam_cons_statics + fq_sweep1_statics + fq_sweep2_statics
+// (4 walks + two materialized unique/consensus table sets) with ~1.3
+// walks and one compact int32 row store.  The fragment rows in rc:: are
+// left untouched (read-only), so a failure never loses them.
+
+namespace fch {
+// pass-2 (sweep 2) compact rows
+static thread_local std::vector<int32_t> s2g, s2p, s2meta, s2cc, s2tt,
+    s2cnf, s2tnf;
+}  // namespace fch
+
+extern "C" {
+
+int64_t fam_chain_statics(
+    const int64_t *fam_of_frag, int64_t n_frags, int64_t n_fams,
+    int64_t highbq_snv, int64_t P,
+    const int64_t *fam_strand, const int64_t *fam_dflag,
+    int64_t dup1add, int64_t dup1perc, int64_t dup2add, int64_t dup2perc,
+    int64_t fam_flag,
+    int64_t emperr_snv, int64_t emperc_snv,
+    int64_t emperr_indel, int64_t emperc_indel,
+    const int64_t *ref_syms, const int64_t *sscs_flat,
+    int64_t rescue_add, int64_t fam_phred_indel_inc, int64_t highbq_thres,
+    int64_t *cdp12, int64_t *cdp21, int64_t *cdp2, int64_t *cdp3,
+    int64_t *cdpm, int64_t *cdpM,         // [P,14,2] zeroed by caller
+    int64_t *cdp1,                        // [P,14,2] zeroed by caller
+    int64_t *hist,                        // [2,P,14,16] zeroed by caller
+    int64_t *fbeg, int64_t *fend,         // [n_fams]
+    int64_t *counts_out                   // [2]: n_good, n_mut
+) {
+    const int64_t NS = 14;
+    const int64_t n = (int64_t)rc::cg.size();
+    const int64_t *frag = rc::cg.data(), *pos = rc::cp_.data();
+    const int64_t *sym = rc::ccs.data(), *con_cnt = rc::ccc.data();
+    const int64_t *tot_in = rc::ctot.data();
+    const bool flag2 = (fam_flag & 0x2) != 0;
+
+    // 1) per-fragment row ranges (rows must be frag-ascending, key-sorted)
+    fcd::soff.assign(n_frags + 1, 0);
+    {
+        int64_t f = 0, prev_f = -1;
+        uint64_t prev_key = 0;
+        for (int64_t i = 0; i < n; i++) {
+            const int64_t fr = frag[i];
+            if (fr < prev_f || fr < 0 || fr >= n_frags) return -1;
+            if ((uint64_t)pos[i] >= (uint64_t)P || (uint64_t)sym[i] >= 14u)
+                return -1;
+            const uint64_t key = ((uint64_t)pos[i] << 4) | (uint64_t)sym[i];
+            if (fr == prev_f && key <= prev_key) return -1;
+            while (f < fr) { fcd::soff[f + 1] = i; f++; }
+            prev_f = fr;
+            prev_key = key;
+        }
+        while (f < n_frags) { fcd::soff[f + 1] = n; f++; }
+    }
+
+    // 2) family -> member fragments + extents
+    fcd::frag_cnt.assign(n_fams + 1, 0);
+    for (int64_t fr = 0; fr < n_frags; fr++) {
+        const int64_t fm = fam_of_frag[fr];
+        if (fm < 0 || fm >= n_fams) return -3;
+        fcd::frag_cnt[fm + 1]++;
+    }
+    for (int64_t fm = 0; fm < n_fams; fm++)
+        fcd::frag_cnt[fm + 1] += fcd::frag_cnt[fm];
+    fcd::frag_read.resize(n_frags);
+    {
+        std::vector<int64_t> fill(fcd::frag_cnt.begin(),
+                                  fcd::frag_cnt.end() - 1);
+        for (int64_t fr = 0; fr < n_frags; fr++)
+            fcd::frag_read[fill[fam_of_frag[fr]]++] = fr;
+    }
+    for (int64_t fm = 0; fm < n_fams; fm++) {
+        int64_t b = INT64_MAX, e = -1;
+        for (int64_t fi = fcd::frag_cnt[fm]; fi < fcd::frag_cnt[fm + 1];
+             fi++) {
+            const int64_t fr = fcd::frag_read[fi];
+            if (fcd::soff[fr] < fcd::soff[fr + 1]) {
+                const int64_t pb = pos[fcd::soff[fr]];
+                const int64_t pe = pos[fcd::soff[fr + 1] - 1];
+                if (pb < b) b = pb;
+                if (pe > e) e = pe;
+            }
+        }
+        fbeg[fm] = b;
+        fend[fm] = e;
+    }
+
+    // 3) merge + inline consensus + sweep 1
+    sres::g1g.clear(); sres::g1p.clear(); sres::g1st.clear();
+    sres::g1s.clear(); sres::g1c.clear(); sres::g1t.clear();
+    fch::s2g.clear(); fch::s2p.clear(); fch::s2meta.clear();
+    fch::s2cc.clear(); fch::s2tt.clear();
+    fch::s2cnf.clear(); fch::s2tnf.clear();
+    const uint64_t NOKEY = ~(uint64_t)0;
+    for (int64_t fm = 0; fm < n_fams; fm++) {
+        const int64_t f_lo = fcd::frag_cnt[fm], f_hi = fcd::frag_cnt[fm + 1];
+        const int64_t strand = fam_strand[fm];
+        const bool umi = (fam_dflag[fm] & 0x1) != 0;
+        // per-(pos,st) consensus state for famcov (1) and fammmm (2)
+        uint64_t cur_ps = NOKEY;   // (pos<<1)|st of the open groups
+        int64_t t1 = 0, bv1 = -1, bs1 = -1;
+        int64_t t2 = 0, bv2 = -1, bs2 = -1;
+        int64_t acc1_win[14];      // famcov count per sym of current pos
+        int64_t sum1_win[2] = {0, 0};
+        int64_t win_pos = -1;
+        auto flush = [&]() {
+            if (cur_ps == NOKEY) return;
+            const int64_t fpos = (int64_t)(cur_ps >> 1);
+            const int64_t fst = (int64_t)(cur_ps & 1);
+            if (t1 > 0) {
+                // sweep 1 on the famcov consensus row
+                const int64_t cs = bs1, cc = bv1;
+                const int64_t idx = (fpos * NS + cs) * 2 + strand;
+                cdp12[idx] += 1;
+                if (t1 == 1) cdp21[idx] += 1;
+                const bool good = t1 >= dup1add
+                    && cc * 100 >= t1 * dup1perc && (umi || flag2);
+                if (good) {
+                    cdp2[idx] += 1;
+                    sres::g1g.push_back(fm);
+                    sres::g1p.push_back(fpos);
+                    sres::g1st.push_back(fst);
+                    sres::g1s.push_back(cs);
+                    sres::g1c.push_back(cc);
+                    sres::g1t.push_back(t1);
+                }
+                if (t1 >= dup2add && cc * 100 >= t1 * dup2perc)
+                    cdp3[idx] += 1;
+                const bool is_base = cs < 6;
+                const int64_t emperr = is_base ? emperr_snv : emperr_indel;
+                const int64_t emperc = is_base ? emperc_snv : emperc_indel;
+                if (t1 >= emperr && cc * 100 >= t1 * emperc) {
+                    cdpm[idx] += t1 - cc;
+                    cdpM[idx] += t1 * (is_base ? 5 : 7);
+                }
+            }
+            if (t2 > 0) {
+                // store the fammmm consensus row for sweep 2, with the
+                // famcov con/tot gathers resolved from the live window
+                fch::s2g.push_back((int32_t)fm);
+                fch::s2p.push_back((int32_t)fpos);
+                fch::s2meta.push_back((int32_t)(bs2 | (fst << 4)
+                                                | (strand << 5)));
+                fch::s2cc.push_back((int32_t)bv2);
+                fch::s2tt.push_back((int32_t)t2);
+                fch::s2cnf.push_back((int32_t)acc1_win[bs2]);
+                fch::s2tnf.push_back((int32_t)sum1_win[fst]);
+            }
+            t1 = 0; bv1 = -1; bs1 = -1;
+            t2 = 0; bv2 = -1; bs2 = -1;
+        };
+        auto feed = [&](uint64_t mk, int64_t acc1, int64_t acc2) {
+            if (acc2 <= 0) return;
+            const int64_t fpos = (int64_t)(mk >> 4);
+            const int64_t s = (int64_t)(mk & 15);
+            const int64_t st = s >= 6 ? 1 : 0;
+            const uint64_t ps = ((uint64_t)fpos << 1) | (uint64_t)st;
+            if (ps != cur_ps) {
+                flush();
+                cur_ps = ps;
+                if (fpos != win_pos) {
+                    for (int k = 0; k < 14; k++) acc1_win[k] = 0;
+                    sum1_win[0] = sum1_win[1] = 0;
+                    win_pos = fpos;
+                }
+            }
+            if (acc1 > 0) {
+                t1 += acc1;
+                if (acc1 > bv1) { bv1 = acc1; bs1 = s; }
+                acc1_win[s] = acc1;
+                sum1_win[st] += acc1;
+            }
+            t2 += acc2;
+            if (acc2 > bv2) { bv2 = acc2; bs2 = s; }
+        };
+        if (f_hi - f_lo == 1) {
+            const int64_t fr = fcd::frag_read[f_lo];
+            for (int64_t i = fcd::soff[fr]; i < fcd::soff[fr + 1]; i++) {
+                const int64_t adj = 2 * con_cnt[i] - tot_in[i];
+                if (adj <= 0) continue;
+                const uint64_t mk = ((uint64_t)pos[i] << 4)
+                    | (uint64_t)sym[i];
+                feed(mk, (rc::cst[i] == 1 || adj >= highbq_snv) ? 1 : 0,
+                     adj);
+            }
+            flush();
+            continue;
+        }
+        fcd::curs.clear();
+        for (int64_t fi = f_lo; fi < f_hi; fi++) {
+            const int64_t fr = fcd::frag_read[fi];
+            if (fcd::soff[fr] < fcd::soff[fr + 1])
+                fcd::curs.push_back({fcd::soff[fr], fcd::soff[fr + 1]});
+        }
+        const int m = (int)fcd::curs.size();
+        if (m == 0) continue;
+        while (true) {
+            uint64_t mk = NOKEY;
+            for (int c = 0; c < m; c++) {
+                const auto &cu = fcd::curs[c];
+                if (cu.i < cu.end) {
+                    const uint64_t k = ((uint64_t)pos[cu.i] << 4)
+                        | (uint64_t)sym[cu.i];
+                    if (k < mk) mk = k;
+                }
+            }
+            if (mk == NOKEY) break;
+            int64_t acc1 = 0, acc2 = 0;
+            for (int c = 0; c < m; c++) {
+                auto &cu = fcd::curs[c];
+                while (cu.i < cu.end
+                       && ((((uint64_t)pos[cu.i] << 4)
+                            | (uint64_t)sym[cu.i]) == mk)) {
+                    const int64_t adj = 2 * con_cnt[cu.i] - tot_in[cu.i];
+                    if (adj > 0) {
+                        acc1 += (rc::cst[cu.i] == 1 || adj >= highbq_snv)
+                            ? 1 : 0;
+                        acc2 += adj;
+                    }
+                    cu.i++;
+                }
+            }
+            feed(mk, acc1, acc2);
+        }
+        flush();
+    }
+
+    // 4) sweep 2 over the stored rows
+    const double INV_LOG10 = 10.0 / std::log(10.0);
+    sres::m2g.clear(); sres::m2p.clear(); sres::m2st.clear();
+    sres::m2s.clear(); sres::m2ok.clear();
+    static const int RP_POW10_N = 256;
+    static thread_local std::vector<double> rp_pow10;
+    if (rp_pow10.empty()) {
+        rp_pow10.resize(RP_POW10_N);
+        for (int q = 0; q < RP_POW10_N; q++)
+            rp_pow10[q] = std::pow(10.0, -(double)q / 10.0);
+    }
+    static thread_local std::vector<int64_t> rp_memo_key;
+    static thread_local std::vector<double> rp_memo_val;
+    rp_memo_key.assign((size_t)(P * NS * 2), INT64_MIN);
+    rp_memo_val.resize((size_t)(P * NS * 2));
+    const int64_t n2 = (int64_t)fch::s2g.size();
+    for (int64_t i = 0; i < n2; i++) {
+        const int64_t g = fch::s2g[i], pos2 = fch::s2p[i];
+        const int32_t meta = fch::s2meta[i];
+        const int64_t con_sym = meta & 15, st = (meta >> 4) & 1;
+        const int64_t strand = (meta >> 5) & 1;
+        const int64_t cc2 = fch::s2cc[i], tt2 = fch::s2tt[i];
+        const int64_t con_nfrags = fch::s2cnf[i];
+        const int64_t tot_nfrags = fch::s2tnf[i];
+        const int64_t idx = (pos2 * NS + con_sym) * 2 + strand;
+        cdp1[idx] += 1;
+        const int64_t avgBQ = tot_nfrags == 0 ? 1
+            : cc2 / (tot_nfrags > 1 ? tot_nfrags : 1);
+        const int64_t major = cdpM[idx];
+        const int64_t minor = cdpm[idx];
+        const double w = 1.0 / ((double)minor + 1.0);
+        double realphred;
+        if (rp_memo_key[idx] == avgBQ) {
+            realphred = rp_memo_val[idx];
+        } else {
+            const double pw = (avgBQ >= 0 && avgBQ < RP_POW10_N)
+                ? rp_pow10[avgBQ] : std::pow(10.0, -(double)avgBQ / 10.0);
+            realphred = -INV_LOG10 * std::log(
+                ((double)minor + w)
+                / ((double)major + (double)minor + w / pw));
+            rp_memo_key[idx] = avgBQ;
+            rp_memo_val[idx] = realphred;
+        }
+        const int64_t indep = (int64_t)std::nearbyint(
+            (double)(2 * con_nfrags - tot_nfrags) * realphred);
+        int64_t confam;
+        if (st == 1) {
+            const int64_t cap = fam_phred_indel_inc
+                + (int64_t)std::nearbyint(realphred);
+            confam = indep < cap ? indep : cap;
+        } else {
+            const int64_t cap = 2 * cc2 - tt2;
+            confam = indep < cap ? indep : cap;
+        }
+        if (confam < 1) confam = 1;
+        const int64_t max_qual =
+            sscs_flat[ref_syms[pos2] * NS + con_sym] + rescue_add;
+        const int64_t confam2 = confam < max_qual ? confam : max_qual;
+        if (tot_nfrags >= dup1add) {
+            int64_t d = max_qual - confam2 + 2;
+            int64_t pb = d >= 0 ? d / 4 : -((-d + 3) / 4);
+            if (pb < 0) pb = 0;
+            if (pb > 15) pb = 15;
+            hist[((strand * P + pos2) * NS + con_sym) * 16 + pb] += 1;
+        }
+        bool mut;
+        if (st == 0) {
+            const int64_t rs = ref_syms[pos2];
+            mut = rs != con_sym && rs < 4 && con_sym < 4
+                && confam >= highbq_thres;
+        } else {
+            mut = con_sym != 6 && con_sym != 13;
+        }
+        if (mut) {
+            sres::m2g.push_back(g);
+            sres::m2p.push_back(pos2);
+            sres::m2st.push_back(st);
+            sres::m2s.push_back(con_sym);
+            sres::m2ok.push_back(
+                (tot_nfrags >= dup1add
+                 && con_nfrags * 100 >= tot_nfrags * dup1perc) ? 1 : 0);
+        }
+    }
+    counts_out[0] = (int64_t)sres::g1g.size();
+    counts_out[1] = (int64_t)sres::m2g.size();
+    return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
 // dp4_to_pcFA (main_conversion.hpp:798-849; numpy reference
 // uvc_tpu/model/dpv._dp4): the bias-engine primitive evaluated ~20 times
 // per region over [P,14] planes.  Split into three stages so the

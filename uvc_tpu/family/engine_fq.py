@@ -349,17 +349,30 @@ def _run_fq_statics(frag_gap_info, famgrp, ref_syms, sscs_table, thres,
     runs the dense path)."""
     from ..ops import native_rowpile as nr
     fam_of_frag = famgrp.fam_of_frag
-    res1 = nr.fam_cons_statics(fam_of_frag, famgrp.n_fams,
-                               cfg.fam_thres_highBQ_snv, P)
-    if res1 is None:
-        return None
-    _, fbeg, fend = res1
     z3 = lambda: np.zeros((P, NS, 2), dtype=np.int64)  # noqa: E731
     cdp1, cdp12, cdp2, cdp3, cdp21 = z3(), z3(), z3(), z3(), z3()
     cdpM, cdpm, cdpD = z3(), z3(), z3()
-    gg, gp, gst, gs, gcnt, gtot = nr.fq_sweep1_statics(
-        famgrp.fam_strand, famgrp.fam_dflag, P, cfg,
-        cdp12, cdp21, cdp2, cdp3, cdpm, cdpM)
+    rescue_add = 0 if cfg.vcf_tumor_fname in (".", "") else 4
+    hist = np.zeros((2, P, NS, NUM_BUCKETS), dtype=np.int64)
+    fused = nr.fam_chain_statics(famgrp, P, cfg, ref_syms, sscs_table,
+                                 rescue_add, cdp12, cdp21, cdp2, cdp3,
+                                 cdpm, cdpM, cdp1, hist)
+    if fused is not None:
+        (gg, gp, gst, gs, gcnt, gtot), m2, fbeg, fend = fused
+    else:
+        res1 = nr.fam_cons_statics(fam_of_frag, famgrp.n_fams,
+                                   cfg.fam_thres_highBQ_snv, P)
+        if res1 is None:
+            return None
+        _, fbeg, fend = res1
+        gg, gp, gst, gs, gcnt, gtot = nr.fq_sweep1_statics(
+            famgrp.fam_strand, famgrp.fam_dflag, P, cfg,
+            cdp12, cdp21, cdp2, cdp3, cdpm, cdpM)
+        m2 = nr.fq_sweep2_statics(famgrp.fam_strand, ref_syms, sscs_table,
+                                  cdpM, cdpm, P, rescue_add, cfg, cdp1,
+                                  hist)
+        if m2 is None:
+            raise RuntimeError("fq_sweep2_statics: stale internal table")
     c2info = {nm: np.zeros((P, NS), dtype=np.int64) for nm in C2_NAMES}
     if len(gg):
         _c2_bias_sparse(c2info, gg, gp, gst, gs, fbeg, fend, thres, baq,
@@ -367,13 +380,6 @@ def _run_fq_statics(frag_gap_info, famgrp, ref_syms, sscs_table, thres,
     ind = (gs >= 7) & (gs <= 12)
     good_set = set(zip(gg[ind].tolist(), gp[ind].tolist(),
                        gs[ind].tolist()))
-
-    rescue_add = 0 if cfg.vcf_tumor_fname in (".", "") else 4
-    hist = np.zeros((2, P, NS, NUM_BUCKETS), dtype=np.int64)
-    m2 = nr.fq_sweep2_statics(famgrp.fam_strand, ref_syms, sscs_table,
-                              cdpM, cdpm, P, rescue_add, cfg, cdp1, hist)
-    if m2 is None:
-        raise RuntimeError("fq_sweep2_statics: stale internal table")
     mutforms_fq, mutforms_f2q = _phase_signatures_sparse(
         m2, famgrp.fam_strand)
 

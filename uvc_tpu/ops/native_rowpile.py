@@ -315,6 +315,65 @@ def fq_sweep1_statics(fam_strand, fam_dflag, P, cfg, cdp12, cdp21, cdp2,
     return good
 
 
+def fam_chain_statics(famgrp, P, cfg, ref_syms, sscs_table, rescue_add,
+                      cdp12, cdp21, cdp2, cdp3, cdpm, cdpM, cdp1, hist):
+    """Fully fused family chain over the resident rows: ONE call does the
+    family merge, both consensus scans, sweep 1 and sweep 2.  Returns
+    (good rows 6-tuple, mut rows 5-tuple, fbeg, fend), or None when the
+    kernel is unavailable or rejects its input (rows stay resident)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "fam_chain_statics"):
+        return None
+    n_fams = int(famgrp.n_fams)
+    fbeg = np.empty(n_fams, dtype=np.int64)
+    fend = np.empty(n_fams, dtype=np.int64)
+    counts = np.zeros(2, dtype=np.int64)
+    fam_of_frag = np.ascontiguousarray(famgrp.fam_of_frag, dtype=np.int64)
+
+    def cp(a, dt=np.int64):
+        return np.ascontiguousarray(a, dtype=dt).ctypes.data_as(
+            ctypes.c_void_p)
+
+    lib.fam_chain_statics.restype = ctypes.c_int64
+    rc = lib.fam_chain_statics(
+        fam_of_frag.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(len(fam_of_frag)), ctypes.c_int64(n_fams),
+        ctypes.c_int64(cfg.fam_thres_highBQ_snv), ctypes.c_int64(P),
+        cp(famgrp.fam_strand), cp(famgrp.fam_dflag),
+        ctypes.c_int64(cfg.fam_thres_dup1add),
+        ctypes.c_int64(cfg.fam_thres_dup1perc),
+        ctypes.c_int64(cfg.fam_thres_dup2add),
+        ctypes.c_int64(cfg.fam_thres_dup2perc),
+        ctypes.c_int64(cfg.fam_flag),
+        ctypes.c_int64(cfg.fam_thres_emperr_all_flat_snv),
+        ctypes.c_int64(cfg.fam_thres_emperr_con_perc_snv),
+        ctypes.c_int64(cfg.fam_thres_emperr_all_flat_indel),
+        ctypes.c_int64(cfg.fam_thres_emperr_con_perc_indel),
+        cp(ref_syms), cp(sscs_table),
+        ctypes.c_int64(rescue_add),
+        ctypes.c_int64(cfg.fam_phred_indel_inc_before_barcode_labeling),
+        ctypes.c_int64(cfg.bias_thres_highBQ),
+        cdp12.ctypes.data_as(ctypes.c_void_p),
+        cdp21.ctypes.data_as(ctypes.c_void_p),
+        cdp2.ctypes.data_as(ctypes.c_void_p),
+        cdp3.ctypes.data_as(ctypes.c_void_p),
+        cdpm.ctypes.data_as(ctypes.c_void_p),
+        cdpM.ctypes.data_as(ctypes.c_void_p),
+        cdp1.ctypes.data_as(ctypes.c_void_p),
+        hist.ctypes.data_as(ctypes.c_void_p),
+        fbeg.ctypes.data_as(ctypes.c_void_p),
+        fend.ctypes.data_as(ctypes.c_void_p),
+        counts.ctypes.data_as(ctypes.c_void_p))
+    if rc < 0:
+        return None
+    n_good, n_mut = int(counts[0]), int(counts[1])
+    good = tuple(np.empty(n_good, dtype=np.int64) for _ in range(6))
+    lib.fq_fetch_good(*(a.ctypes.data_as(ctypes.c_void_p) for a in good))
+    mut = tuple(np.empty(n_mut, dtype=np.int64) for _ in range(5))
+    lib.fq_fetch_mut2(*(a.ctypes.data_as(ctypes.c_void_p) for a in mut))
+    return good, mut, fbeg, fend
+
+
 def fq_sweep2_statics(fam_strand, ref_syms, sscs_table, cdpM, cdpm, P,
                       rescue_add, cfg, cdp1, hist):
     """Sweep 2 over the resident fammmm consensus; fills cdp1/hist and
