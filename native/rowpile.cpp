@@ -2249,6 +2249,7 @@ int64_t fam_chain_statics(
     // 1) per-fragment row ranges (rows must be frag-ascending, key-sorted)
     fcd::soff.assign(n_frags + 1, 0);
     {
+        rcdiag::Phase ph("fch.soff");
         int64_t f = 0, prev_f = -1;
         uint64_t prev_key = 0;
         for (int64_t i = 0; i < n; i++) {
@@ -2298,23 +2299,30 @@ int64_t fam_chain_statics(
     }
 
     // 3) merge + inline consensus + sweep 1
+    rcdiag::Phase *ph_m = new rcdiag::Phase("fch.merge");
     sres::g1g.clear(); sres::g1p.clear(); sres::g1st.clear();
     sres::g1s.clear(); sres::g1c.clear(); sres::g1t.clear();
-    fch::s2g.clear(); fch::s2p.clear(); fch::s2meta.clear();
-    fch::s2cc.clear(); fch::s2tt.clear();
-    fch::s2cnf.clear(); fch::s2tnf.clear();
+    // pointer-written pass-2 rows (upper bound: one per input row)
+    fch::s2g.resize(n); fch::s2p.resize(n); fch::s2meta.resize(n);
+    fch::s2cc.resize(n); fch::s2tt.resize(n);
+    fch::s2cnf.resize(n); fch::s2tnf.resize(n);
+    int32_t *w_g = fch::s2g.data(), *w_p = fch::s2p.data();
+    int32_t *w_meta = fch::s2meta.data(), *w_cc = fch::s2cc.data();
+    int32_t *w_tt = fch::s2tt.data(), *w_cnf = fch::s2cnf.data();
+    int32_t *w_tnf = fch::s2tnf.data();
+    int64_t w2 = 0;
     const uint64_t NOKEY = ~(uint64_t)0;
     for (int64_t fm = 0; fm < n_fams; fm++) {
         const int64_t f_lo = fcd::frag_cnt[fm], f_hi = fcd::frag_cnt[fm + 1];
         const int64_t strand = fam_strand[fm];
         const bool umi = (fam_dflag[fm] & 0x1) != 0;
-        // per-(pos,st) consensus state for famcov (1) and fammmm (2)
+        // per-(pos,st) consensus state for famcov (1) and fammmm (2).
+        // tot_nfrags of the sweep-2 gather IS the famcov group total t1,
+        // and con_nfrags is the famcov count of the fammmm winner,
+        // captured at winner-update time -- no per-position window state.
         uint64_t cur_ps = NOKEY;   // (pos<<1)|st of the open groups
         int64_t t1 = 0, bv1 = -1, bs1 = -1;
-        int64_t t2 = 0, bv2 = -1, bs2 = -1;
-        int64_t acc1_win[14];      // famcov count per sym of current pos
-        int64_t sum1_win[2] = {0, 0};
-        int64_t win_pos = -1;
+        int64_t t2 = 0, bv2 = -1, bs2 = -1, cnf2 = 0;
         auto flush = [&]() {
             if (cur_ps == NOKEY) return;
             const int64_t fpos = (int64_t)(cur_ps >> 1);
@@ -2347,43 +2355,34 @@ int64_t fam_chain_statics(
                 }
             }
             if (t2 > 0) {
-                // store the fammmm consensus row for sweep 2, with the
-                // famcov con/tot gathers resolved from the live window
-                fch::s2g.push_back((int32_t)fm);
-                fch::s2p.push_back((int32_t)fpos);
-                fch::s2meta.push_back((int32_t)(bs2 | (fst << 4)
-                                                | (strand << 5)));
-                fch::s2cc.push_back((int32_t)bv2);
-                fch::s2tt.push_back((int32_t)t2);
-                fch::s2cnf.push_back((int32_t)acc1_win[bs2]);
-                fch::s2tnf.push_back((int32_t)sum1_win[fst]);
+                // store the fammmm consensus row for sweep 2
+                w_g[w2] = (int32_t)fm;
+                w_p[w2] = (int32_t)fpos;
+                w_meta[w2] = (int32_t)(bs2 | (fst << 4) | (strand << 5));
+                w_cc[w2] = (int32_t)bv2;
+                w_tt[w2] = (int32_t)t2;
+                w_cnf[w2] = (int32_t)cnf2;
+                w_tnf[w2] = (int32_t)t1;
+                w2++;
             }
             t1 = 0; bv1 = -1; bs1 = -1;
-            t2 = 0; bv2 = -1; bs2 = -1;
+            t2 = 0; bv2 = -1; bs2 = -1; cnf2 = 0;
         };
         auto feed = [&](uint64_t mk, int64_t acc1, int64_t acc2) {
             if (acc2 <= 0) return;
-            const int64_t fpos = (int64_t)(mk >> 4);
             const int64_t s = (int64_t)(mk & 15);
             const int64_t st = s >= 6 ? 1 : 0;
-            const uint64_t ps = ((uint64_t)fpos << 1) | (uint64_t)st;
+            const uint64_t ps = ((mk >> 4) << 1) | (uint64_t)st;
             if (ps != cur_ps) {
                 flush();
                 cur_ps = ps;
-                if (fpos != win_pos) {
-                    for (int k = 0; k < 14; k++) acc1_win[k] = 0;
-                    sum1_win[0] = sum1_win[1] = 0;
-                    win_pos = fpos;
-                }
             }
             if (acc1 > 0) {
                 t1 += acc1;
                 if (acc1 > bv1) { bv1 = acc1; bs1 = s; }
-                acc1_win[s] = acc1;
-                sum1_win[st] += acc1;
             }
             t2 += acc2;
-            if (acc2 > bv2) { bv2 = acc2; bs2 = s; }
+            if (acc2 > bv2) { bv2 = acc2; bs2 = s; cnf2 = acc1; }
         };
         if (f_hi - f_lo == 1) {
             const int64_t fr = fcd::frag_read[f_lo];
@@ -2437,6 +2436,8 @@ int64_t fam_chain_statics(
         flush();
     }
 
+    delete ph_m;
+    rcdiag::Phase ph_s2("fch.sweep2");
     // 4) sweep 2 over the stored rows
     const double INV_LOG10 = 10.0 / std::log(10.0);
     sres::m2g.clear(); sres::m2p.clear(); sres::m2st.clear();
@@ -2452,7 +2453,7 @@ int64_t fam_chain_statics(
     static thread_local std::vector<double> rp_memo_val;
     rp_memo_key.assign((size_t)(P * NS * 2), INT64_MIN);
     rp_memo_val.resize((size_t)(P * NS * 2));
-    const int64_t n2 = (int64_t)fch::s2g.size();
+    const int64_t n2 = w2;
     for (int64_t i = 0; i < n2; i++) {
         const int64_t g = fch::s2g[i], pos2 = fch::s2p[i];
         const int32_t meta = fch::s2meta[i];
@@ -2522,6 +2523,58 @@ int64_t fam_chain_statics(
     }
     counts_out[0] = (int64_t)sres::g1g.size();
     counts_out[1] = (int64_t)sres::m2g.size();
+    return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Event incvalues for the dense base + LINK_M streams
+// (engine_bq.compute_event_values, Illumina branch of updateByRead1Aln,
+// main.hpp:1877-1935): one pass over the M-base table writes the
+// region-relative positions, symbols, incvalues and default interfering
+// distances straight into the preallocated allev arrays (base rows at
+// [0, n_bases), LINK_M rows at [link_off, ...)), replacing ~20 full-size
+// numpy temporaries.  The sparse streams (gaps, NN pads, proton branches,
+// per-indel-read distance fixes) stay in numpy.
+
+extern "C" {
+
+int event_values_base_link(
+    int64_t n_bases,
+    const int64_t *b_rpos, const int64_t *b_read,
+    const int8_t *b_sym, const uint8_t *b_bq, const uint8_t *b_interior,
+    int64_t off, int64_t add_misma,
+    const int64_t *indelphred,   // [>= P]
+    const int64_t *micro_nogap,  // [n_reads]
+    int64_t P,
+    int64_t *o_pos, int64_t *o_sym, int64_t *o_val, int64_t *o_read,
+    int64_t *o_dist,
+    int64_t link_off
+) {
+    int64_t k = link_off;
+    for (int64_t i = 0; i < n_bases; i++) {
+        const int64_t pos = b_rpos[i] - off;
+        if ((uint64_t)pos >= (uint64_t)P) return -1;
+        const int64_t rd = b_read[i];
+        o_pos[i] = pos;
+        o_sym[i] = b_sym[i];
+        o_val[i] = (int64_t)b_bq[i] + add_misma;
+        o_read[i] = rd;
+        o_dist[i] = 10000;
+        if (b_interior[i]) {
+            const int64_t noindel =
+                imin(indelphred[pos > 0 ? pos - 1 : 0], indelphred[pos]);
+            int64_t v = imin((int64_t)80, noindel) - micro_nogap[rd];
+            if (v < 0) v = 0;
+            o_pos[k] = pos;
+            o_sym[k] = 6;   // LINK_M
+            o_val[k] = v + 1;
+            o_read[k] = rd;
+            o_dist[k] = 10000;
+            k++;
+        }
+    }
     return 0;
 }
 

@@ -177,3 +177,60 @@ def test_statics_resident_chain_parity(tmp_path, umi):
     assert fq_s.fam_indel == fq_d.fam_indel
     assert fq_s.mutforms_fq == fq_d.mutforms_fq
     assert fq_s.mutforms_f2q == fq_d.mutforms_f2q
+
+@pytest.mark.skipif(not nr.available(), reason="native kernels not built")
+def test_event_values_native_parity(tmp_path):
+    """event_values_base_link writes the same allev rows as the numpy
+    base/LINK_M path (incl. the interfering-distance fix-ups on
+    indel-carrying reads)."""
+    from uvc_tpu.constants import CHAR_TO_SYMBOL
+    import uvc_tpu.io.simulate as simulate_mod
+
+    cfg, batch, famgrp, _, P = _prep(tmp_path, depth=50)
+    ref = simulate_mod.random_ref(2500, seed=3)
+    ref_syms = np.asarray(CHAR_TO_SYMBOL)[np.frombuffer(ref.encode(),
+                                                        np.uint8)]
+    tracks = strscan.scan_repeats(
+        ref_syms, cfg.indel_str_repeatsize_max, cfg.indel_vntr_repeatsize_max,
+        cfg.indel_BQ_max, cfg.indel_polymerase_slip_rate,
+        cfg.indel_del_to_ins_err_ratio)
+    kw = dict(indel_str_phred_per_region=cfg.indel_str_phred_per_region,
+              indel_nonSTR_phred_per_base=cfg.indel_nonSTR_phred_per_base,
+              indel_polymerase_size=cfg.indel_polymerase_size)
+    baq = strscan.baq_offsets(tracks, use_anyTR=True, **kw)
+    baq2 = strscan.baq_offsets(tracks, use_anyTR=False, **kw)
+    table = events.expand(batch)
+    dflag = famgrp.frag_dflag[famgrp.frag_of_read]
+    prep = engine_bq.pass_a_prep(table, batch, ref_syms, tracks, baq, 0, P,
+                                 cfg, dflag)
+    thres = engine_bq.pass_b_thres(prep, tracks, cfg, False)
+
+    got, ginfo = engine_bq.compute_event_values(
+        table, batch, ref_syms, tracks, baq, baq2, prep, thres, 0, P, cfg,
+        dflag)
+    lib = nr._load()
+    saved = lib.event_values_base_link
+    try:
+        delattr(type(lib), "event_values_base_link")
+    except AttributeError:
+        pass
+    import ctypes
+    # hide the symbol so the python path runs
+    class _NoEv:
+        def __getattr__(self, nm):
+            if nm == "event_values_base_link":
+                raise AttributeError(nm)
+            return getattr(lib, nm)
+    nr._LIB = _NoEv()
+    try:
+        want, winfo = engine_bq.compute_event_values(
+            table, batch, ref_syms, tracks, baq, baq2, prep, thres, 0, P,
+            cfg, dflag)
+    finally:
+        nr._LIB = lib
+    for nm in ("pos", "sym", "val", "read", "is_gap", "cigar_op",
+               "indel_len", "dist", "stream_off"):
+        np.testing.assert_array_equal(getattr(want, nm), getattr(got, nm),
+                                      err_msg=nm)
+    for a, b in zip(winfo, ginfo):
+        np.testing.assert_array_equal(a, b)

@@ -212,8 +212,11 @@ def _process_region_chunk(idxs, ctx):
         rend = min(plan.end - plan.ext_beg, F["P"])
         lines = []
         if not is_normal:
+            t1e = (plan.t1_end - plan.ext_beg if plan.t1_end > 0
+                   else F["P"])
             lines += [(_line_pos(l), 0, l) for l in aux_records.emit_mgvcf(
-                F, res, cfg, chrom, refstring, plan.ext_beg, rbeg, rend)]
+                F, res, cfg, chrom, refstring, plan.ext_beg, rbeg, rend,
+                t1_end=t1e)]
             lines += [(_line_pos(l), 1, l) for l in
                       aux_records.emit_indel_candidates(
                           F, res, cfg, chrom, refstring, plan.ext_beg,

@@ -559,10 +559,22 @@ def compute_event_values(table, batch, ref_syms, tracks, baq, baq2,
     iv, ioffs = ev.interfering_indel_rposs(table, batch,
                                            cfg.bias_thres_interfering_indel_BQ)
 
+    # native fast path for the dense base + LINK_M streams (Illumina):
+    # the kernel writes the final allev rows directly (no temporaries, no
+    # concatenate); proton branches and sparse streams stay in numpy
+    from ..ops import native_rowpile as _nr
+    _lib_ev = _nr._load()
+    use_nat_ev = (not is_proton and _lib_ev is not None
+                  and hasattr(_lib_ev, "event_values_base_link"))
+
     # ---- base events
-    b_pos = (b.rpos - off).astype(np.int64)
-    b_val = b.bq.astype(np.int64) + add_misma
-    if is_proton:
+    base_ev = link_ev = None
+    if use_nat_ev:
+        b_pos = None
+    else:
+        b_pos = (b.rpos - off).astype(np.int64)
+        b_val = b.bq.astype(np.int64) + add_misma
+    if not use_nat_ev and is_proton:
         # IonTorrent: bases flanking a gap op take the min of their own BQ
         # and the neighbor-away-from-the-gap BQ, with the indel phred-add
         # when the adjacent gap is short (main.hpp:1952-1974)
@@ -599,47 +611,51 @@ def compute_event_values(table, batch, ref_syms, tracks, baq, baq2,
         b_val = np.where(boundary,
                          np.minimum(b.bq.astype(np.int64), nb_bq) + add_b,
                          b_val)
-    # the distance only matters for events of reads that contain indels
-    # (main.hpp:1897: dist_to_interfering_indel is queried under
-    # bam_aux_get NGE>0); computing it just for those rows is exactly
-    # equivalent to the dense np.where and skips the per-event
-    # searchsorted entirely on indel-free pileups
-    need = np.flatnonzero(r.nge_cnt[b.read] > 0)
-    b_dist = np.full(len(b.read), 10000, dtype=np.int64)
-    if len(need):
-        prev, nxt = _searchsorted_per_read(iv, ioffs, b.read[need],
-                                           b.rpos[need], n)
-        b_dist[need] = _dist_to_interfering(table, tracks, thres, prev, nxt,
-                                            b.rpos[need], off, cfg)
-    base_ev = EventValues(pos=b_pos, sym=b.sym.astype(np.int64), val=b_val,
-                          read=b.read, is_gap=np.zeros(len(b_pos), bool),
-                          cigar_op=np.zeros(len(b_pos), np.int64),
-                          indel_len=np.zeros(len(b_pos), np.int64),
-                          dist=b_dist)
+    if not use_nat_ev:
+        # the distance only matters for events of reads that contain indels
+        # (main.hpp:1897: dist_to_interfering_indel is queried under
+        # bam_aux_get NGE>0); computing it just for those rows is exactly
+        # equivalent to the dense np.where and skips the per-event
+        # searchsorted entirely on indel-free pileups
+        need = np.flatnonzero(r.nge_cnt[b.read] > 0)
+        b_dist = np.full(len(b.read), 10000, dtype=np.int64)
+        if len(need):
+            prev, nxt = _searchsorted_per_read(iv, ioffs, b.read[need],
+                                               b.rpos[need], n)
+            b_dist[need] = _dist_to_interfering(table, tracks, thres, prev,
+                                                nxt, b.rpos[need], off, cfg)
+        base_ev = EventValues(pos=b_pos, sym=b.sym.astype(np.int64),
+                              val=b_val, read=b.read,
+                              is_gap=np.zeros(len(b_pos), bool),
+                              cigar_op=np.zeros(len(b_pos), np.int64),
+                              indel_len=np.zeros(len(b_pos), np.int64),
+                              dist=b_dist)
 
-    # ---- interior LINK_M events (i2 > 0 in an M run)
-    im = b.interior
-    noindel = np.minimum(tracks.indelphred[np.maximum(b_pos[im] - 1, 0)],
-                         tracks.indelphred[b_pos[im]])
-    if is_proton:
-        # qfromBQ2 = min(BQ[qpos-1], BQ[qpos]) (main.hpp:1922)
-        q_im = b.qpos[im].astype(np.int64)
-        rd_im = b.read[im]
-        bq_here = b.bq[im].astype(np.int64)
-        bq_prev_im = batch.qual[np.clip(batch.seq_off[rd_im] + q_im - 1, 0,
-                                        len(batch.qual) - 1)].astype(np.int64)
-        qfromBQ2_m = np.minimum(bq_here, bq_prev_im)
-    else:
-        qfromBQ2_m = 80
-    lm_val = np.maximum(np.minimum(qfromBQ2_m, noindel)
-                        - micro_nogap_penal[b.read[im]], 0) + 1
-    link_ev = EventValues(pos=b_pos[im],
-                          sym=np.full(int(im.sum()), int(Symbol.LINK_M), np.int64),
-                          val=lm_val, read=b.read[im],
-                          is_gap=np.ones(int(im.sum()), bool),
-                          cigar_op=np.zeros(int(im.sum()), np.int64),
-                          indel_len=np.zeros(int(im.sum()), np.int64),
-                          dist=b_dist[im])
+        # ---- interior LINK_M events (i2 > 0 in an M run)
+        im = b.interior
+        noindel = np.minimum(tracks.indelphred[np.maximum(b_pos[im] - 1, 0)],
+                             tracks.indelphred[b_pos[im]])
+        if is_proton:
+            # qfromBQ2 = min(BQ[qpos-1], BQ[qpos]) (main.hpp:1922)
+            q_im = b.qpos[im].astype(np.int64)
+            rd_im = b.read[im]
+            bq_here = b.bq[im].astype(np.int64)
+            bq_prev_im = batch.qual[np.clip(
+                batch.seq_off[rd_im] + q_im - 1, 0,
+                len(batch.qual) - 1)].astype(np.int64)
+            qfromBQ2_m = np.minimum(bq_here, bq_prev_im)
+        else:
+            qfromBQ2_m = 80
+        lm_val = np.maximum(np.minimum(qfromBQ2_m, noindel)
+                            - micro_nogap_penal[b.read[im]], 0) + 1
+        link_ev = EventValues(
+            pos=b_pos[im],
+            sym=np.full(int(im.sum()), int(Symbol.LINK_M), np.int64),
+            val=lm_val, read=b.read[im],
+            is_gap=np.ones(int(im.sum()), bool),
+            cigar_op=np.zeros(int(im.sum()), np.int64),
+            indel_len=np.zeros(int(im.sum()), np.int64),
+            dist=b_dist[im])
 
     # ---- gap events (edge-gated)
     keep = g.nbases2end >= cfg.indel_filter_edge_dist
@@ -813,6 +829,72 @@ def compute_event_values(table, batch, ref_syms, tracks, baq, baq2,
                 cigar_op=np.full(int(ok.sum()), 2, np.int64),
                 indel_len=d_len[owner][ok].astype(np.int64),
                 dist=d_dist[owner][ok]))
+
+    if use_nat_ev:
+        import ctypes
+        n_base = len(b.rpos)
+        n_link = int(b.interior.sum())
+        tails = [gap_ev] + nn_list
+        N = n_base + n_link + sum(len(k.pos) for k in tails)
+        a_pos = np.empty(N, np.int64)
+        a_sym = np.empty(N, np.int64)
+        a_val = np.empty(N, np.int64)
+        a_read = np.empty(N, np.int64)
+        a_dist = np.empty(N, np.int64)
+        a_isgap = np.zeros(N, bool)
+        a_cop = np.zeros(N, np.int64)
+        a_il = np.zeros(N, np.int64)
+
+        def _vp(a):
+            return a.ctypes.data_as(ctypes.c_void_p)
+
+        rc_ev = _lib_ev.event_values_base_link(
+            ctypes.c_int64(n_base),
+            _vp(np.ascontiguousarray(b.rpos, np.int64)),
+            _vp(np.ascontiguousarray(b.read, np.int64)),
+            _vp(np.ascontiguousarray(b.sym, np.int8)),
+            _vp(np.ascontiguousarray(b.bq, np.uint8)),
+            _vp(np.ascontiguousarray(b.interior, np.uint8)),
+            ctypes.c_int64(off), ctypes.c_int64(add_misma),
+            _vp(np.ascontiguousarray(tracks.indelphred, np.int64)),
+            _vp(np.ascontiguousarray(micro_nogap_penal, np.int64)),
+            ctypes.c_int64(P),
+            _vp(a_pos), _vp(a_sym), _vp(a_val), _vp(a_read), _vp(a_dist),
+            ctypes.c_int64(n_base))
+        if rc_ev != 0:
+            raise ValueError("event_values_base_link: base position "
+                             "outside region window")
+        a_isgap[n_base:n_base + n_link] = True
+        # interfering-indel distance fix-ups (indel-carrying reads only)
+        need = np.flatnonzero(r.nge_cnt[b.read] > 0)
+        if len(need):
+            prev, nxt = _searchsorted_per_read(iv, ioffs, b.read[need],
+                                               b.rpos[need], n)
+            a_dist[need] = _dist_to_interfering(
+                table, tracks, thres, prev, nxt, b.rpos[need], off, cfg)
+            lidx = np.cumsum(b.interior) - 1
+            nm = need[b.interior[need]]
+            a_dist[n_base + lidx[nm]] = a_dist[nm]
+        o = n_base + n_link
+        for k in tails:
+            m = len(k.pos)
+            a_pos[o:o + m] = k.pos
+            a_sym[o:o + m] = k.sym
+            a_val[o:o + m] = k.val
+            a_read[o:o + m] = k.read
+            a_dist[o:o + m] = k.dist
+            a_isgap[o:o + m] = k.is_gap
+            a_cop[o:o + m] = k.cigar_op
+            a_il[o:o + m] = k.indel_len
+            o += m
+        allev = EventValues(
+            pos=a_pos, sym=a_sym, val=a_val, read=a_read, is_gap=a_isgap,
+            cigar_op=a_cop, indel_len=a_il, dist=a_dist,
+            stream_off=np.cumsum(
+                [0, n_base, n_link] + [len(k.pos) for k in tails],
+                dtype=np.int64))
+        return allev, (gk_read, gk_pos, gsym, gk_len, gk_del, gk_qpos,
+                       g_val)
 
     kinds = [base_ev, link_ev, gap_ev] + nn_list
     allev = EventValues(

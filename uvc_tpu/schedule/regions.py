@@ -33,12 +33,17 @@ class RegionPlan:
     # boundaries constrain which work unit claims each position
     emit_lo: int = -1
     emit_hi: int = 1 << 62
+    # exclusive end of the OWNING tier-1 region (plan() segment): tier-2
+    # children inherit it so MGVCF block content is cut at the tier-1
+    # boundary exactly as the reference cuts at its region end
+    # (main.cpp:666), independent of the tier-2 unit size
+    t1_end: int = -1
 
 
-UNIT_READS = 2048  # tier-2 work-unit size (reads per unit before split)
+UNIT_READS = 8192  # tier-2 work-unit size (reads per unit before split)
 
 
-def split_plans_into_units(plans, batch, ref_lens, unit_reads=UNIT_READS):
+def split_plans_into_units(plans, batch, ref_lens, unit_reads=None):
     """Tier-2 work-unit chunking (main.cpp:1374-1400): subdivide large
     regions by position into bounded work units so a thread pool can
     balance one big region across workers.  The unit size is fixed (not
@@ -51,6 +56,8 @@ def split_plans_into_units(plans, batch, ref_lens, unit_reads=UNIT_READS):
     MAX_INSERT_SIZE."""
     from ..constants import MAX_INSERT_SIZE
 
+    if unit_reads is None:
+        unit_reads = UNIT_READS
     pos = np.asarray(batch.pos, dtype=np.int64)
     rend = np.asarray(batch.rend, dtype=np.int64)
     isize = np.abs(np.asarray(batch.isize, dtype=np.int64))
@@ -67,25 +74,34 @@ def split_plans_into_units(plans, batch, ref_lens, unit_reads=UNIT_READS):
             out.append(p)
             continue
         mid = p.read_beg + nreads // 2
-        split_pos = int(pos[mid])
+        # snap the cut to a MGVCF_REGION_MAX_SIZE multiple: MGVCF blocks
+        # start at those absolute positions, so aligned cuts (plus child A
+        # keeping the reads that START at the cut, giving it complete
+        # pileup at the one straddling content position blk+1000) make
+        # the emitted blocks independent of the tier-2 unit size
+        from ..constants import MGVCF_REGION_MAX_SIZE as _MG
+        split_pos = int(pos[mid]) // _MG * _MG
+        if split_pos <= p.beg:
+            split_pos += _MG
         if split_pos <= p.beg or split_pos >= p.end:
             out.append(p)
             continue
         ref_len = ref_lens[p.tid]
-        # child A: reads [read_beg, first pos >= split_pos), claims < split
-        a_end = int(np.searchsorted(pos[p.read_beg:p.read_end], split_pos)
-                    ) + p.read_beg
+        # child A: reads starting at or before the cut, claims < split
+        a_end = int(np.searchsorted(pos[p.read_beg:p.read_end], split_pos,
+                                    side="right")) + p.read_beg
         # child B: re-include boundary-overlapping reads
         b_beg = int(np.searchsorted(pos[p.read_beg:p.read_end],
                                     split_pos - pad)) + p.read_beg
         a = RegionPlan(tid=p.tid, beg=p.beg, end=min(split_pos, ref_len),
                        read_beg=p.read_beg, read_end=a_end,
                        emit_lo=p.emit_lo,
-                       emit_hi=min(p.emit_hi, split_pos + 1))
+                       emit_hi=min(p.emit_hi, split_pos + 1),
+                       t1_end=p.t1_end)
         b = RegionPlan(tid=p.tid, beg=split_pos, end=p.end,
                        read_beg=b_beg, read_end=p.read_end,
                        emit_lo=max(p.emit_lo, split_pos + 1),
-                       emit_hi=p.emit_hi)
+                       emit_hi=p.emit_hi, t1_end=p.t1_end)
         for c in (a, b):
             lo = int(pos[c.read_beg:c.read_end].min()) \
                 if c.read_end > c.read_beg else c.beg
@@ -149,7 +165,7 @@ def plan(batch, ref_lens, mem_per_thread_mb=1536, prev_tid=-1, prev_max0=0):
             beg = seg_beg
             end = min(max_end + 1, ref_len)  # +1 for end insertions
             plans.append(RegionPlan(tid=tid, beg=beg, end=end,
-                                    read_beg=j0, read_end=j1))
+                                    read_beg=j0, read_end=j1, t1_end=end))
             j0 = j1
     # extended bounds with STR context flanks
     for p in plans:
@@ -242,6 +258,7 @@ def restrict_to_intervals(plans, intervals, ref_lens, bound_emission=False,
                 q = RegionPlan(tid=p.tid, beg=max(p.beg, b), end=min(p.end, e),
                                read_beg=p.read_beg, read_end=p.read_end,
                                emit_lo=p.emit_lo, emit_hi=p.emit_hi)
+                q.t1_end = q.end
                 if bound_emission:
                     q.emit_lo = max(q.emit_lo, b + 1)
                     q.emit_hi = min(q.emit_hi, e + 1)

@@ -30,12 +30,17 @@ def _are_depths_diff(curr, prev, mul_perc=130, add_num=3):
 
 
 def emit_mgvcf(F, res, cfg, chrom, refstring, region_offset, region_beg,
-               region_end):
+               region_end, t1_end=None):
     """MGVCF_BLOCK lines for one region; region_beg/end are region-relative
-    emission bounds."""
+    emission bounds.  t1_end (region-relative, exclusive) is the owning
+    tier-1 region's end: block CONTENT is cut there (main.cpp:666 cuts at
+    the region's unified exclusive end), never at a tier-2 unit boundary,
+    so the emitted blocks are independent of the work-unit size."""
     if not (cfg.outvar_flag & OUTVAR_MGVCF):
         return []
     P = F["P"]
+    if t1_end is None:
+        t1_end = P
     bdp_t = res.bq.bdp.sum(axis=2)     # [P,14]
     cdp1_t = res.fq.cdp1.sum(axis=2)
     cdp12_t = res.fq.cdp12.sum(axis=2)
@@ -75,7 +80,7 @@ def emit_mgvcf(F, res, cfg, chrom, refstring, region_offset, region_beg,
                   or p == region_beg]
     for blk_start in blk_starts:
         refpos_abs = blk_start + region_offset
-        rp2end = min(blk_start + MGVCF_REGION_MAX_SIZE + 1, P)
+        rp2end = min(blk_start + MGVCF_REGION_MAX_SIZE + 1, t1_end, P)
         vec = _mgvcf_block_vec(stats, blk_start, rp2end, region_offset)
         vcfref = refstring[blk_start:blk_start + 1].decode() or "N"
         match_refsym = int(ref_syms[blk_start])
