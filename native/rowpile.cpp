@@ -125,6 +125,7 @@ int pass_c_kernel(
     const int64_t *e_read, const uint8_t *e_isgap, const int64_t *e_cigar_op,
     const int64_t *e_indel_len, const int64_t *e_dist,
     const int64_t *reads,   // [n_reads, N_RF]
+    const int64_t *bm1500,  // [n_reads, 6] per-symbol mismatch density
     const int64_t *thres,   // [P, N_TH]
     const int64_t *baq, const int64_t *baq2,  // [>= P]
     const int64_t *cfg,     // [N_CFG]
@@ -220,7 +221,10 @@ int pass_c_kernel(
             const int64_t xm = r[RF_xm1500];
             o[O_a2XM2] +=
                 (xm > 20) ? 100 * 400 / imax(xm * xm, (int64_t)1) : 100;
-            o[O_a2BM2] += 100;  // bm1500 per-symbol == 0
+            const int64_t bm = (sym < 6)
+                ? bm1500[e_read[e] * 6 + sym] : 0;
+            o[O_a2BM2] +=
+                (bm > 20) ? 100 * 400 / imax(bm * bm, (int64_t)1) : 100;
         }
 
         const bool gate = isgap ? (dist >= cfg[CF_interfering_indel])
@@ -1242,6 +1246,8 @@ int pass_a_kernel(
     const int64_t *b_rpos, const int64_t *b_read, const int64_t *b_qpos,
     const int64_t *b_bq, const int64_t *b_sym,
     const int64_t *ref_syms,             // [P]
+    const uint8_t *seq_flat,             // raw per-read base codes
+    const int64_t *seq_off,              // [n_reads+1]
     int64_t n_reads, const int64_t *reads,  // [n_reads, N_PAR]
     int64_t n_gaps, const int64_t *g_read, const int64_t *g_rpos,
     const int64_t *g_oplen, const uint8_t *g_isdel,
@@ -1275,10 +1281,33 @@ int pass_a_kernel(
         const int64_t ridx = iclip(b_rpos[i] - off, 0, P - 1);
         const bool match = ref_syms[ridx] == b_sym[i];
         if (match) next_match = i;
-        const int64_t run = (next_match < seg_end ? next_match : seg_end) - i;
         // interval add for snv/dnv depth (main.hpp:1025-1046)
         const int64_t *r = reads + b_read[i] * N_PAR;
-        const int64_t next_rpos = b_rpos[i] + run + 1;
+        int64_t next_rpos;
+        if (next_match < seg_end) {
+            next_rpos = b_rpos[i] + (next_match - i) + 1;
+        } else {
+            // the mismatch run reaches the M-op end: the reference scan
+            // keeps walking the raw (qpos+k, rpos+k) diagonal bounded
+            // only by l_qseq and rend, ignoring the cigar
+            // (main.hpp:1027-1037); replicate it on the raw sequence
+            const int64_t q0 = b_qpos[i], r0 = b_rpos[i];
+            const int64_t s0 = seq_off[b_read[i]];
+            const int64_t lq = seq_off[b_read[i] + 1] - s0;
+            const int64_t re = r[PAR_rend];
+            int64_t k = seg_end - i;
+            int64_t found = -1;
+            while (q0 + k < lq && r0 + k < re) {
+                const int64_t ridx2 = iclip(r0 + k - off, 0, P - 1);
+                if (ref_syms[ridx2] == (int64_t)seq_flat[s0 + q0 + k]) {
+                    found = k;
+                    break;
+                }
+                k++;
+            }
+            next_rpos = (found >= 0) ? r0 + found + 1
+                                     : r0 + imin(lq - q0, re - r0);
+        }
         int64_t lo = (r[PAR_pos] > b_rpos[i] - 1 ? r[PAR_pos]
                       : b_rpos[i] - 1) - off;
         int64_t hi = (next_rpos < r[PAR_rend] ? next_rpos : r[PAR_rend]) - off;

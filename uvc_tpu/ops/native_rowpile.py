@@ -503,9 +503,13 @@ def pass_c_native(allev, table, baq, baq2, thres, off, P, cfg, dflag):
     baq64 = np.ascontiguousarray(baq, dtype=np.int64)
     baq264 = np.ascontiguousarray(baq2, dtype=np.int64)
 
+    bm = getattr(e, "bm1500", None)
+    if bm is None:
+        bm = np.zeros((n_reads, 6), dtype=np.int64)
     rc = lib.pass_c_kernel(
         ctypes.c_int64(n), cp(e_pos), cp(e_sym), cp(e_val), cp(e_read),
-        cp(e_isgap), cp(e_cop), cp(e_il), cp(e_dist), cp(reads), cp(th),
+        cp(e_isgap), cp(e_cop), cp(e_il), cp(e_dist), cp(reads),
+        cp(np.ascontiguousarray(bm, dtype=np.int64)), cp(th),
         cp(baq64), cp(baq264), cfgv.ctypes.data_as(ctypes.c_void_p),
         ctypes.c_int64(P), out.ctypes.data_as(ctypes.c_void_p))
     if rc != 0:
@@ -521,10 +525,12 @@ PASS_A_PLANES = ("a_pcr_dp a_umi_dp a_dp a_qlen a_XM1500 a_GO1500 a_GAPLEN "
 N_PAR = 13
 
 
-def pass_a_native(table, ref_syms, baq, off, P, highbq_thres, max_insert,
-                  pcr_inc, umi_inc):
+def pass_a_native(table, batch, ref_syms, baq, off, P, highbq_thres,
+                  max_insert, pcr_inc, umi_inc):
     """Fused M-base pass-A accumulation; returns (planes dict [P],
-    insbaq [n_reads], delbaq [n_reads]) or None when not built."""
+    insbaq [n_reads], delbaq [n_reads]) or None when not built.  batch
+    supplies the raw sequence codes for the op-boundary-crossing
+    mismatch-run continuation scan (main.hpp:1027-1037)."""
     lib = _load()
     if lib is None or not hasattr(lib, "pass_a_kernel"):
         return None
@@ -548,6 +554,7 @@ def pass_a_native(table, ref_syms, baq, off, P, highbq_thres, max_insert,
     rc = lib.pass_a_kernel(
         ctypes.c_int64(len(b.rpos)), cp(b.rpos), cp(b.read), cp(b.qpos),
         cp(b.bq), cp(b.sym), cp(ref_syms),
+        cp(batch.seq, np.uint8), cp(batch.seq_off),
         ctypes.c_int64(n_reads), cp(reads),
         ctypes.c_int64(len(g.read)), cp(g.read), cp(g.rpos), cp(g.oplen),
         cp(g.is_del, np.uint8), cp(baq),

@@ -132,7 +132,7 @@ def pass_a_prep(table: ev.EventTable, batch, ref_syms: np.ndarray,
     umi_inc = ((dflag & 0x1) != 0).astype(np.int64)
 
     from ..ops import native_rowpile as _nr
-    nat = _nr.pass_a_native(table, ref_syms, baq, off, P,
+    nat = _nr.pass_a_native(table, batch, ref_syms, baq, off, P,
                             cfg.bias_thres_highBQ, MAX_INSERT_SIZE,
                             pcr_inc, umi_inc) if len(b.rpos) > 4096 else None
     if nat is not None:
@@ -163,8 +163,7 @@ def pass_a_prep(table: ev.EventTable, batch, ref_syms: np.ndarray,
         fast_add_at(prep.a_RIDP, bi[m_fw], 1)
 
         # snv/dnv mismatch-run intervals (main.hpp:1025-1046)
-        mm_run = _mismatch_runlen(table, ref_syms, off)
-        next_rpos = b.rpos + mm_run + 1  # after finding the first match
+        next_rpos = _mismatch_next_rpos(table, batch, ref_syms, off)
         snv_d = np.zeros(P + 2, dtype=np.int64)
         dnv_d = np.zeros(P + 2, dtype=np.int64)
         lo = np.maximum(r.pos[br], b.rpos - 1) - off
@@ -204,21 +203,21 @@ def pass_a_prep(table: ev.EventTable, batch, ref_syms: np.ndarray,
     return prep
 
 
-def _mismatch_runlen(table, ref_syms, off):
-    """For each M base: number of leading mismatching positions on the
-    diagonal starting there (0 if the base matches ref), replicating the
-    forward scan of main.hpp:1025-1036. The scan is segmented per
-    (read, diagonal) group; the reference's scan can run past an M-op
-    boundary on a mismatch run that touches the op end — a rare case
-    approximated here by stopping at the boundary."""
+def _mismatch_next_rpos(table, batch, ref_syms, off):
+    """For each M base: the reference's `next_rpos` after the forward
+    mismatch-run scan of main.hpp:1025-1037 — one past the first
+    MATCHING base on the raw (qpos+k, rpos+k) diagonal, bounded only by
+    l_qseq and rend (the scan walks straight across cigar-op boundaries,
+    ignoring indels; runs that stay inside one M op are resolved by a
+    vectorized segmented scan, op-crossing runs by a per-row raw scan)."""
     b = table.bases
+    r = table.reads
     ref = ref_syms  # int8 [P]
     P = len(ref)
     ridx = np.clip(b.rpos - off, 0, P - 1)
     match0 = ref[ridx] == b.sym
-    # run length along each M-run's diagonal, extended to read/ref bounds:
     # group bases by (read, diagonal = rpos - qpos); within a group the
-    # diagonal is contiguous, so next-match distance is a segmented scan.
+    # diagonal is contiguous, so next-match distance is a segmented scan
     diag = b.rpos - b.qpos
     key = b.read * (1 << 40) + diag
     order = np.lexsort((b.qpos, key))
@@ -227,27 +226,38 @@ def _mismatch_runlen(table, ref_syms, off):
     sk = key[order]
     sm = match0[order]
     seg_start = np.concatenate([[True], sk[1:] != sk[:-1]])
-    # distance to next True (match) at or after each element within segment:
-    # iterate reversed via numpy trick
     n = len(sm)
     nxt = np.full(n, n, dtype=np.int64)
-    idx_true = np.flatnonzero(sm)
-    if len(idx_true):
-        # next true at or after i
-        pos_arr = np.full(n + 1, n, dtype=np.int64)
-        t = np.zeros(n, dtype=np.int64)
-        t[idx_true] = 1
-        # next_true[i] = min index >= i with t==1: computed right-to-left
-        nt = np.flip(np.minimum.accumulate(np.flip(
-            np.where(t == 1, np.arange(n), n))))
-        nxt = nt
+    if sm.any():
+        # next match at or after i, right-to-left
+        nxt = np.flip(np.minimum.accumulate(np.flip(
+            np.where(sm, np.arange(n), n))))
     seg_id = np.cumsum(seg_start) - 1
     seg_first = np.flatnonzero(seg_start)
     seg_last = np.concatenate([seg_first[1:], [n]]) - 1
-    run_sorted = np.minimum(nxt, seg_last[seg_id] + 1) - np.arange(n)
-    # where no match in segment: run extends to segment end (scan stops at
-    # read/ref bound, replicated by the segment boundary)
-    return run_sorted[inv]
+    in_seg = nxt <= seg_last[seg_id]
+    next_rpos_sorted = np.where(
+        in_seg, b.rpos[order] + (nxt - np.arange(n)) + 1, 0)
+    # op-crossing runs: continue the raw diagonal per row (rare)
+    for j in np.flatnonzero(~in_seg):
+        i0 = order[j]
+        rd = int(b.read[i0])
+        q0 = int(b.qpos[i0])
+        r0 = int(b.rpos[i0])
+        s0 = int(batch.seq_off[rd])
+        lq = int(batch.seq_off[rd + 1]) - s0
+        re = int(r.rend[rd])
+        k = int(seg_last[seg_id[j]]) + 1 - j
+        found = -1
+        while q0 + k < lq and r0 + k < re:
+            ri = min(max(r0 + k - off, 0), P - 1)
+            if int(ref[ri]) == int(batch.seq[s0 + q0 + k]):
+                found = k
+                break
+            k += 1
+        next_rpos_sorted[j] = (r0 + found + 1 if found >= 0
+                               else r0 + min(lq - q0, re - r0))
+    return next_rpos_sorted[inv]
 
 
 def _read_gap_baq_sums(table, baq, off, P):
@@ -502,6 +512,9 @@ class EventValues:
     # NN...), each read-major and key-sorted per read: lets the fragment
     # consensus merge streams directly instead of sorting (frag_cons_direct)
     stream_off: np.ndarray = None
+    # per-(read, base-symbol) same-symbol mismatch density x1500
+    # (bm1500s, main.hpp:1819-1863), read by the pass-C a2BM2 term
+    bm1500: np.ndarray = None
 
 
 def _searchsorted_per_read(vals, offs, read, rpos, n_reads):
@@ -558,6 +571,15 @@ def compute_event_values(table, batch, ref_syms, tracks, baq, baq2,
     # interfering-indel lists
     iv, ioffs = ev.interfering_indel_rposs(table, batch,
                                            cfg.bias_thres_interfering_indel_BQ)
+
+    # per-(read, base-symbol) mismatch density (bm1500s, main.hpp:1819-1863)
+    P_ref = len(ref_syms)
+    mis = ref_syms[np.clip(b.rpos - off, 0, P_ref - 1)] != b.sym
+    bm_cnt = np.zeros((n, 6), dtype=np.int64)
+    if mis.any():
+        np.add.at(bm_cnt, (b.read[mis], np.minimum(b.sym[mis], 5)), 1)
+    span_r = np.maximum(r.rend - r.pos, 1)
+    bm1500 = bm_cnt * 1500 // span_r[:, None]
 
     # native fast path for the dense base + LINK_M streams (Illumina):
     # the kernel writes the final allev rows directly (no temporaries, no
@@ -892,7 +914,8 @@ def compute_event_values(table, batch, ref_syms, tracks, baq, baq2,
             cigar_op=a_cop, indel_len=a_il, dist=a_dist,
             stream_off=np.cumsum(
                 [0, n_base, n_link] + [len(k.pos) for k in tails],
-                dtype=np.int64))
+                dtype=np.int64),
+            bm1500=bm1500)
         return allev, (gk_read, gk_pos, gsym, gk_len, gk_del, gk_qpos,
                        g_val)
 
@@ -907,7 +930,8 @@ def compute_event_values(table, batch, ref_syms, tracks, baq, baq2,
         indel_len=np.concatenate([k.indel_len for k in kinds]),
         dist=np.concatenate([k.dist for k in kinds]),
         stream_off=np.cumsum([0] + [len(k.pos) for k in kinds],
-                             dtype=np.int64))
+                             dtype=np.int64),
+        bm1500=bm1500)
     # exact-indel info for pass D: (event row in gap_ev, key)
     return allev, (gk_read, gk_pos, gsym, gk_len, gk_del, gk_qpos, g_val)
 
@@ -1029,7 +1053,13 @@ def pass_c_scatter(allev: EventValues, table, baq, baq2, thres: SegThres,
     fast_add_at(info.aPF2, (pos, sym), np.where(e.is_gap, np.minimum(100, pf2), pf2))
     ng = ~e.is_gap
     xm1500e = r.xm1500[rd]
-    bm1500e = np.zeros(len(rd), dtype=np.int64)  # per-symbol mismatch density
+    # per-(read, symbol) same-symbol mismatch density (main.hpp:1860-1863);
+    # LINK/gap symbols have no bm counts (only base mismatches accumulate)
+    if e.bm1500 is not None:
+        bm1500e = np.where(e.sym < 6,
+                           e.bm1500[rd, np.minimum(e.sym, 5)], 0)
+    else:
+        bm1500e = np.zeros(len(rd), dtype=np.int64)
     # a2XM2/a2BM2 only for non-gap events
     fast_add_at(info.a2XM2, (pos[ng], sym[ng]),
               np.where(xm1500e[ng] > 20, 100 * 400 // np.maximum(xm1500e[ng] ** 2, 1), 100))
