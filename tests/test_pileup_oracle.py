@@ -80,8 +80,11 @@ def _feed_and_run(exe, batch, famgrp, ref, cfg, platform_int=1):
         qual = "".join(chr(int(x) + 33)
                        for x in batch.qual[batch.seq_off[i]:
                                            batch.seq_off[i + 1]])
+        qn = bytes(batch.qname_data[batch.qname_off[i]:
+                                    batch.qname_off[i + 1]])
+        qn = qn.decode().rstrip("\x00") or f"q{i}"
         out = orc.send(
-            f"read {int(batch.flag[i])} {int(batch.mapq[i])} "
+            f"read {po.esc(qn)} {int(batch.flag[i])} {int(batch.mapq[i])} "
             f"{int(batch.pos[i])} {cig} {seq} {qual} {int(batch.mtid[i])} "
             f"{int(batch.mpos[i])} {int(batch.isize[i])} -1")
         ids[i] = int(out.split("=")[1])
@@ -275,6 +278,154 @@ def test_planes_iontorrent(oracle_exe, tmp_path):
     orc = _feed_and_run(oracle_exe, batch, res.famgrp, ref, cfg,
                         platform_int=2)
     try:
+        _compare_all(orc, res, len(ref))
+    finally:
+        orc.close()
+
+def _feed_reads_raw(exe, batch, raw_qual, ref, cfg, platform_int=1):
+    """Send reads (RAW quals: the reference applies its own BQ correction
+    inside the readset fill) without any family structure."""
+    orc = po.Oracle(exe)
+    orc.send(_ps_lines(cfg))
+    orc.send(f"ps inferred_sequencing_platform={platform_int} "
+             "inferred_is_vcf_generated=1 inferred_maxMQ=60 "
+             f"central_readlen={cfg.central_readlen or 100}")
+    L = len(ref)
+    orc.send(f"region 0 0 {L - 1} {ref}")
+    ops = "MIDNSHP=XB"
+    for i in range(batch.n):
+        cig = "".join(
+            f"{int(batch.cigar_len[k])}{ops[int(batch.cigar_op[k])]}"
+            for k in range(batch.cigar_off[i], batch.cigar_off[i + 1]))
+        seq = "".join("ACGTN"[min(int(c), 4)]
+                      for c in batch.seq[batch.seq_off[i]:
+                                         batch.seq_off[i + 1]])
+        qual = "".join(chr(int(x) + 33)
+                       for x in raw_qual[batch.seq_off[i]:
+                                         batch.seq_off[i + 1]])
+        qn = bytes(batch.qname_data[batch.qname_off[i]:
+                                    batch.qname_off[i + 1]])
+        qn = qn.decode().rstrip("\x00") or f"q{i}"
+        orc.send(
+            f"read {po.esc(qn)} {int(batch.flag[i])} {int(batch.mapq[i])} "
+            f"{int(batch.pos[i])} {cig} {seq} {qual} {int(batch.mtid[i])} "
+            f"{int(batch.mpos[i])} {int(batch.isize[i])} -1")
+    return orc
+
+
+def _parse_ref_families(fams_txt):
+    """families dump -> per-(family,strand) structure rows
+    (duplexflag & 0x3, strand, frozenset of fragment qname-sets)."""
+    rows = []
+    for fam in fams_txt.split(";"):
+        if not fam:
+            continue
+        head, _, rest = fam.partition(":")
+        dupflag = int(head.split("/")[0])
+        s0, _, s1 = rest.partition("|")
+
+        def frs(s):
+            out = []
+            for piece in s.split("]"):
+                piece = piece.strip("[")
+                if piece:
+                    out.append(frozenset(po.unesc(x)
+                                         for x in piece.split(",")))
+            return out
+        for strand, part in ((0, s0), (1, s1)):
+            frags = frs(part)
+            if frags:
+                rows.append((dupflag & 0x3, strand, frozenset(frags)))
+    return rows
+
+
+@pytest.mark.parametrize("umi,duplex", [(False, False), (True, False),
+                                        (True, True)])
+def test_grouping_parity(oracle_exe, tmp_path, umi, duplex):
+    """family/dedup.py vs the COMPILED reference's
+    bamfname_to_strand_to_familyuid_to_reads (grouping.cpp:608-997):
+    identical per-(molecule,strand) fragment partition and UMI/duplex
+    flags.  The reference keeps both strands of a 0x3-keyed molecule in
+    ONE family entry but processes each strand separately, so the
+    comparison is per (family, strand)."""
+    ref = simulate.random_ref(600, 11)
+    p200 = ref[200]
+    variants = [
+        simulate.Variant(200, f"{p200}>" + ("A" if p200 != "A" else "C"),
+                         0.4),
+        simulate.Variant(300, "+AC", 0.3),
+        simulate.Variant(420, "-2", 0.3),
+    ]
+    path = str(tmp_path / "t.bam")
+    simulate.build_bam(path, ref, depth=30, variants=variants, seed=5,
+                       umi=umi, duplex=duplex)
+    hdr, batch = bam_mod.read_bam(path)
+    cfg = UVCConfig()
+    cfg.bam_input_fname = path
+    raw_qual = batch.qual.copy()
+    ref_syms = CHAR_TO_SYMBOL[np.frombuffer(ref.encode(), np.uint8) & 0x7F]
+    res = region_mod.call_region(batch, ref_syms, 0, cfg)
+    famgrp = res.famgrp
+
+    orc = _feed_reads_raw(oracle_exe, batch, raw_qual, ref, cfg)
+    try:
+        orc.send(f"group 0 {len(ref)} 0")
+        ref_rows = _parse_ref_families(orc.send("families"))
+    finally:
+        orc.close()
+
+    def qn(i):
+        b = bytes(batch.qname_data[batch.qname_off[i]:
+                                   batch.qname_off[i + 1]])
+        return b.decode().rstrip("\x00") or f"q{i}"
+
+    frag_reads = collections.defaultdict(list)
+    for r_i, fr in enumerate(famgrp.frag_of_read):
+        frag_reads[int(fr)].append(qn(r_i))
+    fam_frags = collections.defaultdict(list)
+    for fr, fm in enumerate(famgrp.fam_of_frag):
+        fam_frags[int(fm)].append(fr)
+    our_rows = []
+    for fm, frs_ in fam_frags.items():
+        frags = frozenset(frozenset(frag_reads[f]) for f in frs_)
+        our_rows.append((int(famgrp.fam_dflag[fm]) & 0x3,
+                         int(famgrp.fam_strand[fm]), frags))
+    ref_c = collections.Counter(ref_rows)
+    our_c = collections.Counter(our_rows)
+    assert ref_c == our_c, (
+        f"family partition diverges: ref-only="
+        f"{list((ref_c - our_c).keys())[:3]} "
+        f"ours-only={list((our_c - ref_c).keys())[:3]}")
+
+
+@pytest.mark.parametrize("umi", [False, True])
+def test_full_chain_reference_grouping(oracle_exe, tmp_path, umi):
+    """END-TO-END: reference grouping (incl. its own BQ correction) +
+    reference statistics engine vs our whole pipeline, from raw BAM
+    fields to every plane.  Any dedup or bqcorr divergence that affects
+    the planes shows up here."""
+    ref = simulate.random_ref(600, 11)
+    p200 = ref[200]
+    variants = [
+        simulate.Variant(200, f"{p200}>" + ("A" if p200 != "A" else "C"),
+                         0.4),
+        simulate.Variant(300, "+AC", 0.3),
+        simulate.Variant(420, "-2", 0.3),
+    ]
+    path = str(tmp_path / "t.bam")
+    simulate.build_bam(path, ref, depth=30, variants=variants, seed=5,
+                       umi=umi)
+    hdr, batch = bam_mod.read_bam(path)
+    cfg = UVCConfig()
+    cfg.bam_input_fname = path
+    raw_qual = batch.qual.copy()
+    ref_syms = CHAR_TO_SYMBOL[np.frombuffer(ref.encode(), np.uint8) & 0x7F]
+    res = region_mod.call_region(batch, ref_syms, 0, cfg)
+
+    orc = _feed_reads_raw(oracle_exe, batch, raw_qual, ref, cfg)
+    try:
+        orc.send(f"group 0 {len(ref)} 0")
+        orc.send("run")
         _compare_all(orc, res, len(ref))
     finally:
         orc.close()

@@ -16,7 +16,7 @@ The driver binary speaks a line protocol on stdin:
     ps NAME=VAL ...               CommandLineArgs overrides
     region TID BEG END SEQ        reference window (SEQ = ACGTN string)
     bed PBEG PEND PFLAG BEG END FLAG NREADS    bedline pair (optional)
-    read FLAG MAPQ POS CIGAR SEQ QUAL MTID MPOS ISIZE [NM]  -> id=N
+    read QNAME FLAG MAPQ POS CIGAR SEQ QUAL MTID MPOS ISIZE [NM] -> id=N
                                   (QUAL = phred+33 string; NM = -1 absent)
     fam DUPLEXFLAG DEDUPFLAG [UMISTR]   start a family (alns3 entry)
     frag STRAND id,id...          append one fragment to current family
@@ -157,6 +157,89 @@ static inline int64_t bam_aux2i(const uint8_t *s) {
     return 0;
 }
 
+// --- in-memory record-list iterator (replaces the BAM file walk of
+// sam_itr_queryi/sam_itr_next; semantics: position-sorted records of the
+// requested tid overlapping [beg, end)) ---
+
+typedef struct samFile { int dummy; } samFile;
+typedef struct hts_idx_t { int dummy; } hts_idx_t;
+typedef struct hts_itr_t {
+    int64_t beg, end;
+    int tid;
+    size_t i;
+} hts_itr_t;
+
+#ifdef __cplusplus
+#include <vector>
+extern std::vector<bam1_t *> *g_hts_shim_reads;
+
+static inline hts_itr_t *sam_itr_queryi(const hts_idx_t *, int tid,
+                                        int64_t beg, int64_t end) {
+    hts_itr_t *it = (hts_itr_t *)calloc(1, sizeof(hts_itr_t));
+    it->beg = beg; it->end = end; it->tid = tid; it->i = 0;
+    return it;
+}
+
+static inline bam1_t *bam_copy1(bam1_t *dst, const bam1_t *src) {
+    uint8_t *data = dst->data;
+    if (dst->m_data < (uint32_t)src->l_data) {
+        data = (uint8_t *)realloc(data, src->l_data);
+        dst->m_data = src->l_data;
+    }
+    memcpy(data, src->data, src->l_data);
+    dst->core = src->core;
+    dst->l_data = src->l_data;
+    dst->data = data;
+    return dst;
+}
+
+static inline int sam_itr_next(samFile *, hts_itr_t *it, bam1_t *b) {
+    while (g_hts_shim_reads && it->i < g_hts_shim_reads->size()) {
+        bam1_t *src = (*g_hts_shim_reads)[it->i++];
+        if (src->core.tid != it->tid) { continue; }
+        if (src->core.pos >= it->end) { continue; }
+        if (bam_endpos(src) <= it->beg) { continue; }
+        bam_copy1(b, src);
+        return 0;
+    }
+    return -1;
+}
+
+static inline void sam_itr_destroy(hts_itr_t *it) { free(it); }
+
+static inline bam1_t *bam_init1(void) {
+    return (bam1_t *)calloc(1, sizeof(bam1_t));
+}
+
+static inline void bam_destroy1(bam1_t *b) {
+    if (b) { free(b->data); free(b); }
+}
+
+static inline bam1_t *bam_dup1(const bam1_t *src) {
+    bam1_t *b = bam_init1();
+    return bam_copy1(b, src);
+}
+#endif
+
+static const unsigned char seq_nt16_table[256] = {
+    15,15,15,15, 15,15,15,15, 15,15,15,15, 15,15,15,15,
+    15,15,15,15, 15,15,15,15, 15,15,15,15, 15,15,15,15,
+    15,15,15,15, 15,15,15,15, 15,15,15,15, 15,15,15,15,
+     1, 2, 4, 8, 15,15,15,15, 15,15,15,15, 15, 0,15,15,
+    15, 1,14, 2, 13,15,15, 4, 11,15,15,12, 15, 3,15,15,
+    15,15, 5, 6,  8, 8, 7, 9, 15,10,15,15, 15,15,15,15,
+    15, 1,14, 2, 13,15,15, 4, 11,15,15,12, 15, 3,15,15,
+    15,15, 5, 6,  8, 8, 7, 9, 15,10,15,15, 15,15,15,15,
+    15,15,15,15, 15,15,15,15, 15,15,15,15, 15,15,15,15,
+    15,15,15,15, 15,15,15,15, 15,15,15,15, 15,15,15,15,
+    15,15,15,15, 15,15,15,15, 15,15,15,15, 15,15,15,15,
+    15,15,15,15, 15,15,15,15, 15,15,15,15, 15,15,15,15,
+    15,15,15,15, 15,15,15,15, 15,15,15,15, 15,15,15,15,
+    15,15,15,15, 15,15,15,15, 15,15,15,15, 15,15,15,15,
+    15,15,15,15, 15,15,15,15, 15,15,15,15, 15,15,15,15,
+    15,15,15,15, 15,15,15,15, 15,15,15,15, 15,15,15,15
+};
+
 #endif
 """
 
@@ -237,8 +320,11 @@ DRIVER_TMPL = r"""
 #include "logging.hpp"
 #include "main_consensus.hpp"
 #include "main_conversion.hpp"
+#include "Hash.hpp"
 #include "MolecularID.hpp"
 #include "htslib/sam.h"
+
+std::vector<bam1_t *> *g_hts_shim_reads = nullptr;
 
 #include <iostream>
 #include <map>
@@ -247,6 +333,8 @@ DRIVER_TMPL = r"""
 #include <vector>
 
 %(bedline)s
+
+%(grouping)s
 
 %(extracted)s
 
@@ -284,7 +372,8 @@ static bool set_ps_field(CommandLineArgs & ps, const std::string & k,
     return false;
 }
 
-static bam1_t * make_read(uint16_t flag, uint8_t mapq, int32_t tid,
+static bam1_t * make_read(const std::string & qname_in, uint16_t flag,
+                          uint8_t mapq, int32_t tid,
                           int64_t pos, const std::string & cigar,
                           const std::string & seq, const std::string & qual,
                           int32_t mtid, int64_t mpos, int64_t isize,
@@ -303,9 +392,7 @@ static bam1_t * make_read(uint16_t flag, uint8_t mapq, int32_t tid,
         i++;
         cig.push_back((len << 4) | op);
     }
-    static long read_serial = 0;
-    char qname[32];
-    snprintf(qname, sizeof(qname), "q%%ld", read_serial++);
+    const char *qname = qname_in.c_str();
     int l_qname_raw = strlen(qname) + 1;
     int l_extranul = (4 - (l_qname_raw %% 4)) %% 4;
     int l_qname = l_qname_raw + l_extranul;
@@ -405,12 +492,12 @@ int main() {
         } else if (op == "read") {
             long flag, mapq, mtid, nm = -1;
             int64_t pos, mpos, isize;
-            std::string cigar, seq, qual;
-            iss >> flag >> mapq >> pos >> cigar >> seq >> qual >> mtid
+            std::string qn, cigar, seq, qual;
+            iss >> qn >> flag >> mapq >> pos >> cigar >> seq >> qual >> mtid
                 >> mpos >> isize >> nm;
-            reads.push_back(make_read(flag, mapq, r_tid, pos, cigar,
-                                      unesc(seq), unesc(qual), mtid, mpos,
-                                      isize, nm));
+            reads.push_back(make_read(unesc(qn), flag, mapq, r_tid, pos,
+                                      cigar, unesc(seq), unesc(qual), mtid,
+                                      mpos, isize, nm));
             std::cout << "id=" << (reads.size() - 1) << std::endl;
         } else if (op == "fam") {
             long duplexflag = 0, dedupflag = 0;
@@ -470,6 +557,53 @@ int main() {
                 ps,
                 0);
             std::cout << "ok" << std::endl;
+        } else if (op == "group") {
+            // run the reference's own dedup/family grouping over the
+            // loaded reads (replaces the fam/frag commands); alns3 is
+            // rebuilt and RAW quals get apply_bq_err_correction3 applied
+            // inside fill_strand_umi_readset (grouping.cpp:546-566)
+            int64_t tbeg, tend;
+            long end2end = 0;
+            iss >> tbeg >> tend >> end2end;
+            g_hts_shim_reads = &reads;
+            std::map<MolecularBarcode,
+                     std::pair<std::array<std::map<uvc1_hash_t,
+                                                   std::vector<bam1_t *>>,
+                                          2>,
+                               MolecularBarcode>> umi_to_strand_to_reads;
+            uvc1_refgpos_t ext_beg = 0, ext_end = 0;
+            auto cnts = bamfname_to_strand_to_familyuid_to_reads(
+                umi_to_strand_to_reads, ext_beg, ext_end, r_tid,
+                (uvc1_refgpos_t)tbeg, (uvc1_refgpos_t)tend,
+                (bool)end2end, 0, 1, std::string(""), nullptr, nullptr, 0,
+                ps, 0);
+            alns3.clear();
+            fill_strand_umi_readset_with_strand_to_umi_to_reads(
+                alns3, umi_to_strand_to_reads, ps, 0);
+            std::cout << "ok " << cnts[0] << " " << cnts[1] << " "
+                      << cnts[2] << " " << ext_beg << " " << ext_end
+                      << std::endl;
+        } else if (op == "families") {
+            // dump the alns3 structure: per family, flags + per-strand
+            // fragments as qname lists
+            std::ostringstream os;
+            for (const auto & fam : alns3) {
+                os << fam.second.duplexflag << "/" << fam.second.dedup_idflag
+                   << "/" << esc(fam.second.umistring) << ":";
+                for (int strand = 0; strand < 2; strand++) {
+                    if (strand) { os << "|"; }
+                    for (const auto & alns1 : fam.first[strand]) {
+                        os << "[";
+                        for (size_t a = 0; a < alns1.size(); a++) {
+                            if (a) { os << ","; }
+                            os << bam_get_qname(alns1[a]);
+                        }
+                        os << "]";
+                    }
+                }
+                os << ";";
+            }
+            std::cout << os.str() << std::endl;
         } else if (op == "clear") {
             for (bam1_t *b : reads) { free(b->data); free(b); }
             reads.clear();
@@ -638,7 +772,21 @@ def build_oracle(workdir):
     extracted = main_hpp[beg:end]
 
     iohts = open(os.path.join(REF, "iohts.hpp")).read()
-    bedline = _extract_named(iohts, "BedLine")
+    bedline = ("#define BED_END_TO_END_BIT 0x1\n"
+               + _extract_named(iohts, "BedLine"))
+
+    # dedup/family grouping engine (grouping.cpp:333-997): FilterReason +
+    # fill_isrc_isr2_beg_end_with_aln + the BQ corrections + bam2umihash +
+    # bamfname_to_strand_to_familyuid_to_reads + readset fill; the shim's
+    # in-memory iterator replaces the htslib BAM walk
+    grouping_cpp = open(os.path.join(REF, "grouping.cpp")).read()
+    g0 = grouping_cpp.index("const uvc1_readpos_t ARRPOS_MARGIN")
+    g1 = grouping_cpp.index("const uvc1_readpos_t ARRPOS_INNER_RANGE")
+    g1 = grouping_cpp.index("\n", g1) + 1
+    g2 = grouping_cpp.index("enum FilterReason {")
+    grouping_span = ("#define logDEBUGx1 logDEBUG\n"
+                     + grouping_cpp[g0:g1] + "\n"
+                     + grouping_cpp[g2:])
     # the BAQ prefix-sum builder lives in main.cpp (main.cpp:400-429);
     # its CoveredRegion<> return type needs a manual slice
     main_cpp = open(os.path.join(REF, "main.cpp")).read()
@@ -689,6 +837,7 @@ def build_oracle(workdir):
 
     src = DRIVER_TMPL % dict(
         extracted=extracted,
+        grouping=grouping_span,
         bedline=bedline,
         ps_setters="\n".join(ps_setters),
         **printers,
@@ -699,7 +848,8 @@ def build_oracle(workdir):
     exe = os.path.join(workdir, "pileup_oracle")
     r = subprocess.run(
         ["g++", "-std=c++14", "-O1", "-fconcepts", "-I", workdir, "-I", REF,
-         cpp, os.path.join(REF, "logging.cpp"), "-o", exe],
+         cpp, os.path.join(REF, "logging.cpp"),
+         os.path.join(REF, "MolecularID.cpp"), "-o", exe],
         capture_output=True, text=True)
     if r.returncode != 0:
         raise RuntimeError("pileup oracle compile failed:\n"
