@@ -178,6 +178,14 @@ def main():
             "device_pileup_columns_per_second": round(cols_per_s, 1),
             "device_step_seconds": round(dev_dt, 5),
             "device_platform": platform,
+            # UVC_TPU_DEVICE_PREPARE=1 routes the fragment consensus
+            # through the jitted on-device reduction (byte-identical VCF,
+            # tests/test_aux_tools.py::test_device_prepare_gate); off by
+            # default here because the remote-tunnel upload of the event
+            # table dominates on this 1-chip setup (the gate targets
+            # local-PCIe/pod hosts)
+            "device_prepare_gate": os.environ.get(
+                "UVC_TPU_DEVICE_PREPARE", "") == "1",
         },
     }))
 

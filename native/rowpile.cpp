@@ -2414,16 +2414,49 @@ int64_t fam_chain_statics(
             if (acc2 > bv2) { bv2 = acc2; bs2 = s; cnf2 = acc1; }
         };
         if (f_hi - f_lo == 1) {
+            // dominant (non-UMI) case: one fragment per family, and the
+            // incoming rows are one-per-(pos,st) already, so every row
+            // IS its own consensus group for both tables -- inline the
+            // whole per-row flush with no group state
             const int64_t fr = fcd::frag_read[f_lo];
             for (int64_t i = fcd::soff[fr]; i < fcd::soff[fr + 1]; i++) {
                 const int64_t adj = 2 * con_cnt[i] - tot_in[i];
                 if (adj <= 0) continue;
-                const uint64_t mk = ((uint64_t)pos[i] << 4)
-                    | (uint64_t)sym[i];
-                feed(mk, (rc::cst[i] == 1 || adj >= highbq_snv) ? 1 : 0,
-                     adj);
+                const int64_t fpos = pos[i], s = sym[i];
+                const int64_t fst = rc::cst[i];
+                const int64_t a1 = (fst == 1 || adj >= highbq_snv) ? 1 : 0;
+                if (a1 > 0) {
+                    const int64_t idx = (fpos * NS + s) * 2 + strand;
+                    cdp12[idx] += 1;
+                    cdp21[idx] += 1;     // tot == 1
+                    const bool good = 1 >= dup1add && 100 >= dup1perc
+                        && (umi || flag2);
+                    if (good) {
+                        cdp2[idx] += 1;
+                        sres::g1g.push_back(fm);
+                        sres::g1p.push_back(fpos);
+                        sres::g1st.push_back(fst);
+                        sres::g1s.push_back(s);
+                        sres::g1c.push_back(1);
+                        sres::g1t.push_back(1);
+                    }
+                    if (1 >= dup2add && 100 >= dup2perc) cdp3[idx] += 1;
+                    const bool is_base = s < 6;
+                    if (1 >= (is_base ? emperr_snv : emperr_indel)
+                        && 100 >= (is_base ? emperc_snv : emperc_indel)) {
+                        // cdpm += tot - cnt == 0; cdpM += tot * n_others
+                        cdpM[idx] += (is_base ? 5 : 7);
+                    }
+                }
+                w_g[w2] = (int32_t)fm;
+                w_p[w2] = (int32_t)fpos;
+                w_meta[w2] = (int32_t)(s | (fst << 4) | (strand << 5));
+                w_cc[w2] = (int32_t)adj;
+                w_tt[w2] = (int32_t)adj;
+                w_cnf[w2] = (int32_t)a1;
+                w_tnf[w2] = (int32_t)a1;
+                w2++;
             }
-            flush();
             continue;
         }
         fcd::curs.clear();

@@ -133,3 +133,38 @@ def test_jax_trace_hook(tmp_path, monkeypatch):
     import os
     found = [os.path.join(r, f) for r, _, fs in os.walk(d) for f in fs]
     assert found, "expected trace artifacts under UVC_TPU_JAX_TRACE_DIR"
+
+
+def test_device_prepare_gate(tmp_path, monkeypatch):
+    """UVC_TPU_DEVICE_PREPARE=1 routes the fragment consensus through the
+    jitted on-device reduction (ops/device_consensus.py) and must produce
+    a byte-identical VCF body to the native host path."""
+    import numpy as np
+    from uvc_tpu.io import simulate, bgzf
+    from uvc_tpu.cli import uvc1 as uvc1_cli
+    from uvc_tpu.ops import device_consensus
+
+    ref = simulate.random_ref(4000, 5)
+    variants = [simulate.Variant(p, f"{ref[p]}>"
+                                 + ("A" if ref[p] != "A" else "C"), 0.3)
+                for p in range(500, 3500, 700)]
+    path = str(tmp_path / "t.bam")
+    simulate.build_bam(path, ref, depth=40, variants=variants, seed=3)
+    fa = str(tmp_path / "ref.fa")
+    with open(fa, "w") as fh:
+        fh.write(">chr1\n" + ref + "\n")
+
+    def body(out):
+        return [l for l in bgzf.decompress(open(out, "rb").read())
+                .decode().splitlines() if not l.startswith("##")]
+
+    out1 = str(tmp_path / "host.vcf.gz")
+    monkeypatch.delenv("UVC_TPU_DEVICE_PREPARE", raising=False)
+    assert uvc1_cli.run(["-f", fa, "-o", out1, "-t", "1", path]) == 0
+    out2 = str(tmp_path / "dev.vcf.gz")
+    monkeypatch.setenv("UVC_TPU_DEVICE_PREPARE", "1")
+    calls0 = device_consensus.STATS["calls"]
+    assert uvc1_cli.run(["-f", fa, "-o", out2, "-t", "1", path]) == 0
+    assert device_consensus.STATS["calls"] > calls0, \
+        "gate did not engage the device reduction"
+    assert body(out1) == body(out2)

@@ -735,12 +735,20 @@ def _maybe_shard_rows(pi, pf):
     devices: rows are position-independent (no cross-row dataflow in the
     model), so sharding the row axis needs no collectives and the result
     is bit-identical to single-device execution (SURVEY §2 parallelism
-    row 1: region batches data-parallel over devices).  Single-device
-    hosts (the one-chip axon tunnel) take the plain path."""
+    row 1: region batches data-parallel over devices).  Rows are PADDED
+    to a device-count multiple first (zero rows, sliced off by the
+    caller), so sharding can never silently fall back; single-device
+    hosts (the one-chip axon tunnel) take the plain path.  Returns
+    (pi, pf, n_pad)."""
     global _LOCAL_MESH
     ndev = jax.local_device_count()
-    if ndev <= 1 or pi.shape[0] % ndev != 0:
-        return pi, pf
+    if ndev <= 1:
+        return pi, pf, 0
+    n_pad = (-pi.shape[0]) % ndev
+    if n_pad:
+        pi = np.pad(np.asarray(pi), ((0, n_pad), (0, 0)))
+        if pf is not None:
+            pf = np.pad(np.asarray(pf), ((0, n_pad), (0, 0)))
     from .parallel import mesh as mesh_mod
     if _LOCAL_MESH is None:
         _LOCAL_MESH = mesh_mod.make_mesh(jax.local_devices())
@@ -748,7 +756,7 @@ def _maybe_shard_rows(pi, pf):
     pi = jax.device_put(pi, sh)
     if pf is not None:
         pf = jax.device_put(pf, sh)
-    return pi, pf
+    return pi, pf, n_pad
 
 
 def model_eval_packed(packed, cfg):
@@ -757,12 +765,18 @@ def model_eval_packed(packed, cfg):
     readbacks per request."""
     _maybe_enable_x64()
     pi, pf, ispec, is_tumor_only, rescued = packed
+    R0 = pi.shape[0]
     f_dtype_str = pf.dtype.str if pf is not None else "<f8"
+    pi, pf, n_pad = _maybe_shard_rows(pi, pf)
     fn, ospec = _get_packed_model(cfg, is_tumor_only, rescued, ispec,
                                   f_dtype_str)
-    pi, pf = _maybe_shard_rows(pi, pf)
     oi, of = fn(pi, pf)
-    return np.asarray(oi), np.asarray(of), ospec
+    oi = np.asarray(oi)
+    of = np.asarray(of)
+    if n_pad:
+        oi = oi[:R0]
+        of = of[:R0]
+    return oi, of, ospec
 
 
 def unpack_model_response(resp):

@@ -589,13 +589,18 @@ def run(argv=None):
                         os.remove(part)
     dt = time.time() - t0
     cols = stage_totals["columns"]
+    devprep = ""
+    if os.environ.get("UVC_TPU_DEVICE_PREPARE", "") == "1":
+        from ..ops.device_consensus import STATS as _DP_STATS
+        devprep = (f"; device-prepare: {_DP_STATS['calls']} programs / "
+                   f"{_DP_STATS['rows']} event rows")
     print(f"uvc_tpu: {n_reads} reads, {total_regions} regions, "
           f"{n_records} records in {dt:.2f}s "
           f"({n_reads / max(dt, 1e-9):.0f} reads/s, "
           f"{cols / max(dt, 1e-9):.0f} columns/s; cpu-s: "
           f"prepare={stage_totals['prepare']:.2f} "
           f"model={stage_totals['model']:.2f} "
-          f"emit={stage_totals['emit']:.2f})",
+          f"emit={stage_totals['emit']:.2f}{devprep})",
           file=sys.stderr)
     return 0
 

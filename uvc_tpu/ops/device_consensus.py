@@ -18,10 +18,13 @@ random tables and on real pipeline event streams:
     tot = winner count only;
   - plain LINK: argmax over 6..13 with full sum.
 
-Production use is gated behind UVC_TPU_DEVICE_PREPARE=1: on the remote-
-tunnel single-chip setup the event-table upload dominates (the host
-native kernels win), but on local-PCIe/pod hosts this is the path that
-scales; either way the program compiles and matches bit-for-bit.
+Production use is gated behind UVC_TPU_DEVICE_PREPARE=1 (wired in
+pileup/region.py: the fragment MAX-merge routes through
+device_reduce_consensus instead of the native host kernel, with
+bit-identical output).  On the remote-tunnel single-chip setup the
+event-table upload dominates (the host native kernels win), but on
+local-PCIe/pod hosts this is the path that scales.  STATS counts the
+production calls/rows for the CLI exit summary and bench aux.
 """
 
 from functools import partial
@@ -34,6 +37,10 @@ import jax.numpy as jnp
 from ..constants import NUM_SYMBOLS, Symbol
 
 NS = NUM_SYMBOLS
+
+# production-gate usage counters (reset-free; read by cli/uvc1.py's exit
+# summary and bench aux when UVC_TPU_DEVICE_PREPARE=1)
+STATS = {"calls": 0, "rows": 0}
 
 
 def _bucket(n):
@@ -122,6 +129,8 @@ def device_reduce_consensus(group, pos, sym, val, P, mode,
     (group,pos,st,con_sym,con_cnt,tot)) matching
     pileup/consensus.reduce_and_consensus row-for-row."""
     n = len(group)
+    STATS["calls"] += 1
+    STATS["rows"] += n
     N = _bucket(max(n, 1))
 
     def pad(a):

@@ -90,14 +90,31 @@ def call_region(batch, ref_syms, region_offset, cfg,
 
     # shared fragment consensus: sort-free per-fragment stream merge when
     # the native kernel is built (exact parity), else the sorting reduce
+    import os as _os
     from ..ops import native_rowpile as nr
-    # statics mode keeps the consensus rows inside the .so for the pass-D +
-    # family chain; the consensus-FASTQ emitter reads res.frag_cons much
-    # later (after the statics were reused), so that flag forces a fetch
-    fc6 = nr.frag_cons_direct(allev, famgrp.frag_of_read, famgrp.n_frags, P,
-                              link_m_overridden=True,
-                              fetch=not nr.has_statics_path()
-                              or bool(cfg.fam_consensus_out_fastq))
+    if _os.environ.get("UVC_TPU_DEVICE_PREPARE", "") == "1":
+        # on-device prepare: the fragment sort+reduce+consensus (the hot
+        # op of updateByRegion3Aln, main.hpp:3665-3742) runs as ONE jitted
+        # XLA program on the default jax backend instead of the native
+        # host kernel; the rest of the pipeline is unchanged and the
+        # output is bit-identical (tests/test_device_consensus.py +
+        # test_aux_tools.test_device_prepare_gate)
+        from ..ops import device_consensus as devcons
+        frag = famgrp.frag_of_read[allev.read]
+        _, cons6 = devcons.device_reduce_consensus(
+            frag, allev.pos, allev.sym, allev.val, P, "max",
+            link_m_overridden=True)
+        fc6 = cons6
+    else:
+        # statics mode keeps the consensus rows inside the .so for the
+        # pass-D + family chain; the consensus-FASTQ emitter reads
+        # res.frag_cons much later (after the statics were reused), so
+        # that flag forces a fetch
+        fc6 = nr.frag_cons_direct(allev, famgrp.frag_of_read,
+                                  famgrp.n_frags, P,
+                                  link_m_overridden=True,
+                                  fetch=not nr.has_statics_path()
+                                  or bool(cfg.fam_consensus_out_fastq))
     if isinstance(fc6, nr.StaticFragCons):
         # rows stay resident in the .so statics: pass_d and the family
         # chain read them in place (no numpy round trip)
