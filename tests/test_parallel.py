@@ -62,18 +62,6 @@ def test_plan_partition_balanced_and_complete():
     assert seen == plans  # complete, ordered, disjoint
 
 
-def test_merge_vcf_shards(tmp_path):
-    header = "##fileformat=VCFv4.2\n#CHROM\t...\n"
-    shard1 = bgzf.compress(b"chr1\t100\trec1\n")
-    shard2 = bgzf.compress(b"chr1\t200\trec2\n")
-    out = str(tmp_path / "m.vcf.gz")
-    dist.merge_vcf_shards(header, [shard1, shard2], out)
-    text = bgzf.read_file(out).decode()
-    assert text.startswith("##fileformat")
-    assert "rec1" in text and "rec2" in text
-    assert text.index("rec1") < text.index("rec2")
-
-
 def test_allgather_bytes_single_host():
     assert dist.allgather_bytes(b"hello") == [b"hello"]
 

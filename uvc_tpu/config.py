@@ -326,6 +326,11 @@ class UVCConfig:
         if name != "_cache_key" and getattr(self, "_cache_key", None) \
                 is not None:
             object.__setattr__(self, "_cache_key", None)
+        if isinstance(value, list):
+            # sequences are stored immutably: in-place mutation
+            # (cfg.x.append(...)) would bypass the cache-key
+            # invalidation above and reuse a stale traced model
+            value = tuple(value)
         object.__setattr__(self, name, value)
 
     def self_update_by_platform(self, inferred: SequencingPlatform,

@@ -561,8 +561,10 @@ def calc_dpv(F, cfg, is_tumor_only=True, tpfa=None):
             ("c2PositionR", cFA2, c2RPFA2), ("c2AlignL", cFA2, c2LBFA2),
             ("c2AlignR", cFA2, c2RBFA2), ("c2StrictPosL", cFA2, cFA2L),
             ("c2StrictPosR", cFA2, cFA2R)):
+        # C round() semantics (half-away-from-zero, main.hpp:4268), NOT
+        # numpy's banker's rounding: the ratio is always >= 0 here
         fts[name] = (biasFA < refFA * thresr,
-                     np.round(100.0 * biasFA / refFA).astype(_itype()))
+                     np.floor(100.0 * biasFA / refFA + 0.5).astype(_itype()))
     F["FTS"] = fts
     # nNFA/nAFA/nBCFA deciphred diagnostics in the reference's exact push
     # order (main.hpp:4745-4773: nNFA counterbias/aDP/b/c0/c2; nAFA

@@ -69,13 +69,6 @@ def allgather_bytes(blob: bytes, max_len: int = None):
             for i in range(jax.process_count())]
 
 
-def merge_vcf_shards(header_text: str, shard_blocks, out_path: str):
-    """Host-0 merge: header block + raw concatenation of per-shard BGZF
-    blocks + EOF. shard_blocks: list of bgzf-compressed record bytes in
-    process order."""
-    from ..io import bgzf
-    with open(out_path, "wb") as fh:
-        fh.write(bgzf.compress(header_text.encode()))
-        for blk in shard_blocks:
-            fh.write(blk)
-        fh.write(bgzf.BGZF_EOF)
+# (merge_vcf_shards was deleted: the CLI's per-window streaming gather
+# writes the header/EOF inline, leaving this as dead duplicate logic —
+# round-3 advisor finding #4)
