@@ -429,3 +429,55 @@ def test_full_chain_reference_grouping(oracle_exe, tmp_path, umi):
         _compare_all(orc, res, len(ref))
     finally:
         orc.close()
+
+
+@pytest.mark.parametrize("umi,duplex", [(True, False), (True, True)])
+def test_consensus_fastq_oracle(oracle_exe, tmp_path, umi, duplex):
+    """family/consensus_fastq.py vs the COMPILED reference's own fqdata3
+    (generate_consensus_fastq_data + the ConsensusBlock machinery,
+    main_consensus.hpp:13-226 + main.hpp:2862-3396)."""
+    from uvc_tpu.family import consensus_fastq
+    from uvc_tpu.pileup import consensus as cns, events
+    from uvc_tpu.ops import native_rowpile as nr
+
+    ref = simulate.random_ref(600, 11)
+    p200 = ref[200]
+    variants = [
+        simulate.Variant(200, f"{p200}>" + ("A" if p200 != "A" else "C"),
+                         0.4),
+        simulate.Variant(300, "+AC", 0.3),
+        simulate.Variant(420, "-2", 0.3),
+    ]
+    path = str(tmp_path / "t.bam")
+    simulate.build_bam(path, ref, depth=30, variants=variants, seed=5,
+                       umi=umi, duplex=duplex)
+    hdr, batch = bam_mod.read_bam(path)
+    cfg = UVCConfig()
+    cfg.bam_input_fname = path
+    cfg.fam_consensus_out_fastq = str(tmp_path / "fam")
+    raw_qual = batch.qual.copy()
+    ref_syms = CHAR_TO_SYMBOL[np.frombuffer(ref.encode(), np.uint8) & 0x7F]
+    res = region_mod.call_region(batch, ref_syms, 0, cfg)
+
+    orc = _feed_reads_raw(oracle_exe, batch, raw_qual, ref, cfg)
+    try:
+        orc.send("ps fam_consensus_out_fastq=" + po.esc("x.fq"))
+        orc.send(f"group 0 {len(ref)} 0")
+        orc.send("run")
+        want = [po.unesc(orc.send(f"fastq {i}")) for i in range(3)]
+    finally:
+        orc.close()
+
+    table = events.expand(batch)
+    fc = res.frag_cons
+    if not hasattr(fc, "group"):
+        fc = cns.GroupConsensus(*nr.fetch_frag_cons(fc.n))
+    got = consensus_fastq.generate(fc, res.famgrp, batch, table,
+                                   res.famgrp and len(ref), cfg, 0, 0)
+    for i in range(3):
+        assert got[i].count("\n") == want[i].count("\n"), (
+            f"fastq[{i}] line count: ours {got[i].count(chr(10))} "
+            f"vs ref {want[i].count(chr(10))}")
+        if got[i] != want[i]:
+            for la, lb in zip(got[i].splitlines(), want[i].splitlines()):
+                assert la == lb, f"fastq[{i}]:\nOURS {la}\nREF  {lb}"

@@ -21,7 +21,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..constants import MoleculeTag, AssayType, SequencingPlatform
+from ..constants import (MoleculeTag, AssayType, MAX_INSERT_SIZE,
+                         SequencingPlatform)
 
 
 @dataclass
@@ -38,6 +39,60 @@ class FamilyGrouping:
     duplex_pair: np.ndarray    # int64 [n_fams] molecule id shared across strands
     pcrpassed: int = 0         # fragments flagged amplicon (grouping.cpp:851)
     frag_amplicon: np.ndarray = None  # bool [n_frags]
+    # per-family MolecularBarcode of the FIRST read inserted with the
+    # family's key (grouping.cpp:926-941): dict with beg/end tidpos
+    # pairs, duplexflag (incl. the 0x8 borders-preserved bit),
+    # dedup_idflag, raw umistring, and the reference calcHash of the
+    # NORMALIZED key -- consumed by the consensus-FASTQ read names
+    fam_mb: list = None
+
+
+def _hash2hash(h1, h2):
+    return (h1 * 0x7FFFFFFF + h2) & 0xFFFFFFFFFFFFFFFF
+
+
+def _strhash(s: bytes, base=31):
+    ret = 0
+    for c in s:
+        if c == 0:
+            break
+        ret = (ret * base + c) & 0xFFFFFFFFFFFFFFFF
+    return ret
+
+
+def mb_calc_hash(beg_pair, end_pair, qnamestring, umistring, duplexflag,
+                 dedup_idflag):
+    """MolecularBarcode::calcHash (MolecularID.cpp:5-15) over the
+    createKey-normalized fields."""
+    def u64(x):
+        return x & 0xFFFFFFFFFFFFFFFF
+
+    ret = 0
+    ret = u64(ret + _hash2hash(ret, _hash2hash(u64(beg_pair[0]),
+                                               u64(beg_pair[1]))))
+    ret = u64(ret + _hash2hash(ret, _hash2hash(u64(end_pair[0]),
+                                               u64(end_pair[1]))))
+    ret = u64(ret + _hash2hash(ret, _strhash(qnamestring)))
+    ret = u64(ret + _hash2hash(ret, _strhash(umistring)))
+    ret = u64(ret + _hash2hash(ret, duplexflag))
+    ret = u64(ret + _hash2hash(ret, dedup_idflag))
+    return ret
+
+
+def mb_create_key(beg_pair, end_pair, qnamestring, umistring, dedup_idflag):
+    """MolecularBarcode::createKey field normalization
+    (MolecularID.hpp:20-51)."""
+    if (dedup_idflag & 0x3) == 0x3:
+        kb, ke = min(beg_pair, end_pair), max(beg_pair, end_pair)
+    elif dedup_idflag & 0x1:
+        kb, ke = beg_pair, (-1, -1)
+    elif dedup_idflag & 0x2:
+        kb, ke = (-1, -1), end_pair
+    else:
+        kb, ke = (-1, -1), (-1, -1)
+    kq = qnamestring if (dedup_idflag & 0x4) else b""
+    ku = umistring if (dedup_idflag & 0x8) else b""
+    return kb, ke, kq, ku
 
 
 def parse_umis(qnames):
@@ -276,6 +331,36 @@ def group_families(batch, table, cfg,
     beg_s = snap_positions(frag_beg, center_mult=cfg.dedup_center_mult)
     end_s = snap_positions(frag_end, center_mult=cfg.dedup_center_mult)
 
+    def _fam_mb_of_frag(j, dflag_bits):
+        """MolecularBarcode of the family's first read (grouping.cpp:
+        896-941), for the consensus-FASTQ names."""
+        i0 = int(first_read[j])
+        flag = int(batch.flag[i0])
+        isize = int(r.isize[i0])          # NORM_INSERT_SIZE applied
+        borders = ((flag & 0x1) and not (flag & 0x4) and not (flag & 0x8)
+                   and (abs(isize) >= MAX_INSERT_SIZE * 3 // 4
+                        or isize == 0))
+        begtid = int(batch.tid[i0]) if not (flag & 0x4) else (2**31 - 2)
+        endtid = (int(batch.mtid[i0])
+                  if (flag & 0x1) and not (flag & 0x8) else (2**31 - 2))
+        beg3 = int(batch.pos[i0]) if borders else int(beg_s[j])
+        # tEnd is INCLUSIVE in the reference (fill_isrc_isr2_beg_end,
+        # grouping.cpp:349-416); our snapped fragment end is exclusive
+        end3 = int(batch.mpos[i0]) if borders else int(end_s[j]) - 1
+        duplexflag = int(dflag_bits) | (0x8 if borders else 0)
+        idflag = int(idflag_of_frag[j])
+        qn = _qname(i0)
+        kb, ke, kq, ku = mb_create_key((begtid, beg3), (endtid, end3),
+                                       qn, umis[j], idflag)
+        hv = mb_calc_hash(kb, ke, kq, ku, duplexflag, idflag)
+        return dict(beg_pair=(begtid, beg3), end_pair=(endtid, end3),
+                    duplexflag=duplexflag, dedup_idflag=idflag,
+                    umistring=umis[j].decode(),
+                    hashvalue=hv,
+                    # MolecularBarcode::operator< order of the map key
+                    # (MolecularID.hpp:52-68): alns3 iterates in this order
+                    sort_key=(kb, ke, kq, ku, duplexflag, idflag, hv))
+
     if not has_umi and qhash is not None:
         # vectorized family grouping (barcode-free fast path): the key is
         # (strand, masked beg, masked end, masked qname-hash); grouping by
@@ -306,6 +391,8 @@ def group_families(batch, table, cfg,
         rank[np.argsort(ffirst, kind="stable")] = np.arange(n_g)
         fam_of_frag = rank[gid]
         fam_first = np.sort(ffirst)  # fam k's first fragment index
+        fam_mb = [_fam_mb_of_frag(int(j), int(frag_dflag[int(j)]))
+                  for j in fam_first]
         return FamilyGrouping(
             frag_of_read=frag_of_read, fam_of_frag=fam_of_frag,
             frag_strand=frag_strand, fam_strand=frag_strand[fam_first],
@@ -313,10 +400,12 @@ def group_families(batch, table, cfg,
             n_frags=n_frags, n_fams=n_g,
             umi_of_fam=[""] * n_g,
             duplex_pair=np.full(n_g, -1, dtype=np.int64),
-            pcrpassed=int(is_amp.sum()), frag_amplicon=is_amp)
+            pcrpassed=int(is_amp.sum()), frag_amplicon=is_amp,
+            fam_mb=fam_mb)
 
     fam_keys = {}
     fam_of_frag = np.empty(n_frags, dtype=np.int64)
+    fam_mb_l = []
     fam_strand_l = []
     fam_dflag_l = []
     fam_umi_l = []
@@ -347,6 +436,7 @@ def group_families(batch, table, cfg,
             fam_strand_l.append(int(frag_strand[j]))
             fam_dflag_l.append(dflag)
             fam_umi_l.append(umi_norm.decode() if umi_norm else "")
+            fam_mb_l.append(_fam_mb_of_frag(j, dflag))
             if dflag & 0x2:
                 mkey = (int(beg_s[j]) if idflag & 0x1 else -1,
                         int(end_s[j]) if idflag & 0x2 else -1, umi_norm)
@@ -361,4 +451,5 @@ def group_families(batch, table, cfg,
         n_frags=n_frags, n_fams=len(fam_strand_l),
         umi_of_fam=fam_umi_l,
         duplex_pair=np.asarray(duplex_pair_l, np.int64),
-        pcrpassed=int(is_amp.sum()), frag_amplicon=is_amp)
+        pcrpassed=int(is_amp.sum()), frag_amplicon=is_amp,
+        fam_mb=fam_mb_l)
