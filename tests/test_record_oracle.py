@@ -389,19 +389,50 @@ def test_germline_parity(oracle, tmp_path):
     assert not errs, f"{len(errs)} of {n_checked}:\n" + "\n".join(errs[:14])
 
 
-def _run_tn_pipeline(tmp_path):
+def _strip_tier2_tags(vcf_in, vcf_out, positions):
+    """Remove the tier-2 FORMAT tags (c2LP1 / cDP2v, the keys the rescue
+    reader gates enable_tier2 on) from records at `positions`, emulating
+    a tumor VCF produced without tier-2 consensus tags."""
+    from uvc_tpu.io import bgzf
+    text = bgzf.decompress(open(vcf_in, "rb").read()).decode()
+    out_lines = []
+    for line in text.splitlines():
+        if not line.startswith("#"):
+            cols = line.split("\t")
+            if int(cols[1]) in positions:
+                keys = cols[8].split(":")
+                vals = cols[9].split(":")
+                kept = [(k, v) for k, v in zip(keys, vals)
+                        if k not in ("c2LP1", "cDP2v")]
+                cols[8] = ":".join(k for k, _ in kept)
+                cols[9] = ":".join(v for _, v in kept)
+                line = "\t".join(cols)
+        out_lines.append(line)
+    with open(vcf_out, "wb") as fh:
+        fh.write(bgzf.compress("\n".join(out_lines).encode() + b"\n"))
+        fh.write(bgzf.BGZF_EOF)
+
+
+def _run_tn_pipeline(tmp_path, platform=SequencingPlatform.ILLUMINA,
+                     strip_half_tier2=False):
     """Tumor CLI run -> tumor VCF -> library NORMAL pipeline with the
     rescue join (is_tumor_only=False), mirroring cli/uvc1.py's tki_map
-    construction."""
+    construction.  Somatic sites cover SNV/ins/del; strip_half_tier2
+    removes the tier-2 tags from every other tumor record so the
+    enable_tier2=False rescue branch is exercised too."""
     import subprocess
     ref = simulate.random_ref(8000, 31)
     variants = [
         simulate.Variant(1200, f"{ref[1200]}>"
                          + ("A" if ref[1200] != "A" else "G"), 0.35),
         simulate.Variant(2500, "+CT", 0.30),
+        simulate.Variant(3300, "+A", 0.30),
         simulate.Variant(4200, "-2", 0.30),
+        simulate.Variant(5000, "-1", 0.30),
         simulate.Variant(6100, f"{ref[6100]}>"
                          + ("C" if ref[6100] != "C" else "T"), 0.15),
+        simulate.Variant(6900, f"{ref[6900]}>"
+                         + ("T" if ref[6900] != "T" else "A"), 0.30),
     ]
     tbam = str(tmp_path / "t.bam")
     simulate.build_bam(tbam, ref, depth=90, variants=variants, seed=31)
@@ -418,12 +449,17 @@ def _run_tn_pipeline(tmp_path):
                     "-o", tvcf, "-t", "1", "--tn-is-paired", "1", tbam],
                    check=True, env=env, cwd=REPO, capture_output=True,
                    timeout=600)
+    if strip_half_tier2:
+        stripped = str(tmp_path / "t2off.vcf.gz")
+        _strip_tier2_tags(tvcf, stripped,
+                          {1201, 3301, 5001, 6901})
+        tvcf = stripped
     from uvc_tpu.vcfout import reader as vcf_reader
     header, batch = bam_mod.read_bam(nbam)
     cfg = UVCConfig()
     cfg.bam_input_fname = nbam
     cfg.vcf_tumor_fname = tvcf
-    cfg.self_update_by_platform(SequencingPlatform.ILLUMINA, 150, 60)
+    cfg.self_update_by_platform(platform, 150, 60)
     tki_all = vcf_reader.read_tumor_vcf(tvcf, header.name2tid())
     ref_lens = {i: ln for i, ln in enumerate(header.ref_lens)}
     plans = regions_mod.plan(batch, ref_lens, cfg.mem_per_thread)
@@ -447,19 +483,38 @@ def test_dpv_qual_parity_tumor_normal(oracle, tmp_path):
     calc_qual (sqrt(2) unbias ratios, +31 all-bias prior, tpfa priors,
     tki-driven tier-2 gating, main.hpp:4282-4284,4475) against the
     compiled reference, fed from a REAL tumor-then-normal pipeline."""
-    prepared, cfg = _run_tn_pipeline(tmp_path)
-    ps_line = _ps_lines(cfg)
+    import collections
+    branch = collections.Counter()
     errs = []
     n = 0
-    n_resc = 0
-    for rctx in prepared:
-        for p, s in _candidates(rctx):
-            _check_candidate(oracle, rctx, p, s, cfg, ps_line, errs)
-            if rctx["rescued"].get((p, s)):
-                n_resc += 1
-            n += 1
-    assert n >= 20, f"too few candidates exercised: {n}"
-    assert n_resc >= 2, f"no tki-rescued candidates exercised: {n_resc}"
+    for platform, strip in ((SequencingPlatform.ILLUMINA, False),
+                            (SequencingPlatform.ILLUMINA, True),
+                            (SequencingPlatform.IONTORRENT, False)):
+        sub = tmp_path / f"{int(platform)}_{int(strip)}"
+        sub.mkdir()
+        prepared, cfg = _run_tn_pipeline(sub, platform=platform,
+                                         strip_half_tier2=strip)
+        ps_line = _ps_lines(cfg)
+        for rctx in prepared:
+            for p, s in _candidates(rctx):
+                _check_candidate(oracle, rctx, p, s, cfg, ps_line, errs)
+                if rctx["rescued"].get((p, s)):
+                    vclass = ("del" if 7 <= s <= 9
+                              else "ins" if 10 <= s <= 12 else "snv")
+                    et2 = bool(rctx["F"]["tki_et2"][p, s])
+                    branch[(int(platform), vclass, et2)] += 1
+                n += 1
+    n_resc = sum(branch.values())
+    assert n_resc >= 20, f"too few rescued candidates: {n_resc} {branch}"
+    # branch-matrix coverage: both tier-2 states, all three variant
+    # classes, and the IonTorrent platform must each be hit
+    assert sum(v for (pl, c, e), v in branch.items() if not e) >= 3, branch
+    assert sum(v for (pl, c, e), v in branch.items() if e) >= 3, branch
+    for cls in ("snv", "ins", "del"):
+        assert sum(v for (pl, c, e), v in branch.items() if c == cls) >= 2, \
+            (cls, branch)
+    assert sum(v for (pl, c, e), v in branch.items()
+               if pl == int(SequencingPlatform.IONTORRENT)) >= 3, branch
     assert not errs, f"{len(errs)} mismatches of {n} candidates:\n" + \
         "\n".join(errs[:40])
 
