@@ -159,6 +159,11 @@ def bench_device_model_guarded(timeout_s=540):
 def main():
     n_reads, n_pos, n_recs, host_dt = bench_host_pipeline()
     reads_per_s = n_reads / host_dt
+    # release the CLI's device-owner child BEFORE the probe subprocess:
+    # a live owner can hold the tunnel and starve the probe into its
+    # watchdog timeout
+    from uvc_tpu.model import server as model_server
+    model_server.reset_client()
     cols_per_s, dev_dt, platform = bench_device_model_guarded()
     # vs_baseline is measured against a 10k reads/s DRIVER FLOOR, not a
     # measured uvc1 run: the reference cannot be built in this environment

@@ -2643,6 +2643,59 @@ int event_values_base_link(
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
+// CIGAR expansion of the dense M-base table (events.expand BaseEvents):
+// one walk over the packed cigars writes rpos/qpos/sym/bq/interior/
+// op_index/i2/read for every aligned base, replacing the repeat/cumsum
+// numpy cascade (the gap/read-level arrays stay vectorized in numpy).
+
+extern "C" {
+
+int64_t expand_bases_kernel(
+    int64_t n_reads,
+    const uint8_t *cigar_op, const int32_t *cigar_len,
+    const int64_t *cigar_off,
+    const int32_t *r_pos,
+    const int8_t *seq_flat, const uint8_t *qual_flat,
+    const int64_t *seq_off,
+    int64_t *b_rpos, int64_t *b_read, int32_t *b_qpos,
+    int8_t *b_sym, uint8_t *b_bq, uint8_t *b_interior,
+    int64_t *b_opidx, int64_t *b_i2
+) {
+    int64_t w = 0;
+    for (int64_t rd = 0; rd < n_reads; rd++) {
+        int64_t rpos = r_pos[rd];
+        int64_t qpos = 0;
+        const int64_t s0 = seq_off[rd];
+        for (int64_t k = cigar_off[rd]; k < cigar_off[rd + 1]; k++) {
+            const int op = cigar_op[k];
+            const int64_t len = cigar_len[k];
+            if (op == 0 || op == 7 || op == 8) {        // M/=/X
+                for (int64_t i2 = 0; i2 < len; i2++) {
+                    b_rpos[w] = rpos + i2;
+                    b_read[w] = rd;
+                    b_qpos[w] = (int32_t)(qpos + i2);
+                    b_sym[w] = seq_flat[s0 + qpos + i2];
+                    b_bq[w] = qual_flat[s0 + qpos + i2];
+                    b_interior[w] = i2 > 0;
+                    b_opidx[w] = k;
+                    b_i2[w] = i2;
+                    w++;
+                }
+                rpos += len;
+                qpos += len;
+            } else if (op == 2 || op == 3) {            // D/N
+                rpos += len;
+            } else if (op == 1 || op == 4) {            // I/S
+                qpos += len;
+            }
+        }
+    }
+    return w;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
 // dp4_to_pcFA (main_conversion.hpp:798-849; numpy reference
 // uvc_tpu/model/dpv._dp4): the bias-engine primitive evaluated ~20 times
 // per region over [P,14] planes.  Split into three stages so the

@@ -234,3 +234,29 @@ def test_event_values_native_parity(tmp_path):
                                       err_msg=nm)
     for a, b in zip(winfo, ginfo):
         np.testing.assert_array_equal(a, b)
+
+@pytest.mark.skipif(not nr.available(), reason="native kernels not built")
+def test_expand_bases_native_parity(tmp_path):
+    """expand_bases_kernel writes the same BaseEvents as the numpy
+    repeat/cumsum cascade."""
+    ref = simulate.random_ref(4000, 8)
+    variants = [simulate.Variant(500, "+GAT", 0.4),
+                simulate.Variant(2000, "-3", 0.4)]
+    path = str(tmp_path / "t.bam")
+    simulate.build_bam(path, ref, depth=60, variants=variants, seed=8)
+    hdr, batch = io_native.read_bam_native(path)
+    n_bases = int((batch.cigar_len * np.isin(
+        batch.cigar_op, (0, 7, 8))).sum())
+    got = events._expand_bases_native(batch, n_bases)
+    assert got is not None, "workload too small for the native path"
+    import uvc_tpu.pileup.events as ev_mod
+    orig = ev_mod._expand_bases_native
+    ev_mod._expand_bases_native = lambda *a: None
+    try:
+        want = events.expand(batch).bases
+    finally:
+        ev_mod._expand_bases_native = orig
+    for nm in ("read", "rpos", "qpos", "sym", "bq", "interior",
+               "op_index", "i2"):
+        np.testing.assert_array_equal(getattr(want, nm), getattr(got, nm),
+                                      err_msg=nm)

@@ -108,6 +108,49 @@ class EventTable:
     gap_off: np.ndarray
 
 
+def _expand_bases_native(batch, n_bases):
+    """Native single-pass cigar walk filling the BaseEvents arrays
+    (native/rowpile.cpp expand_bases_kernel); None when not built."""
+    from ..ops import native_rowpile as nr
+    lib = nr._load()
+    if lib is None or not hasattr(lib, "expand_bases_kernel") \
+            or n_bases < 16384:
+        return None
+    import ctypes
+    b_rpos = np.empty(n_bases, np.int64)
+    b_read = np.empty(n_bases, np.int64)
+    b_qpos = np.empty(n_bases, np.int32)
+    b_sym = np.empty(n_bases, np.int8)
+    b_bq = np.empty(n_bases, np.uint8)
+    b_int = np.empty(n_bases, np.uint8)
+    b_opidx = np.empty(n_bases, np.int64)
+    b_i2 = np.empty(n_bases, np.int64)
+
+    def cp(a, dt):
+        return np.ascontiguousarray(a, dtype=dt).ctypes.data_as(
+            ctypes.c_void_p)
+
+    lib.expand_bases_kernel.restype = ctypes.c_int64
+    w = lib.expand_bases_kernel(
+        ctypes.c_int64(batch.n),
+        cp(batch.cigar_op, np.uint8), cp(batch.cigar_len, np.int32),
+        cp(batch.cigar_off, np.int64), cp(batch.pos, np.int32),
+        cp(batch.seq, np.int8), cp(batch.qual, np.uint8),
+        cp(batch.seq_off, np.int64),
+        b_rpos.ctypes.data_as(ctypes.c_void_p),
+        b_read.ctypes.data_as(ctypes.c_void_p),
+        b_qpos.ctypes.data_as(ctypes.c_void_p),
+        b_sym.ctypes.data_as(ctypes.c_void_p),
+        b_bq.ctypes.data_as(ctypes.c_void_p),
+        b_int.ctypes.data_as(ctypes.c_void_p),
+        b_opidx.ctypes.data_as(ctypes.c_void_p),
+        b_i2.ctypes.data_as(ctypes.c_void_p))
+    assert w == n_bases
+    return BaseEvents(read=b_read, rpos=b_rpos, qpos=b_qpos, sym=b_sym,
+                      bq=b_bq, interior=b_int.view(bool), op_index=b_opidx,
+                      i2=b_i2)
+
+
 def expand(batch) -> EventTable:
     """Expand a columnar ReadBatch into the event table."""
     n = batch.n
@@ -185,23 +228,28 @@ def expand(batch) -> EventTable:
         inslen_sum=inslen_sum, dellen_sum=dellen_sum,
         frag_pos_L=frag_pos_L, frag_pos_R=frag_pos_R)
 
-    # ---- base events: expand M ops
-    m_idx = np.flatnonzero(is_m)
-    m_owner, m_flat = _flat_idx(np.zeros(len(m_idx), np.int64), ln[m_idx])
-    # offset within each M op
-    within = m_flat  # since starts are 0, m_flat == offset within op
-    ev_op = m_idx[m_owner]
-    b_read = op_read[ev_op]
-    b_rpos = op_rpos[ev_op] + within
-    b_qpos = op_qpos[ev_op] + within
-    seq_flat_idx = batch.seq_off[b_read] + b_qpos
-    b_sym = batch.seq[seq_flat_idx]
-    b_bq = batch.qual[seq_flat_idx]
-    interior = within > 0
+    # ---- base events: expand M ops (native single cigar walk when the
+    # kernel is built; the numpy path below is the behavioral reference)
+    bases = _expand_bases_native(batch, int((ln * is_m).sum()))
+    if bases is None:
+        m_idx = np.flatnonzero(is_m)
+        m_owner, m_flat = _flat_idx(np.zeros(len(m_idx), np.int64),
+                                    ln[m_idx])
+        # offset within each M op
+        within = m_flat  # since starts are 0, m_flat == offset within op
+        ev_op = m_idx[m_owner]
+        b_read = op_read[ev_op]
+        b_rpos = op_rpos[ev_op] + within
+        b_qpos = op_qpos[ev_op] + within
+        seq_flat_idx = batch.seq_off[b_read] + b_qpos
+        b_sym = batch.seq[seq_flat_idx]
+        b_bq = batch.qual[seq_flat_idx]
+        interior = within > 0
 
-    bases = BaseEvents(read=b_read, rpos=b_rpos, qpos=b_qpos.astype(np.int32),
-                       sym=b_sym, bq=b_bq, interior=interior,
-                       op_index=ev_op, i2=within)
+        bases = BaseEvents(read=b_read, rpos=b_rpos,
+                           qpos=b_qpos.astype(np.int32),
+                           sym=b_sym, bq=b_bq, interior=interior,
+                           op_index=ev_op, i2=within)
 
     # ---- gap events
     g_idx = np.flatnonzero(is_gap)
