@@ -168,18 +168,18 @@ int pass_c_kernel(
 
         const int64_t seg_l_nbases = rpos_abs - r[RF_pos] + 1;
         const int64_t seg_r_nbases = r[RF_rend] - rpos_abs;
-        if (imin(imin(dist, seg_l_nbases), seg_r_nbases)
-                >= cfg[CF_interfering_indel])
-            o[O_aP3] += 1;
-        if (r[RF_clipcnt] == 0) o[O_aNC] += 1;
+        o[O_aP3] += (imin(imin(dist, seg_l_nbases), seg_r_nbases)
+                     >= cfg[CF_interfering_indel]);
+        o[O_aNC] += (r[RF_clipcnt] == 0);
 
         const int64_t MAXI = cfg[CF_max_insert];
-        const int64_t frag_l2 = (isize != 0)
+        const int64_t has_is = (isize != 0);
+        const int64_t frag_l2 = has_is
             ? imin(rpos_abs - r[RF_fragL] + 1, MAXI) : MAXI;
-        const int64_t frag_r2 = (isize != 0)
+        const int64_t frag_r2 = has_is
             ? imin(r[RF_fragR] - rpos_abs, MAXI) : MAXI;
-        if (isrc && isize != 0) o[O_aLIT] += frag_l2;
-        if (!isrc && isize != 0) o[O_aRIT] += frag_r2;
+        o[O_aLIT] += (((int64_t)isrc) & has_is) * frag_l2;
+        o[O_aRIT] += ((isrc ? (int64_t)0 : (int64_t)1) & has_is) * frag_r2;
 
         const int64_t p_beg = iclip(r[RF_pos], 0, P - 1);
         const int64_t p_end = iclip(r[RF_rend] - 1, 0, P - 1);
@@ -208,9 +208,9 @@ int pass_c_kernel(
         const bool is_umi = r[RF_umi] != 0;
         const int64_t min_d2i = paired ? imin(frag_l2, frag_r2)
                                        : (isrc ? seg_r_nbases : seg_l_nbases);
-        if (is_far && is_unaff && (min_d2i > cfg[CF_primerlen2] || !is_amp))
-            o[O_aP1] += 1;
-        if (is_umi || !is_amp) o[O_aP2] += 1;
+        o[O_aP1] += ((int64_t)(is_far & is_unaff))
+            & (min_d2i > cfg[CF_primerlen2] || !is_amp);
+        o[O_aP2] += (is_umi || !is_amp);
 
         const int64_t t1 = cfg[CF_PFBQ1], t2 = cfg[CF_PFBQ2];
         const int64_t pf1 = (bq < t1) ? 100 * bq * bq / (t1 * t1) : 100;
@@ -230,61 +230,61 @@ int pass_c_kernel(
         const bool gate = isgap ? (dist >= cfg[CF_interfering_indel])
                                 : (bq >= cfg[CF_highBQ]);
         const bool tier2 = isgap || (bq >= cfg[CF_highBQ]);
-        if (gate) {
-            if (is_far) {
-                if (seg_l_nbases + indel_len >= th[TH_aLP1t])
-                    o[O_aLP1] += 1;
-                if (seg_l_nbases + indel_len >= th[TH_aLP2t] && tier2)
-                    o[O_aLP2] += 1;
-                if (seg_r_nbases >= th[TH_aRP1t])
-                    o[O_aRP1] += 1;
-                if (seg_r_nbases >= th[TH_aRP2t] && tier2)
-                    o[O_aRP2] += 1;
-                o[O_aLPL] += seg_l_nbases;
-                o[O_aRPL] += seg_r_nbases;
-            }
-            if (is_unaff) {
-                if (seg_l_baq >= cfg[CF_BAQ1]) o[O_aLB1] += 1;
-                if (seg_l_baq >= cfg[CF_BAQ2] && tier2)
-                    o[O_aLB2] += 1;
-                if (seg_r_baq >= cfg[CF_BAQ1]) o[O_aRB1] += 1;
-                if (seg_r_baq >= cfg[CF_BAQ2] && tier2)
-                    o[O_aRB2] += 1;
-                o[O_aLBL] += seg_l_baq;
-                o[O_aRBL] += seg_r_baq;
-            }
-            o[O_aBQ2] += 1;
+        {
+            // branch-free: the BQ/position gates are data-dependent and
+            // mispredict heavily on real pileups; unconditional masked
+            // adds keep the pipeline full
+            const int64_t gf = gate ? 1 : 0;
+            const int64_t gp = gf & (is_far ? 1 : 0);
+            const int64_t gu = gf & (is_unaff ? 1 : 0);
+            const int64_t t2 = tier2 ? 1 : 0;
+            o[O_aLP1] += gp & (seg_l_nbases + indel_len >= th[TH_aLP1t]);
+            o[O_aLP2] += gp & t2
+                & (seg_l_nbases + indel_len >= th[TH_aLP2t]);
+            o[O_aRP1] += gp & (seg_r_nbases >= th[TH_aRP1t]);
+            o[O_aRP2] += gp & t2 & (seg_r_nbases >= th[TH_aRP2t]);
+            o[O_aLPL] += gp * seg_l_nbases;
+            o[O_aRPL] += gp * seg_r_nbases;
+            o[O_aLB1] += gu & (seg_l_baq >= cfg[CF_BAQ1]);
+            o[O_aLB2] += gu & t2 & (seg_l_baq >= cfg[CF_BAQ2]);
+            o[O_aRB1] += gu & (seg_r_baq >= cfg[CF_BAQ1]);
+            o[O_aRB2] += gu & t2 & (seg_r_baq >= cfg[CF_BAQ2]);
+            o[O_aLBL] += gu * seg_l_baq;
+            o[O_aRBL] += gu * seg_r_baq;
+            o[O_aBQ2] += gf;
         }
 
         const bool mate_ok = ((flag & 0x8) == 0) || ((flag & 0x1) == 0);
         const bool l_nonb = mate_ok && (seg_l_nbases > seg_r_nbases);
         const bool r_nonb = mate_ok && (seg_l_nbases < seg_r_nbases);
         const bool is_norm = (isize != 0) || !paired;
-        const bool pos_good = (!is_amp) || (cfg[CF_norm_primer] == 0)
-                              || (is_far && is_unaff);
         // reference condition: (!amp) || (!is_norm_primer) || (far&&unaff);
         // with norm_primer==0 the python path reduces to (!amp)||(far&&unaff)
-        const bool pos_good2 = (!is_amp) || (is_far && is_unaff);
+        const int64_t pos_good2 =
+            ((!is_amp) || (is_far && is_unaff)) ? 1 : 0;
         if (isrc) {
             const int64_t d2 = frag_l2;
-            if (d2 >= th[TH_aLI1t] && (d2 <= th[TH_aLI1T] || isgap)
-                    && (is_norm || (isgap && l_nonb)))
-                o[O_aLI1] += 1;
-            if (d2 >= th[TH_aLI2t] && (d2 <= th[TH_aLI2T] || isgap)
-                    && (is_norm || (isgap && l_nonb)) && pos_good2)
-                o[O_aLI2] += 1;
-            if (pos_good2) o[O_aLIr] += 1;
+            const int64_t ok = ((int64_t)(d2 >= th[TH_aLI1t]))
+                & (d2 <= th[TH_aLI1T] || isgap)
+                & (is_norm | (isgap & l_nonb));
+            const int64_t ok2 = ((int64_t)(d2 >= th[TH_aLI2t]))
+                & (d2 <= th[TH_aLI2T] || isgap)
+                & (is_norm | (isgap & l_nonb)) & pos_good2;
+            o[O_aLI1] += ok;
+            o[O_aLI2] += ok2;
+            o[O_aLIr] += pos_good2;
         } else {
             const int64_t d2 = frag_r2;
-            if (d2 >= th[TH_aRI1t] && (d2 <= th[TH_aRI1T] || isgap)
-                    && (is_norm || (isgap && r_nonb)))
-                o[O_aRI1] += 1;
-            if (d2 >= th[TH_aRI2t] && (d2 <= th[TH_aRI2T] || isgap)
-                    && (is_norm || (isgap && r_nonb)) && pos_good2)
-                o[O_aRI2] += 1;
-            if (pos_good2) o[O_aRIf] += 1;
+            const int64_t ok = ((int64_t)(d2 >= th[TH_aRI1t]))
+                & (d2 <= th[TH_aRI1T] || isgap)
+                & (is_norm | (isgap & r_nonb));
+            const int64_t ok2 = ((int64_t)(d2 >= th[TH_aRI2t]))
+                & (d2 <= th[TH_aRI2T] || isgap)
+                & (is_norm | (isgap & r_nonb)) & pos_good2;
+            o[O_aRI1] += ok;
+            o[O_aRI2] += ok2;
+            o[O_aRIf] += pos_good2;
         }
-        (void)pos_good;
     }
     return 0;
 }
@@ -1453,6 +1453,21 @@ int64_t rc2_run_fc(int64_t n, const int64_t *frag, const int64_t *pos,
 // rc_run; e.g. a D-after-I cigar keys both gaps at one position with
 // descending symbols).
 
+// pass-D fusion context: when armed (frag_cons_arm_pass_d), the fragment
+// merge runs the pass-D consensus scatter per fragment WHILE its rows are
+// still cache-hot, instead of a separate 2nd walk (pass_d_statics).
+namespace pdx {
+static thread_local const int64_t *bg, *aDP4, *ref_syms, *frag_strand,
+    *normMQ;
+static thread_local int64_t *bdp, *bta, *btb, *vq_bMQ, *hist;
+static thread_local int64_t P, highbq, W;
+static thread_local bool armed = false;
+static thread_local std::vector<int64_t> cov_pos, mut_pos;
+}  // namespace pdx
+
+// defined after the sres:: sparse-row buffers below
+static void pdx_run_frag(int64_t lo, int64_t hi, int64_t fr);
+
 namespace fcd {
 // grow-only scratch, thread_local (one private set per worker thread)
 static thread_local std::vector<int64_t> soff;   // [(n_streams)*(n_reads+1)]
@@ -1635,6 +1650,7 @@ int64_t frag_cons_direct(int64_t n_streams, const int64_t *stream_off,
         }
     };
     for (int64_t f = 0; f < n_frags; f++) {
+        const int64_t f_start_w = w;
         const int64_t r_lo = fcd::frag_cnt[f], r_hi = fcd::frag_cnt[f + 1];
         int64_t nr = 0;
         int64_t seg_i[8], seg_e[8];
@@ -1698,6 +1714,9 @@ int64_t frag_cons_direct(int64_t n_streams, const int64_t *stream_off,
             }
         }
         flush();
+        if (pdx::armed && w > f_start_w) {
+            pdx_run_frag(f_start_w, w, f);
+        }
     }
     rc::cg.resize(w); rc::cp_.resize(w); rc::cst.resize(w);
     rc::ccs.resize(w); rc::ccc.resize(w); rc::ctot.resize(w);
@@ -1910,7 +1929,107 @@ static thread_local std::vector<int64_t> g1g, g1p, g1st, g1s, g1c, g1t;
 static thread_local std::vector<int64_t> m2g, m2p, m2st, m2s, m2ok;
 }  // namespace sres
 
+// pass-D per-fragment body over freshly merged consensus rows [lo, hi)
+// (identical math to pass_d_statics; runs inline from the fragment merge
+// while the rows are cache-hot)
+static void pdx_run_frag(int64_t lo, int64_t hi, int64_t fr) {
+    const int64_t NS = 14;
+    const int NBUCKETS = 16;
+    const int64_t *g_pos = rc::cp_.data(), *g_st = rc::cst.data();
+    const int64_t *con_sym = rc::ccs.data(), *con_cnt = rc::ccc.data();
+    const int64_t *tot = rc::ctot.data();
+    const int64_t strand = pdx::frag_strand[fr];
+    const int64_t mq2 = pdx::normMQ[fr] * pdx::normMQ[fr] / 32;
+    pdx::cov_pos.clear();
+    pdx::mut_pos.clear();
+    for (int64_t k = lo; k < hi; k++) {
+        const int64_t pos = g_pos[k];
+        const int64_t sym = con_sym[k];
+        const int64_t idx = pos * NS + sym;
+        const int64_t cq = con_cnt[k] * 2 - tot[k];
+        const int64_t maxq = 8 + pdx::bg[idx]
+            / imax(pdx::aDP4[idx], (int64_t)1);
+        const int64_t phredlike = imin(cq, maxq);
+        int64_t pb = maxq - phredlike;
+        if (pb < 0) pb = 0;
+        if (pb < NBUCKETS) pdx::hist[idx * NBUCKETS + pb] += 1;
+        pdx::bdp[idx * 2 + strand] += 1;
+        pdx::vq_bMQ[idx] += mq2;
+        bool mut;
+        if (g_st[k] == 0) {
+            const int64_t rs = pdx::ref_syms[pos];
+            mut = (rs != sym) && (rs < 4) && (sym < 4)
+                  && (cq >= pdx::highbq);
+        } else {
+            mut = (sym != 6) && (sym != 13);
+            if (sym >= 7 && sym <= 12) {
+                sres::winf.push_back(fr);
+                sres::winp.push_back(pos);
+                sres::wins.push_back(sym);
+            }
+        }
+        if (mut) {
+            sres::mutf.push_back(fr);
+            sres::mutp.push_back(pos);
+            sres::mutst.push_back(g_st[k]);
+            sres::muts.push_back(sym);
+        }
+        if (pdx::cov_pos.empty() || pdx::cov_pos.back() != pos)
+            pdx::cov_pos.push_back(pos);
+        if (mut && (pdx::mut_pos.empty() || pdx::mut_pos.back() != pos))
+            pdx::mut_pos.push_back(pos);
+    }
+    const int64_t n_cov = (int64_t)pdx::cov_pos.size();
+    int64_t n_near = 0;
+    if (!pdx::mut_pos.empty()) {
+        size_t mi = 0;
+        for (int64_t p : pdx::cov_pos) {
+            while (mi + 1 < pdx::mut_pos.size()
+                   && pdx::mut_pos[mi] < p - pdx::W)
+                mi++;
+            bool near = false;
+            for (size_t m2 = mi; m2 < pdx::mut_pos.size()
+                     && pdx::mut_pos[m2] <= p + pdx::W; m2++) {
+                if (pdx::mut_pos[m2] >= p - pdx::W) { near = true; break; }
+            }
+            if (near) n_near++;
+        }
+    }
+    if (n_cov > 0 || n_near > 0) {
+        for (int64_t k = lo; k < hi; k++) {
+            const int64_t idx = g_pos[k] * NS + con_sym[k];
+            pdx::bta[idx * 2 + strand] += n_cov;
+            pdx::btb[idx * 2 + strand] += n_near;
+        }
+    }
+}
+
 extern "C" {
+
+// arm the pass-D fusion for the NEXT frag_cons_direct call on this
+// thread; disarmed by frag_cons_pass_d_counts (the fetch)
+void frag_cons_arm_pass_d(
+    const int64_t *bg, const int64_t *aDP4, const int64_t *ref_syms,
+    const int64_t *frag_strand, const int64_t *normMQ,
+    int64_t P, int64_t highbq_thres, int64_t mut_window,
+    int64_t *bdp, int64_t *bta, int64_t *btb, int64_t *vq_bMQ,
+    int64_t *hist) {
+    pdx::bg = bg; pdx::aDP4 = aDP4; pdx::ref_syms = ref_syms;
+    pdx::frag_strand = frag_strand; pdx::normMQ = normMQ;
+    pdx::P = P; pdx::highbq = highbq_thres; pdx::W = mut_window;
+    pdx::bdp = bdp; pdx::bta = bta; pdx::btb = btb;
+    pdx::vq_bMQ = vq_bMQ; pdx::hist = hist;
+    sres::mutf.clear(); sres::mutp.clear();
+    sres::mutst.clear(); sres::muts.clear();
+    sres::winf.clear(); sres::winp.clear(); sres::wins.clear();
+    pdx::armed = true;
+}
+
+void frag_cons_pass_d_counts(int64_t *out2) {
+    out2[0] = (int64_t)sres::mutf.size();
+    out2[1] = (int64_t)sres::winf.size();
+    pdx::armed = false;
+}
 
 int64_t frag_cons_nrows() { return (int64_t)rc::cg.size(); }
 

@@ -215,6 +215,54 @@ def frag_cons_direct(allev, frag_of_read, n_frags, P,
     return fetch_frag_cons(nrows)
 
 
+def frag_cons_with_pass_d(allev, frag_of_read, n_frags, P, bg, aDP4,
+                          ref_syms, frag_strand, normMQ, highbq_thres,
+                          mut_window):
+    """Fragment MAX-merge with the pass-D consensus scatter fused into
+    the per-fragment flush (rows processed while cache-hot).  Returns
+    (StaticFragCons, (bdp, bta, btb, hist, vq_bMQ, mut_rows, win_rows))
+    or None on fallback (the caller then runs the separate kernels)."""
+    lib = _load()
+    so = getattr(allev, "stream_off", None)
+    if lib is None or so is None \
+            or not hasattr(lib, "frag_cons_arm_pass_d"):
+        return None
+    bdp = np.zeros((P, 14, 2), dtype=np.int64)
+    bta = np.zeros((P, 14, 2), dtype=np.int64)
+    btb = np.zeros((P, 14, 2), dtype=np.int64)
+    vq_bmq = np.zeros((P, 14), dtype=np.int64)
+    hist = np.zeros((P, 14, 16), dtype=np.int64)
+
+    def cp(a, dt=np.int64):
+        return np.ascontiguousarray(a, dtype=dt).ctypes.data_as(
+            ctypes.c_void_p)
+
+    # keep the converted operand arrays alive across the merge call
+    holds = [np.ascontiguousarray(a, dtype=np.int64)
+             for a in (bg, aDP4, ref_syms, frag_strand, normMQ)]
+    lib.frag_cons_arm_pass_d(
+        *(h.ctypes.data_as(ctypes.c_void_p) for h in holds),
+        ctypes.c_int64(P), ctypes.c_int64(highbq_thres),
+        ctypes.c_int64(mut_window),
+        bdp.ctypes.data_as(ctypes.c_void_p),
+        bta.ctypes.data_as(ctypes.c_void_p),
+        btb.ctypes.data_as(ctypes.c_void_p),
+        vq_bmq.ctypes.data_as(ctypes.c_void_p),
+        hist.ctypes.data_as(ctypes.c_void_p))
+    handle = frag_cons_direct(allev, frag_of_read, n_frags, P,
+                              link_m_overridden=True, fetch=False)
+    counts = np.zeros(2, dtype=np.int64)
+    lib.frag_cons_pass_d_counts(counts.ctypes.data_as(ctypes.c_void_p))
+    if not isinstance(handle, StaticFragCons):
+        return None          # merge fell back; pass-D outputs discarded
+    n_mut, n_win = int(counts[0]), int(counts[1])
+    mut = tuple(np.empty(n_mut, dtype=np.int64) for _ in range(4))
+    lib.pass_d_fetch_mut(*(a.ctypes.data_as(ctypes.c_void_p) for a in mut))
+    win = tuple(np.empty(n_win, dtype=np.int64) for _ in range(3))
+    lib.pass_d_fetch_win(*(a.ctypes.data_as(ctypes.c_void_p) for a in win))
+    return handle, (bdp, bta, btb, hist, vq_bmq, mut, win)
+
+
 def has_statics_path():
     """True when the statics-resident pass_d + family chain is built."""
     lib = _load()

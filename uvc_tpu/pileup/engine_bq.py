@@ -1214,13 +1214,26 @@ def _pass_d_mutforms_sparse(mf, mp, mst, msym, frag_strand):
 def pass_d_fragments(allev: EventValues, gap_info, table, ref_syms,
                      frag_of_read, frag_strand, P, cfg, info: SegInfo,
                      bg: np.ndarray, frag_gc=None, batch=None,
-                     use_native=True):
+                     use_native=True, precomputed=None):
     """R1R2 MAX-merge per fragment and consensus scatter
     (main.hpp:2620-2798). frag_gc: precomputed GroupConsensus to share with
     the family engine."""
     e = allev
     n_frags = int(frag_of_read.max()) + 1 if len(frag_of_read) else 0
     NS = NUM_SYMBOLS
+
+    if precomputed is not None:
+        # pass D already ran fused inside the fragment merge
+        # (frag_cons_with_pass_d): only the sparse python passes remain
+        bdp, bta, btb, hist, vq_bMQ, mut_rows, win_rows = precomputed
+        win_key = set(zip(win_rows[0].tolist(), win_rows[1].tolist(),
+                          win_rows[2].tolist()))
+        frag_indel = _pass_d_frag_indel(gap_info, frag_of_read, None,
+                                        None, None, None, batch,
+                                        frag_strand, win_key=win_key)
+        mutforms = _pass_d_mutforms_sparse(*mut_rows,
+                                           frag_strand=frag_strand)
+        return bdp, bta, btb, hist, vq_bMQ, frag_indel, mutforms
 
     if len(e.pos) == 0:
         z3 = np.zeros((P, NS, 2), dtype=np.int64)

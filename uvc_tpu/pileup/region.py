@@ -92,6 +92,7 @@ def call_region(batch, ref_syms, region_offset, cfg,
     # the native kernel is built (exact parity), else the sorting reduce
     import os as _os
     from ..ops import native_rowpile as nr
+    pd_pre = None
     if _os.environ.get("UVC_TPU_DEVICE_PREPARE", "") == "1":
         # on-device prepare: the fragment sort+reduce+consensus (the hot
         # op of updateByRegion3Aln, main.hpp:3665-3742) runs as ONE jitted
@@ -110,11 +111,28 @@ def call_region(batch, ref_syms, region_offset, cfg,
         # pass-D + family chain; the consensus-FASTQ emitter reads
         # res.frag_cons much later (after the statics were reused), so
         # that flag forces a fetch
-        fc6 = nr.frag_cons_direct(allev, famgrp.frag_of_read,
-                                  famgrp.n_frags, P,
-                                  link_m_overridden=True,
-                                  fetch=not nr.has_statics_path()
-                                  or bool(cfg.fam_consensus_out_fastq))
+        fc6 = None
+        if nr.has_statics_path() and not cfg.fam_consensus_out_fastq:
+            # fused merge: pass D runs inside the fragment flush while
+            # the consensus rows are cache-hot
+            import numpy as _np
+            normMQ = _np.zeros(famgrp.n_frags, dtype=_np.int64)
+            if famgrp.n_frags:
+                _np.maximum.at(normMQ, famgrp.frag_of_read,
+                               table.reads.mapq)
+            aDP4 = (info.aDPff + info.aDPfr + info.aDPrf + info.aDPrr)
+            fused = nr.frag_cons_with_pass_d(
+                allev, famgrp.frag_of_read, famgrp.n_frags, P, bg, aDP4,
+                ref_syms, famgrp.frag_strand, normMQ,
+                cfg.bias_thres_highBQ, cfg.syserr_mut_region_n_bases)
+            if fused is not None:
+                fc6, pd_pre = fused
+        if fc6 is None:
+            fc6 = nr.frag_cons_direct(allev, famgrp.frag_of_read,
+                                      famgrp.n_frags, P,
+                                      link_m_overridden=True,
+                                      fetch=not nr.has_statics_path()
+                                      or bool(cfg.fam_consensus_out_fastq))
     if isinstance(fc6, nr.StaticFragCons):
         # rows stay resident in the .so statics: pass_d and the family
         # chain read them in place (no numpy round trip)
@@ -131,7 +149,7 @@ def call_region(batch, ref_syms, region_offset, cfg,
         engine_bq.pass_d_fragments(allev, gap_info, table, ref_syms,
                                    famgrp.frag_of_read, famgrp.frag_strand,
                                    P, cfg, info, bg, frag_gc=frag_gc,
-                                   batch=batch)
+                                   batch=batch, precomputed=pd_pre)
     bIAQ, bIAD, bIDQ = engine_bq.final_iid_qualities(bdp, bg, info, hist, P)
     bq_res = engine_bq.BQResult(
         prep=prep, thres=thres, seginfo=info, bg_bqsum=bg, vq_a1BQ=a1,
