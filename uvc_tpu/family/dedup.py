@@ -391,8 +391,11 @@ def group_families(batch, table, cfg,
         rank[np.argsort(ffirst, kind="stable")] = np.arange(n_g)
         fam_of_frag = rank[gid]
         fam_first = np.sort(ffirst)  # fam k's first fragment index
-        fam_mb = [_fam_mb_of_frag(int(j), int(frag_dflag[int(j)]))
-                  for j in fam_first]
+        # the MolecularBarcode info only feeds the consensus-FASTQ names:
+        # skip the per-family python work on the hot path
+        fam_mb = ([_fam_mb_of_frag(int(j), int(frag_dflag[int(j)]))
+                   for j in fam_first]
+                  if cfg.fam_consensus_out_fastq else None)
         return FamilyGrouping(
             frag_of_read=frag_of_read, fam_of_frag=fam_of_frag,
             frag_strand=frag_strand, fam_strand=frag_strand[fam_first],
@@ -405,6 +408,7 @@ def group_families(batch, table, cfg,
 
     fam_keys = {}
     fam_of_frag = np.empty(n_frags, dtype=np.int64)
+    want_mb = bool(cfg.fam_consensus_out_fastq)
     fam_mb_l = []
     fam_strand_l = []
     fam_dflag_l = []
@@ -436,7 +440,8 @@ def group_families(batch, table, cfg,
             fam_strand_l.append(int(frag_strand[j]))
             fam_dflag_l.append(dflag)
             fam_umi_l.append(umi_norm.decode() if umi_norm else "")
-            fam_mb_l.append(_fam_mb_of_frag(j, dflag))
+            if want_mb:
+                fam_mb_l.append(_fam_mb_of_frag(j, dflag))
             if dflag & 0x2:
                 mkey = (int(beg_s[j]) if idflag & 0x1 else -1,
                         int(end_s[j]) if idflag & 0x2 else -1, umi_norm)
@@ -452,4 +457,4 @@ def group_families(batch, table, cfg,
         umi_of_fam=fam_umi_l,
         duplex_pair=np.asarray(duplex_pair_l, np.int64),
         pcrpassed=int(is_amp.sum()), frag_amplicon=is_amp,
-        fam_mb=fam_mb_l)
+        fam_mb=fam_mb_l if want_mb else None)
