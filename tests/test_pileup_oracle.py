@@ -481,3 +481,59 @@ def test_consensus_fastq_oracle(oracle_exe, tmp_path, umi, duplex):
         if got[i] != want[i]:
             for la, lb in zip(got[i].splitlines(), want[i].splitlines()):
                 assert la == lb, f"fastq[{i}]:\nOURS {la}\nREF  {lb}"
+
+
+def test_haplink_phase_oracle(oracle_exe, tmp_path):
+    """calling.update_hap_map + the pipeline's mutform collection vs the
+    reference's updateHapMap HapLink vectors (main.hpp:3598-3663), via
+    the full reference chain (its own grouping + engine)."""
+    from uvc_tpu import calling
+
+    ref = simulate.random_ref(800, 13)
+    # two nearby hetero-ish SNVs so multi-variant haplotypes form
+    p1, p2 = 300, 330
+    variants = [
+        simulate.Variant(p1, f"{ref[p1]}>" + ("A" if ref[p1] != "A"
+                                              else "C"), 0.5),
+        simulate.Variant(p2, f"{ref[p2]}>" + ("G" if ref[p2] != "G"
+                                              else "T"), 0.5),
+        simulate.Variant(420, "+AC", 0.4),
+    ]
+    path = str(tmp_path / "t.bam")
+    simulate.build_bam(path, ref, depth=40, variants=variants, seed=13)
+    hdr, batch = bam_mod.read_bam(path)
+    cfg = UVCConfig()
+    cfg.bam_input_fname = path
+    raw_qual = batch.qual.copy()
+    ref_syms = CHAR_TO_SYMBOL[np.frombuffer(ref.encode(), np.uint8) & 0x7F]
+    res = region_mod.call_region(batch, ref_syms, 0, cfg)
+
+    orc = _feed_reads_raw(oracle_exe, batch, raw_qual, ref, cfg)
+    try:
+        orc.send(f"group 0 {len(ref)} 0")
+        orc.send("run")
+        ref_haps = []
+        for kind in range(3):
+            rows = []
+            for ent in orc.send(f"haps {kind}").split(";"):
+                if not ent:
+                    continue
+                sig_s, _, cnts_s = ent.partition("=")
+                sig = tuple(
+                    (int(x.split(".")[0]), int(x.split(".")[1]))
+                    for x in sig_s.split("_") if x)
+                fw, rv, ofw, orv = (int(x) for x in cnts_s.split(","))
+                rows.append((sig, (fw, rv), (ofw, orv)))
+            ref_haps.append(rows)
+    finally:
+        orc.close()
+
+    ours = []
+    for mf in (res.bq.mutforms, res.fq.mutforms_fq, res.fq.mutforms_f2q):
+        ours.append(calling.update_hap_map(mf, cfg))
+    for kind, name in enumerate(("bq", "fq", "f2q")):
+        assert ours[kind] == ref_haps[kind], (
+            f"{name} HapLinks diverge:\nours={ours[kind]}\n"
+            f"ref ={ref_haps[kind]}")
+    # the exercised workload must actually phase something
+    assert any(len(h) > 0 for h in ref_haps), "no haplotypes formed"

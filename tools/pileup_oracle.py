@@ -696,7 +696,9 @@ int main() {
                 for (const auto & ps2 : h.pos_symb_string) {
                     os << ps2.first << '.' << (int)ps2.second << '_';
                 }
-                os << '=' << h.fr_cnts[0] << ',' << h.fr_cnts[1] << ';';
+                os << '=' << h.fr_cnts[0] << ',' << h.fr_cnts[1]
+                   << ',' << h.other_hap_cnts[0] << ','
+                   << h.other_hap_cnts[1] << ';';
             }
             std::cout << os.str() << std::endl;
         } else if (op == "indelmap") {

@@ -97,20 +97,74 @@ def tumor_only_tlodq(F, cfg):
     return tlodq, b4c, c4c
 
 
-def _phase_string(mutforms, p, s, region_offset, pseudocount=1):
-    """FORMAT bHap/cHap/c2Hap (mutform2count4map_to_phase,
-    main.hpp:5380-5404): the multi-variant haplotype signatures containing
-    this variant, with strand counts."""
-    out = []
-    for sig, cnts in mutforms.items():
-        if (p, s) not in sig:
+def update_hap_map(mutforms, cfg):
+    """updateHapMap (main.hpp:3598-3663): order the haplotype signatures
+    by descending support, compute subset-inclusion strand counts for the
+    top phasing_haplotype_max_detail_cnt forms, and filter by
+    min-AD-plus-size and the per-position haplotype depth cap.  Returns
+    the HapLink list [(sig, (fw, rv), (other_fw, other_rv) | (-1, -1))]."""
+    items = sorted(((c[0] + c[1], sig, (int(c[0]), int(c[1])))
+                    for sig, c in mutforms.items()), reverse=True)
+    nd = min(int(cfg.phasing_haplotype_max_detail_cnt), len(items))
+    inc = []
+    for i in range(nd):
+        dst = items[i][1]
+        fw = rv = 0
+        for j in range(i + 1, len(items)):
+            src = items[j][1]
+            if all(a in src for a in dst):
+                fw += items[j][2][0]
+                rv += items[j][2][1]
+        inc.append((fw, rv))
+    tsum2 = {}
+    ret = []
+    min_ad = int(cfg.phasing_haplotype_min_ad)
+    max_count = int(cfg.phasing_haplotype_max_count)
+    for i, (tot, sig, cnts) in enumerate(items):
+        if tot < min_ad + len(sig):
             continue
+        hap_tot = 0
+        for (pos, _sym) in sig:
+            tsum2[pos] = tsum2.get(pos, 0) + 1
+            hap_tot += tsum2[pos]
+        if hap_tot > max_count * len(sig):
+            continue
+        ret.append((sig, cnts, inc[i] if i < nd else (-1, -1)))
+    return ret
+
+
+def simplemut_to_indices(hapvec):
+    """mutform2count4vec_to_simplemut2indices (main.cpp:83-97): for each
+    (pos, sym), the ascending indices of HapLinks containing it with
+    total support >= 2."""
+    out = {}
+    for i, (sig, cnts, _other) in enumerate(hapvec):
+        if cnts[0] + cnts[1] < 2:
+            continue
+        for mut in sig:
+            out.setdefault(mut, []).append(i)
+    return out
+
+
+def _phase_string(hap, p, s, region_offset, pseudocount=1):
+    """FORMAT bHap/cHap/c2Hap (mutform2count4map_to_phase,
+    main.hpp:5380-5404) over the updateHapMap-filtered HapLink vector:
+    the haplotype signatures containing this variant, each with strand
+    counts and, for the top detail forms, the subset-inclusion totals
+    appended as &&fw&rv."""
+    hapvec, smidx = hap
+    out = []
+    for idx in smidx.get((p, s), ()):
+        sig, cnts, other = hapvec[idx]
         if cnts[0] + cnts[1] <= pseudocount:
             continue
         inner = "".join(
-            f"({pos + region_offset + (1 if sym < 6 else 0)}&{SYMBOL_TO_DESC[sym]})"
+            f"({pos + region_offset + (1 if sym < 6 else 0)}"
+            f"&{SYMBOL_TO_DESC[sym]})"
             for pos, sym in sig)
-        out.append(f"({inner}&{cnts[0]}&{cnts[1]})")
+        add = (f"&&{other[0] + cnts[0]}&{other[1] + cnts[1]}"
+               if other[0] > -1 else "")
+        out.append(f"({inner}&{cnts[0]}&{cnts[1]}{add})")
     return "".join(out)
 
 
@@ -1040,6 +1094,16 @@ def assemble_records(ctx, refstring, region_offset, chrom, cfg,
     vcfqual = F["_vcfqual"]
 
     records = []
+    # HapLink vectors + per-simplemut indices (updateHapMap,
+    # main.hpp:3598-3663 + main.cpp:83-97), once per region
+    haps = ctx.get("_haps")
+    if haps is None:
+        haps = []
+        for mf in (res.bq.mutforms, res.fq.mutforms_fq,
+                   res.fq.mutforms_f2q):
+            vec = update_hap_map(mf, cfg)
+            haps.append((vec, simplemut_to_indices(vec)))
+        ctx["_haps"] = haps
     germ_phred = {0: cfg.germ_phred_hetero_snp, 1: cfg.germ_phred_hetero_indel}
     if is_tumor_only:
         work = [(int(p), int(s), None) for p, s in np.argwhere(cand)]
@@ -1247,9 +1311,9 @@ def assemble_records(ctx, refstring, region_offset, chrom, cfg,
                 f"{int(F['cDP2x'][p, s])}/")
         else:
             fmt["note"] = ""
-        fmt["bHap"] = _phase_string(res.bq.mutforms, p, s, region_offset)
-        fmt["cHap"] = _phase_string(res.fq.mutforms_fq, p, s, region_offset)
-        fmt["c2Hap"] = _phase_string(res.fq.mutforms_f2q, p, s, region_offset)
+        fmt["bHap"] = _phase_string(haps[0], p, s, region_offset)
+        fmt["cHap"] = _phase_string(haps[1], p, s, region_offset)
+        fmt["c2Hap"] = _phase_string(haps[2], p, s, region_offset)
         # top-2 consensus alleles (main.cpp:1000-1015; array defaults
         # {{-999}}, {{DESC[END]}}, {{""}} leave the second entry 0 / "")
         ranked = rank.get((p, st), [])

@@ -87,7 +87,19 @@ def simulate_reads(ref: str, depth: int, read_len: int = 100,
             else:
                 carries = rng.random() < v.fraction
             if carries:
-                applied = v.apply(ref, fb, fe, rng)
+                if ">" in v.spec and not cig_events:
+                    # SNVs stack on the current haplotype (CIGAR
+                    # unchanged), so one fragment can carry several —
+                    # needed to exercise the phasing haplotype machinery
+                    if fb <= v.pos < fe:
+                        rel = v.pos - fb
+                        hap = (hap[:rel] + v.spec.split(">")[1]
+                               + hap[rel + 1:])
+                    continue
+                # indels only on an otherwise-unmodified haplotype (the
+                # single-event CIGAR model)
+                applied = (v.apply(ref, fb, fe, rng)
+                           if hap == ref[fb:fe] else None)
                 if applied is not None:
                     hap = applied
                     rel = v.pos - fb
@@ -97,7 +109,7 @@ def simulate_reads(ref: str, depth: int, read_len: int = 100,
                         cig_events.append((rel, "I", len(v.spec) - 1))
                     else:
                         cig_events.append((rel, "D", int(v.spec[1:])))
-                    break  # one variant per fragment for simplicity
+                    break  # one indel per fragment for simplicity
         umi_tag = ""
         if umi:
             fam = (i % n_umi_families) if n_umi_families else i
