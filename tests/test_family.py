@@ -60,12 +60,15 @@ def test_fq_tiers_at_planted_variants(result):
 
 def test_fq_exact_indels(result):
     ref, variants, batch, res = result
+    from conftest import expected_indel_symbol
     ins = variants[1]
-    key_ins = res.fq.fam_indel.get((ins.pos + 1, int(Symbol.LINK_I2)), {})
+    ins_sym = expected_indel_symbol(ref, ins.pos + 1, 2, False)
+    key_ins = res.fq.fam_indel.get((ins.pos + 1, ins_sym), {})
     # values are [cADf, cADr, c2ADf, c2ADr, c2dADf, c2dADr]
     assert b"TT" in key_ins and sum(key_ins[b"TT"][:2]) > 5
     dele = variants[2]
-    key_del = res.fq.fam_indel.get((dele.pos + 1, int(Symbol.LINK_D2)), {})
+    del_sym = expected_indel_symbol(ref, dele.pos + 1, 2, True)
+    key_del = res.fq.fam_indel.get((dele.pos + 1, del_sym), {})
     assert sum(key_del.get(2, [0] * 6)[:2]) > 5
 
 

@@ -184,17 +184,19 @@ def test_bq_engine_depth_and_snv(simdata):
     assert 0.12 < alt / tot < 0.55
     assert bdp[p, ref_sym] + alt >= 0.9 * tot
 
-    # planted insertion shows at LINK_I2 (length 2 -> I2); the link site is
-    # anchor+1 (between the anchor base and the next ref base)
+    # planted insertion registers at its STR-normalized symbol; the link
+    # site is anchor+1 (between the anchor base and the next ref base)
+    from conftest import expected_indel_symbol
     ins = variants[1]
-    bdp_ins = bdp[ins.pos + 1, int(Symbol.LINK_I2)]
+    ins_sym = expected_indel_symbol(ref, ins.pos + 1, 2, False)
+    bdp_ins = bdp[ins.pos + 1, ins_sym]
     link_tot = bdp[ins.pos + 1, 6:].sum()
     assert bdp_ins > 0
     assert 0.08 < bdp_ins / max(link_tot, 1) < 0.55
 
-    # planted deletion (len 2 -> LINK_D2) at pos 2000 registers at link pos 2001
+    # planted deletion (len 2) at pos 2000 registers at link pos 2001
     dele = variants[2]
-    del_sym = int(Symbol.LINK_D2)
+    del_sym = expected_indel_symbol(ref, dele.pos + 1, 2, True)
     # deletion link symbol is placed at the first deleted base position
     dpos_candidates = [dele.pos, dele.pos + 1]
     assert max(bdp[q, del_sym] for q in dpos_candidates) > 0

@@ -537,3 +537,76 @@ def test_haplink_phase_oracle(oracle_exe, tmp_path):
             f"ref ={ref_haps[kind]}")
     # the exercised workload must actually phase something
     assert any(len(h) > 0 for h in ref_haps), "no haplotypes formed"
+
+
+def test_exact_indel_maps_oracle(oracle_exe, tmp_path):
+    """The per-(pos,symbol) exact-indel consensus maps vs the compiled
+    reference: fragment-level (gapbAD1 source), family cAD1 level, and
+    the tier-2 / duplex tables (pos2iseq2data_cDP2 etc.)."""
+    ref = simulate.random_ref(800, 21)
+    variants = [
+        simulate.Variant(200, "+GAT", 0.4),
+        simulate.Variant(400, "-2", 0.4),
+        simulate.Variant(600, "+C", 0.35),
+    ]
+    path = str(tmp_path / "t.bam")
+    simulate.build_bam(path, ref, depth=40, variants=variants, seed=21,
+                       umi=True)
+    hdr, batch = bam_mod.read_bam(path)
+    cfg = UVCConfig()
+    cfg.bam_input_fname = path
+    raw_qual = batch.qual.copy()
+    ref_syms = CHAR_TO_SYMBOL[np.frombuffer(ref.encode(), np.uint8) & 0x7F]
+    res = region_mod.call_region(batch, ref_syms, 0, cfg)
+
+    orc = _feed_reads_raw(oracle_exe, batch, raw_qual, ref, cfg)
+    diffs = []
+    try:
+        orc.send(f"group 0 {len(ref)} 0")
+        orc.send("run")
+
+        def ref_map(op, strand, sym, pos):
+            out = {}
+            for ent in orc.send(f"{op} {strand} {sym} {pos}").split(";"):
+                if not ent:
+                    continue
+                k, _, v = ent.rpartition(":")
+                out[po.unesc(k)] = int(v)
+            return out
+
+        ins_syms = (10, 11, 12)
+        del_syms = (7, 8, 9)
+        # positions worth checking: every key of ours + the planted sites
+        poss = {200, 400, 600}
+        poss |= {p for (p, s) in res.bq.frag_indel}
+        poss |= {p for (p, s) in res.fq.fam_indel}
+        for pos in sorted(poss):
+            for sym in ins_syms + del_syms:
+                is_ins = sym in ins_syms
+                op_frag = "fragiseq" if is_ins else "fragdlen"
+                op_fam = "famiseq" if is_ins else "famdlen"
+                for strand in (0, 1):
+                    want = ref_map(op_frag, strand, sym, pos)
+                    got = {}
+                    for k, cnts in res.bq.frag_indel.get((pos, sym),
+                                                        {}).items():
+                        kk = k.decode() if isinstance(k, bytes) else str(k)
+                        if cnts[strand]:
+                            got[kk] = cnts[strand]
+                    if want != got:
+                        diffs.append(("frag", strand, pos, sym, want, got))
+                    want = ref_map(op_fam, strand, sym, pos)
+                    got = {}
+                    for k, cnts in res.fq.fam_indel.get((pos, sym),
+                                                       {}).items():
+                        kk = k.decode() if isinstance(k, bytes) else str(k)
+                        if cnts[strand]:
+                            got[kk] = cnts[strand]
+                    if want != got:
+                        diffs.append(("fam", strand, pos, sym, want, got))
+    finally:
+        orc.close()
+    n_keys = (sum(len(v) for v in res.bq.frag_indel.values())
+              + sum(len(v) for v in res.fq.fam_indel.values()))
+    assert n_keys >= 6, f"workload exercised too few indel keys: {n_keys}"
+    assert not diffs, f"{len(diffs)} exact-indel map diffs: {diffs[:8]}"

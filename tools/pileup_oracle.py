@@ -682,6 +682,39 @@ int main() {
                 }
             }
             std::cout << os.str() << std::endl;
+        } else if (op == "fragiseq" || op == "fragdlen"
+                   || op == "famiseq" || op == "famdlen") {
+            // per-(strand, symbol, pos) exact-indel maps of the frag /
+            // fam depth sets (PosToIseqToData / PosToDlenToData)
+            long strand; int sym; int64_t pos;
+            iss >> strand >> sym >> pos;
+            std::ostringstream os;
+            if (op == "fragiseq" || op == "famiseq") {
+                const auto & m = (op[2] == 'a'
+                    ? s2ccs->symbol_to_frag_format_depth_sets[strand]
+                        .getPosToIseqToData((AlignmentSymbol)sym)
+                    : s2ccs->symbol_to_fam_format_depth_sets_2strand[strand]
+                        .getPosToIseqToData((AlignmentSymbol)sym));
+                auto it = m.find(pos);
+                if (it != m.end()) {
+                    for (const auto & kv : it->second) {
+                        os << esc(kv.first) << ':' << kv.second << ';';
+                    }
+                }
+            } else {
+                const auto & m = (op[2] == 'a'
+                    ? s2ccs->symbol_to_frag_format_depth_sets[strand]
+                        .getPosToDlenToData((AlignmentSymbol)sym)
+                    : s2ccs->symbol_to_fam_format_depth_sets_2strand[strand]
+                        .getPosToDlenToData((AlignmentSymbol)sym));
+                auto it = m.find(pos);
+                if (it != m.end()) {
+                    for (const auto & kv : it->second) {
+                        os << kv.first << ':' << kv.second << ';';
+                    }
+                }
+            }
+            std::cout << os.str() << std::endl;
         } else if (op == "fastq") {
             int idx;
             iss >> idx;

@@ -688,7 +688,12 @@ def compute_event_values(table, batch, ref_syms, tracks, baq, baq2,
     gk_del = g.is_del[keep]
     gk_qpos = g.qpos[keep]
 
-    phredvalue, _, ctx_rnum, ctx_rsize = strscan.ref_to_phredvalue(
+    # n_units is the STR-unit-normalized indel length: ref_to_phredvalue
+    # (main.hpp:878,917-921) rewrites its first argument by reference and
+    # insLenToSymbol/delLenToSymbol (main.hpp:2076,2191) classify by THAT,
+    # not by cigar_oplen -- e.g. a 3bp insertion in a non-repeat context is
+    # n_units = 1 + 3//6 = 1 and lands on LINK_I1, not LINK_I3P
+    phredvalue, n_units, ctx_rnum, ctx_rsize = strscan.ref_to_phredvalue(
         tracks, gk_pos, gk_len, gk_del, cfg.indel_BQ_max,
         cfg.indel_polymerase_slip_rate, cfg.indel_del_to_ins_err_ratio)
     a_dp = prep.a_dp[gk_pos].astype(np.float64)
@@ -699,8 +704,11 @@ def compute_event_values(table, batch, ref_syms, tracks, baq, baq2,
     is_multi_ins = (prep.a_near_ins_pow2len[gk_pos] * ratiothres
                     > np.maximum(1, prep.a_near_ins_dp[gk_pos]) * gk_len * 3)
     bump = np.clip(phredinc - 3, 0, 4)
+    # the 1bp-bump gates on the NORMALIZED length (1 == inslen / 1 == dellen
+    # at main.hpp:2044,2151 read the post-ref_to_phredvalue value), while
+    # is_multiallelic_ins uses raw cigar_oplen
     phredvalue = phredvalue + np.where(
-        (gk_len == 1) & (gk_del | (~gk_del & ~is_multi_ins)), bump, 0)
+        (n_units == 1) & (gk_del | (~gk_del & ~is_multi_ins)), bump, 0)
 
     qual_flat = batch.qual
     soff = batch.seq_off
@@ -814,11 +822,16 @@ def compute_event_values(table, batch, ref_syms, tracks, baq, baq2,
     upper = np.where(gk_del, np.minimum(upper, qfromBAQ), upper)
     g_val = np.maximum(upper - micro_indel_penal[gk_read], 0) + 1
     g_val = np.maximum(g_val, 1)
+    # symbol classification uses the normalized n_units, except for indels at
+    # the read end where ref_to_phredvalue is never called and the raw
+    # cigar_oplen survives (main.hpp:2012-2023; only reachable when
+    # indel_filter_edge_dist <= 0)
+    sym_len = np.where(g.nbases2end[keep] <= 0, gk_len, n_units)
     gsym = np.where(gk_del,
-                    np.where(gk_len == 1, int(Symbol.LINK_D1),
-                             np.where(gk_len == 2, int(Symbol.LINK_D2), int(Symbol.LINK_D3P))),
-                    np.where(gk_len == 1, int(Symbol.LINK_I1),
-                             np.where(gk_len == 2, int(Symbol.LINK_I2), int(Symbol.LINK_I3P))))
+                    np.where(sym_len == 1, int(Symbol.LINK_D1),
+                             np.where(sym_len == 2, int(Symbol.LINK_D2), int(Symbol.LINK_D3P))),
+                    np.where(sym_len == 1, int(Symbol.LINK_I1),
+                             np.where(sym_len == 2, int(Symbol.LINK_I2), int(Symbol.LINK_I3P))))
     gap_ev = EventValues(pos=gk_pos, sym=gsym, val=g_val, read=gk_read,
                          is_gap=np.ones(len(gk_pos), bool),
                          cigar_op=np.where(gk_del, 2, 1).astype(np.int64),
