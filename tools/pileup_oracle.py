@@ -207,6 +207,58 @@ static inline int sam_itr_next(samFile *, hts_itr_t *it, bam1_t *b) {
 
 static inline void sam_itr_destroy(hts_itr_t *it) { free(it); }
 
+// --- file-level surface for the SamIter scheduler oracle
+// (tools/sched_oracle.py): sam_open resets a global cursor over the same
+// in-memory record list; the header is driver-built ---
+
+typedef struct bam_hdr_t {
+    int32_t n_targets;
+    char **target_name;
+    uint32_t *target_len;
+} bam_hdr_t;
+
+extern bam_hdr_t *g_hts_shim_hdr;
+extern size_t g_hts_shim_read_cursor;
+
+static inline samFile *sam_open(const char *, const char *) {
+    g_hts_shim_read_cursor = 0;
+    return (samFile *)calloc(1, sizeof(samFile));
+}
+static inline int sam_close(samFile *fp) { free(fp); return 0; }
+static inline bam_hdr_t *sam_hdr_read(samFile *) { return g_hts_shim_hdr; }
+static inline void bam_hdr_destroy(bam_hdr_t *) {}
+static inline hts_idx_t *sam_index_load(samFile *, const char *) {
+    return (hts_idx_t *)calloc(1, sizeof(hts_idx_t));
+}
+static inline void hts_idx_destroy(hts_idx_t *i) { free(i); }
+
+static inline int sam_read1(samFile *, bam_hdr_t *, bam1_t *b) {
+    if (!g_hts_shim_reads
+            || g_hts_shim_read_cursor >= g_hts_shim_reads->size()) {
+        return -1;
+    }
+    bam_copy1(b, (*g_hts_shim_reads)[g_hts_shim_read_cursor++]);
+    return 0;
+}
+
+// "tname:beg-end" / "tname:beg" / "tname" (1-based inclusive, htslib
+// sam_itr_querys semantics) over the in-memory list
+static inline hts_itr_t *sam_itr_querys(const hts_idx_t *, bam_hdr_t *h,
+                                        const char *s) {
+    char name[1024];
+    long long beg1 = 0, end1 = 0;
+    int nt = sscanf(s, "%1023[^:]:%lld-%lld", name, &beg1, &end1);
+    int tid = -1;
+    for (int32_t t = 0; h && t < h->n_targets; t++) {
+        if (0 == strcmp(h->target_name[t], name)) { tid = t; break; }
+    }
+    if (tid < 0) { return NULL; }
+    int64_t beg = (nt >= 2 ? beg1 - 1 : 0);
+    int64_t end = (nt >= 3 ? end1
+                           : (nt == 2 ? beg1 : (int64_t)h->target_len[tid]));
+    return sam_itr_queryi(NULL, tid, beg, end);
+}
+
 static inline bam1_t *bam_init1(void) {
     return (bam1_t *)calloc(1, sizeof(bam1_t));
 }

@@ -347,14 +347,10 @@ def _vq_fmts_traced(Fm, cfg):
         q = jnp.abs(a) // jnp.abs(b)
         return jnp.where((a < 0) != (b < 0), -q, q)
 
-    ref = Fm["ref_syms"]
-    refpad = jnp.concatenate(
-        [jnp.full(2, -1, ref.dtype), ref, jnp.full(2, -2, ref.dtype)])
-    c = refpad[2:-2]
-    hp1 = (refpad[1:-3] == c) & (refpad[3:-1] == c)
-    hp2 = (refpad[:-4] == c) & (refpad[4:] == c)
-    red = jnp.where(hp1 & hp2, 20, jnp.where(hp1, 10, 0))
-    minABQ_b = jnp.maximum(Fm["minABQ_snv_p"] - red, 0)[:, None]
+    # hp_red is computed host-side per region (model/fmtarrays.py):
+    # packed rows are not position-contiguous across regions, so row-
+    # neighbor logic here would make output depend on request packing
+    minABQ_b = jnp.maximum(Fm["minABQ_snv_p"] - Fm["hp_red"], 0)[:, None]
     minABQ_l = Fm["minABQ_indel_p"][:, None]
     minABQ = jnp.concatenate(
         [jnp.broadcast_to(minABQ_b, (minABQ_b.shape[0], 6)),
@@ -482,7 +478,7 @@ MODEL_READ_PLANES = (
     "c2RB2 c2RBL c2RP0 c2RP1 c2RP2 c2RPL cDP0a cDP12f cDP12r cDP1f cDP1r "
     "cDP21f cDP21r cDP2f cDP2r cDP3f cDP3r cDPDf cDPDr cDPMf cDPMr cDPmf "
     "cDPmr cIADf cIADr cIAQf cIAQr cIDQf cIDQr ctx_repeatnum ctx_unitlen "
-    "dDP1 dDP2 del1_cdepth del_cdepth gapLen ins1_cdepth ins_cdepth "
+    "dDP1 dDP2 del1_cdepth del_cdepth gapLen hp_red ins1_cdepth ins_cdepth "
     "minABQ_indel_p minABQ_snv_p ref_syms rtr1_tracklen_3 "
     "rtr1_unitlen_3 rtr2_anyTR_tracklen_3 rtr2_tracklen_3 rtr2_unitlen_3 "
     "tki_et2"

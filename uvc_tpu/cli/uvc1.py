@@ -334,7 +334,9 @@ def run(argv=None):
             tier1_bytes=t1_bytes,
             stream=stream_mod.BamStream(cfg.bam_input_fname,
                                         chunk_bytes=chunk),
-            row_filter=lambda b: filter_batch(b, cfg))
+            row_filter=lambda b: filter_batch(b, cfg),
+            nthreads=cfg.max_cpu_num,
+            is_fastq_gen=len(cfg.fam_consensus_out_fastq or "") > 0)
         header = t1.header
         windows = stream_mod.prefetch(iter(t1))
         try:
@@ -367,7 +369,9 @@ def run(argv=None):
         window_iter = _window_iter()
         plans = None
     else:
-        plans = regions_mod.plan(batch, ref_lens, cfg.mem_per_thread)
+        plans = regions_mod.plan(
+            batch, ref_lens, cfg.mem_per_thread, nthreads=cfg.max_cpu_num,
+            is_fastq_gen=len(cfg.fam_consensus_out_fastq or "") > 0)
 
     is_normal_run = is_provided(cfg.vcf_tumor_fname)
     tki_all = None

@@ -5,12 +5,12 @@ TPU-native replacement for the reference's SamIter region chunker
 (grouping.cpp:157-314) and async tier-1 prefetch (main.cpp:1350-1357):
 BGZF blocks are decompressed incrementally by the native stream decoder
 (native/bamdec.cpp: bgzf_stream_*), records are decoded into columnar
-ReadBatch pieces, and an incremental planner yields tier-1 batches of
-COMPLETE region plans under the same memory model as the whole-file
-scheduler — plan boundaries are bit-identical to schedule.regions.plan on
-the full file (the cut rules are prefix-causal; the cross-window coverage
-state is carried via prev_tid/prev_max0), so streaming never changes the
-VCF.  A prefetch thread decodes batch N+1 while batch N computes.
+ReadBatch pieces, and an incremental SamIterSim (the bit-exact
+SamIter::iternext simulation of schedule.regions) consumes each piece
+once, yielding windows of COMPLETE bedline plans whose boundaries, read
+content and claim windows equal the whole-file scheduler's -- streaming
+never changes the VCF.  A prefetch thread decodes batch N+1 while batch
+N computes.
 """
 
 import ctypes
@@ -137,7 +137,7 @@ class Tier1Stream:
 
     def __init__(self, path, ref_lens, mem_per_thread_mb=1536,
                  tier1_bytes=DEFAULT_TIER1_BYTES, stream=None,
-                 row_filter=None):
+                 row_filter=None, nthreads=1, is_fastq_gen=False):
         self.stream = stream or BamStream(path)
         self.header = self.stream.header
         self.ref_lens = ref_lens if ref_lens is not None \
@@ -145,61 +145,83 @@ class Tier1Stream:
         self.mem_mb = mem_per_thread_mb
         self.budget = tier1_bytes
         self.row_filter = row_filter   # per-read filter (filter_batch)
-        self._prev_tid = -1
-        self._prev_max0 = 0
-        self._carry = None        # ReadBatch of the open (incomplete) plan
+        # the scheduler is an INCREMENTAL SamIter simulation: each decoded
+        # piece is fed exactly once and the flushed bedlines accumulate
+        # until they are finalizable (all rows with pos < bedline end have
+        # streamed in)
+        self._sim = regions_mod.SamIterSim(
+            self.ref_lens, mem_per_thread_mb, nthreads, is_fastq_gen)
+        self._buf = []            # ReadBatch pieces kept for plan windows
+        self._pending = []        # flushed, not yet emitted bedlines
+        self._last_tid = -1       # stream cursor (last decoded row)
+        self._last_pos = -1
         self._done = False
 
     def __iter__(self):
         return self
 
     def __next__(self):
+        from ..constants import MAX_INSERT_SIZE
         if self._done:
             raise StopIteration
-        pieces = [self._carry] if self._carry is not None else []
-        cost = sum(_batch_cost(x) for x in pieces)
         while True:
-            while cost < self.budget:
-                piece = self._next_piece()
-                if piece is None:
-                    break
-                pieces.append(piece)
-                cost += _batch_cost(piece)
-            if not pieces:
-                self._done = True
-                self.stream.close()
-                raise StopIteration
-            window = pybam.concat_batches(pieces)
-            if window.n == 0:   # everything filtered out
-                self._done = True
-                self.stream.close()
-                raise StopIteration
-            plans = regions_mod.plan(window, self.ref_lens, self.mem_mb,
-                                     prev_tid=self._prev_tid,
-                                     prev_max0=self._prev_max0)
-            at_eof = self.stream._eof and not self.stream._carry
-            if at_eof:
-                self._carry = None
-                self._done = True
-                self.stream.close()
-                self._advance_state(window, plans[-1].read_end)
-                return window, plans
-            if len(plans) >= 2:
-                # emit all COMPLETE plans; the last plan may still grow,
-                # so it carries to the next window (its cut conditions are
-                # prefix-causal, so emitted boundaries are final)
-                split = plans[-1].read_beg
-                emitted = _slice_rows(window, 0, split)
-                self._carry = _slice_rows(window, split, window.n)
-                self._advance_state(window, split)
-                return emitted, plans[:-1]
-            # a single still-open plan: keep accumulating (bounded by the
-            # per-plan memory cap, which plan() enforces)
-            pieces = [window]
             piece = self._next_piece()
-            if piece is not None:
-                pieces.append(piece)
-                cost += _batch_cost(piece)
+            if piece is not None and piece.n:
+                self._pending += [b[:5] for b in self._sim.feed(
+                    np.asarray(piece.tid, dtype=np.int64),
+                    np.asarray(piece.pos, dtype=np.int64),
+                    np.asarray(piece.rend, dtype=np.int64),
+                    np.asarray(piece.flag, dtype=np.int64))]
+                self._buf.append(piece)
+                self._last_tid = int(piece.tid[-1])
+                self._last_pos = int(piece.pos[-1])
+            if piece is None:
+                self._pending += [b[:5] for b in self._sim.finish()]
+                self._done = True
+                self.stream.close()
+                if not self._pending:
+                    raise StopIteration
+                if not self._buf:
+                    raise StopIteration
+                window = pybam.concat_batches(self._buf)
+                self._buf = []
+                plans = regions_mod._plans_from_bedlines(
+                    self._pending, window, self.ref_lens)
+                return window, plans
+            # a bedline is finalizable once every row starting before its
+            # end has streamed in (rows arrive (tid, pos)-sorted)
+            n_ready = 0
+            for (t, b, e, f, nr) in self._pending:
+                if t < self._last_tid or (t == self._last_tid
+                                          and e <= self._last_pos):
+                    n_ready += 1
+                else:
+                    break
+            if n_ready == 0:
+                continue
+            ready = self._pending[:n_ready]
+            rest = self._pending[n_ready:]
+            window = pybam.concat_batches(self._buf)
+            plans = regions_mod._plans_from_bedlines(ready, window,
+                                                     self.ref_lens)
+            # retain the rows that future bedlines can re-include: from
+            # the earliest of (next pending bedline, the open block) minus
+            # the refetch pad (grouping.cpp:664)
+            kt, kb = self._sim.block_tid, self._sim.block_beg
+            if rest:
+                kt, kb = min((kt, kb), (rest[0][0], rest[0][1]))
+            if kt < 0:
+                keep_from = window.n
+            else:
+                cut = kb - MAX_INSERT_SIZE - 1
+                tids = np.asarray(window.tid, dtype=np.int64)
+                pos = np.asarray(window.pos, dtype=np.int64)
+                mask = (tids > kt) | ((tids == kt) & (pos >= cut))
+                keep_from = int(np.argmax(mask)) if mask.any() else window.n
+            self._buf = [_slice_rows(window, keep_from, window.n)] \
+                if keep_from < window.n else []
+            self._pending = rest
+            return window, plans
 
     def _next_piece(self):
         piece = self.stream.read_piece()
@@ -207,35 +229,11 @@ class Tier1Stream:
             piece = self.row_filter(piece)
         return piece
 
-    def _advance_state(self, window, hi):
-        """Carry the coverage-run state of all emitted reads: the max
-        reference end on the LAST emitted tid (earlier tids cannot recur
-        in a coordinate-sorted BAM)."""
-        if hi == 0:
-            return
-        tids = np.asarray(window.tid[:hi])
-        rend = window.rend[:hi]
-        last_tid = int(tids[hi - 1])
-        m = int(rend[tids == last_tid].max())
-        if last_tid == self._prev_tid:
-            self._prev_max0 = max(self._prev_max0, m)
-        else:
-            self._prev_tid = last_tid
-            self._prev_max0 = m
-
 
 def _slice_rows(batch, i0, i1):
     return regions_mod.slice_batch(
         batch, regions_mod.RegionPlan(tid=0, beg=0, end=0,
                                       read_beg=i0, read_end=i1))
-
-
-def _batch_cost(b):
-    if b is None or b.n == 0:
-        return 0
-    span = int(b.rend.max()) - int(b.pos.min())
-    return (max(span, 0) * regions_mod.NUM_BYTES_PER_REF_POS
-            + b.n * regions_mod.NUM_BYTES_PER_READ)
 
 
 def prefetch(iterator, depth=1):

@@ -143,6 +143,20 @@ def build(res, cfg, minABQ_snv, minABQ_indel):
     F["bMQ_raw"] = res.bq.vq_bMQ
     F["minABQ_snv_p"] = np.full(P, minABQ_snv, dtype=np.int64)
     F["minABQ_indel_p"] = np.full(P, minABQ_indel, dtype=np.int64)
+    # homopolymer minABQ reduction (main.cpp:623-626, 909-910, 927):
+    # computed HOST-side per region so it sees the region's own reference
+    # context -- inside the jitted model, candidate rows from different
+    # regions are packed adjacently and row-neighbor logic would read
+    # another region's bases (output would depend on request packing).
+    # Out-of-window neighbors are BASE_NN in the reference: sentinels
+    # -1/-2 can never match a real base
+    c = np.asarray(res.ref_syms, dtype=np.int64)
+    rp = np.concatenate([np.full(2, -1, np.int64), c,
+                         np.full(2, -2, np.int64)])
+    hp1 = (rp[1:-3] == c) & (rp[3:-1] == c)
+    hp2 = (rp[:-4] == c) & (rp[4:] == c)
+    F["hp_red"] = np.where(hp1 & hp2, 20,
+                           np.where(hp1, 10, 0)).astype(np.int64)
     return F
 
 

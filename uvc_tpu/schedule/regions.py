@@ -1,12 +1,17 @@
-"""Region planning: the SamIter equivalent (grouping.cpp:157-314).
+"""Region planning: a bit-exact SamIter simulation (grouping.cpp:9-314).
 
-Cuts the genome into memory-bounded regions at coverage gaps, yielding
-(tid, beg, end, read-range) work units. The reference streams the BAM and
-cuts tier-1 batches at template change, >=200bp coverage gaps, or the
-per-thread memory model (8192 B/ref-pos + 512 B/read vs mem_per_thread);
-this vectorized planner derives the same cuts from the decoded columnar
-batch. Regions are extended by MAX_STR_N_BASES of reference context on
-each side for STR/BAQ computation (main.cpp:529-530).
+SamIterSim replays the reference's streaming region chunker over the
+decoded columnar batch: cuts at template change, >2*MAX_STR_N_BASES
+coverage gaps, and the two-level memory model (check_if_sub_is_over_mem_
+lim per region, check_if_is_over_mem_lim per iternext batch), with every
+quirk (dropped trigger reads at batch returns, the stale-record EOF
+iteration, the zero-totals termination) replicated and pinned against a
+compiled-reference oracle (tools/sched_oracle.py).  Each bedline becomes
+a RegionPlan that re-includes boundary reads within the constant
+MAX_INSERT_SIZE refetch pad (grouping.cpp:664) and claims exactly its
+own [beg, end) emission window.  Regions are extended by MAX_STR_N_BASES
+of reference context on each side for STR/BAQ computation
+(main.cpp:529-530).
 """
 
 from dataclasses import dataclass
@@ -15,9 +20,10 @@ import numpy as np
 
 from ..constants import MAX_STR_N_BASES
 
-COV_GAP = 200
-NUM_BYTES_PER_REF_POS = 8192
-NUM_BYTES_PER_READ = 512
+COV_GAP = 2 * MAX_STR_N_BASES        # far-jump gap (grouping.cpp:245)
+NUM_BYTES_PER_REF_POS = 8192         # grouping.cpp:9
+NUM_BYTES_PER_READ = 512             # grouping.cpp:10
+NUM_WORKING_UNITS_PER_THREAD = 8     # common.hpp:45
 
 
 @dataclass
@@ -60,11 +66,9 @@ def split_plans_into_units(plans, batch, ref_lens, unit_reads=None):
         unit_reads = UNIT_READS
     pos = np.asarray(batch.pos, dtype=np.int64)
     rend = np.asarray(batch.rend, dtype=np.int64)
-    isize = np.abs(np.asarray(batch.isize, dtype=np.int64))
-    span = rend - pos
-    pad = int(min(MAX_INSERT_SIZE,
-                  max(int(isize[isize < MAX_INSERT_SIZE].max(initial=0)),
-                      int(span.max(initial=0))))) + 1
+    # constant refetch margin: window-shape independence (see
+    # _plans_from_bedlines)
+    pad = MAX_INSERT_SIZE + 1
     out = []
     stack = list(plans)[::-1]
     while stack:
@@ -116,62 +120,249 @@ def split_plans_into_units(plans, batch, ref_lens, unit_reads=None):
     return out
 
 
-def plan(batch, ref_lens, mem_per_thread_mb=1536, prev_tid=-1, prev_max0=0):
-    """Returns a list of RegionPlan covering all reads.
+def _check_sub_over_mem(region_n_reads, region_n_rposs, mem_per_thread,
+                        curr_beg, block_running_end):
+    """check_if_sub_is_over_mem_lim (grouping.cpp:49-68): the per-region
+    memory model that cuts a coverage run into tier-1 regions.  Arguments
+    are taken as size_t in the reference; block_running_end = -1 (first
+    read) wraps to a huge unsigned -> full overlap bonus."""
+    reads_b = region_n_reads * NUM_BYTES_PER_READ
+    rposs_b = region_n_rposs * (NUM_BYTES_PER_REF_POS + 1024)
+    memfree = (1024 * 1024 // NUM_WORKING_UNITS_PER_THREAD) * mem_per_thread
+    ov = 150 if block_running_end < 0 else min(
+        max(block_running_end - curr_beg, 0), 150)
+    return reads_b + rposs_b > memfree + memfree * ov // 150
 
-    prev_tid/prev_max0 seed the coverage-run state for STREAMING tier-1
-    windows (io/stream.py): prev_max0 is the max reference end of already
-    emitted reads on prev_tid, so gap cuts inside a window match the
-    whole-file plan exactly (reads already emitted may span into the
-    window)."""
+
+def _check_over_mem(tot_reads, tot_reads_sq, tot_rposs, tot_rposs_sq,
+                    nthreads, mem_per_thread, is_fastq_gen):
+    """check_if_is_over_mem_lim (grouping.cpp:29-47): the whole-batch
+    memory model that bounds how many regions one iternext call returns."""
+    reads_b = min(tot_reads_sq // max(1, tot_reads) * nthreads,
+                  tot_reads) * NUM_BYTES_PER_READ
+    rposs_b = (min(tot_rposs_sq // max(1, tot_rposs) * nthreads, tot_rposs)
+               + 2 * MAX_STR_N_BASES * nthreads) * NUM_BYTES_PER_REF_POS
+    vcf_b = tot_rposs * 1024
+    fqs_b = tot_reads * NUM_BYTES_PER_READ // 4 if is_fastq_gen else 0
+    return (reads_b + rposs_b + vcf_b + fqs_b
+            > 1024 * 1024 * mem_per_thread * nthreads)
+
+
+class SamIterSim:
+    """Bit-exact simulation of SamIter::iternext's streaming region cuts
+    (grouping.cpp:158-314) over an already-decoded read stream.
+
+    feed() consumes (tid, pos, rend) triples in file order and returns the
+    bedlines flushed so far; finish() performs the reference's EOF
+    iteration (which re-runs the loop body on the stale last record with
+    the 0x2 flag bit).  Quirks replicated bug-for-bug:
+
+    - a flush whose block is zero-sized or first keeps region_n_reads
+      accumulating into the next stored bedline;
+    - when the whole-batch memory model trips right after a flush,
+      iternext returns and the NEXT call re-reads from the file, so the
+      read that triggered the flush is invisible to the scheduler's
+      block state (its rend never extends block_running_end);
+    - block_running_end resumes as max(block_beg, block_norm_end) after
+      such a return.
+    """
+
+    def __init__(self, ref_lens, mem_per_thread_mb=1536, nthreads=1,
+                 is_fastq_gen=False):
+        self.ref_lens = ref_lens
+        self.mem = mem_per_thread_mb
+        self.nthreads = max(1, int(nthreads))
+        self.is_fastq_gen = bool(is_fastq_gen)
+        self.block_tid = -1
+        self.block_beg = -1
+        self.block_running_end = -1
+        self.region_n_reads = 0
+        self.region_rposs = 0
+        self.region_rposs_add = 0
+        self.tot_reads = 0
+        self.tot_rposs = 0
+        self.tot_reads_sq = 0
+        self.tot_rposs_sq = 0
+        self.open_read_beg = 0    # stream index of first read in open block
+        self.n_seen = 0           # mapped reads fed so far
+        self.last = None          # (tid, pos, rend) of last mapped read
+        self.call_bedlines = 0    # bedlines stored in the current call
+        self.terminated = False   # main.cpp:1348 stopped the outer loop
+
+    def clone(self):
+        import copy
+        return copy.copy(self)
+
+    def _step(self, tid, pos, rend, at_eof, out):
+        sub_over = _check_sub_over_mem(
+            self.region_n_reads, self.region_rposs + self.region_rposs_add,
+            self.mem, pos, self.block_running_end)
+        tchange = tid != self.block_tid
+        far = (tid == self.block_tid
+               and self.block_running_end + 2 * MAX_STR_N_BASES < pos)
+        flag = (16 if tchange else 0) + (8 if far else 0) \
+            + (4 if sub_over else 0) + (2 if at_eof else 0)
+        if flag:
+            is_1st = self.block_tid == -1
+            norm_end = self.block_running_end if is_1st else min(
+                self.block_running_end, self.ref_lens[self.block_tid])
+            if not is_1st and self.block_beg < norm_end:
+                out.append((self.block_tid, self.block_beg, norm_end, flag,
+                            self.region_n_reads, self.open_read_beg,
+                            self.n_seen))
+                self.tot_reads += self.region_n_reads
+                self.tot_rposs += self.region_rposs + self.region_rposs_add
+                self.tot_reads_sq += self.region_n_reads ** 2
+                self.tot_rposs_sq += (self.region_rposs
+                                      + self.region_rposs_add) ** 2
+                self.region_n_reads = 0
+                self.region_rposs = 0
+                self.region_rposs_add = 0
+                self.open_read_beg = self.n_seen
+                self.call_bedlines += 1
+            self.block_tid = tid
+            nb = max(self.block_beg, pos)
+            self.block_beg = pos if tchange else max(nb, norm_end)
+            if _check_over_mem(self.tot_reads, self.tot_reads_sq,
+                               self.tot_rposs, self.tot_rposs_sq,
+                               self.nthreads, self.mem, self.is_fastq_gen):
+                # iternext returns: this read is consumed but never
+                # reaches the loop's bottom half (grouping.cpp:294-299);
+                # the next call restarts with fresh totals
+                self.block_running_end = max(self.block_beg, norm_end)
+                if self.tot_reads <= 0 and self.call_bedlines == 0:
+                    # the call returned 0 reads and 0 bedlines: the
+                    # reference's outer loop (main.cpp:1348) stops, so
+                    # nothing downstream is ever scheduled
+                    self.terminated = True
+                self.tot_reads = self.tot_rposs = 0
+                self.tot_reads_sq = self.tot_rposs_sq = 0
+                self.call_bedlines = 0
+                self.n_seen += 1
+                self.open_read_beg = self.n_seen
+                return
+        if tchange:
+            self.block_beg = pos
+            self.block_running_end = rend
+            self.region_rposs_add += self.region_rposs
+        else:
+            self.block_running_end = max(self.block_running_end, rend)
+        self.region_n_reads += 1
+        self.region_rposs = self.block_running_end - self.block_beg
+        self.n_seen += 1
+
+    def feed(self, tids, pos, rend, flags=None):
+        """Consume mapped reads in file order; returns flushed bedlines as
+        (tid, beg, end, flag, n_reads, read_beg, read_end) with read_beg/
+        read_end indexing the MAPPED-read stream."""
+        out = []
+        it = zip(tids.tolist(), pos.tolist(), rend.tolist(),
+                 flags.tolist() if flags is not None else iter(int, 1))
+        for t, p, r, f in it:
+            if self.terminated:
+                break
+            if flags is not None and (f & 0x4):
+                continue
+            self.last = (t, p, r)
+            self._step(t, p, r, False, out)
+        return out
+
+    def finish(self):
+        """EOF: rerun the loop body once with the stale last record and
+        the 0x2 flag bit set (grouping.cpp:224-311 with sam_read_ret=-1).
+        Returns the flushed bedlines (usually one)."""
+        out = []
+        if self.last is not None and not self.terminated:
+            t, p, r = self.last
+            self.n_seen -= 1      # the stale re-count is not a new read
+            self._step(t, p, r, True, out)
+        return out
+
+
+def _plans_from_bedlines(bedlines, batch, ref_lens, open_tail=None):
+    """Bedlines -> RegionPlans.  Each plan re-includes the reads whose
+    start falls in [beg - pad, end) -- the analog of the reference's
+    per-bedline refetch over [beg - MAX_INSERT_SIZE, end + MAX_INSERT_SIZE)
+    (grouping.cpp:664) -- and claims exactly its own [beg, end) window so
+    boundary-overlapping reads never emit duplicate records."""
+    from ..constants import MAX_INSERT_SIZE
+    pos = np.asarray(batch.pos, dtype=np.int64)
+    rend = np.asarray(batch.rend, dtype=np.int64)
+    tids = np.asarray(batch.tid, dtype=np.int64)
+    # the pad is the CONSTANT refetch margin (grouping.cpp:664), not a
+    # batch statistic: streaming windows would otherwise compute different
+    # read ranges than the whole-file plan
+    pad = MAX_INSERT_SIZE + 1
+    # per-tid index ranges (coordinate-sorted batch)
+    tid_beg = {}
+    if len(tids):
+        change = np.flatnonzero(np.concatenate(
+            [[True], tids[1:] != tids[:-1]]))
+        bounds = list(change) + [len(tids)]
+        for k, i0 in enumerate(change):
+            tid_beg[int(tids[i0])] = (int(i0), int(bounds[k + 1]))
+    plans = []
+    for (tid, beg, end, flag, nreads) in bedlines:
+        i0, i1 = tid_beg.get(tid, (0, 0))
+        sub = pos[i0:i1]
+        rb = i0 + int(np.searchsorted(sub, beg - pad))
+        re_ = i0 + int(np.searchsorted(sub, end))
+        p = RegionPlan(tid=tid, beg=beg, end=end, read_beg=rb, read_end=re_,
+                       emit_lo=beg + 1, emit_hi=end + 1, t1_end=end)
+        p.t1_flag = flag
+        p.t1_nreads = nreads
+        plans.append(p)
+    if open_tail is not None:
+        plans.append(open_tail)
+    for p in plans:
+        lo = int(pos[p.read_beg:p.read_end].min()) \
+            if p.read_end > p.read_beg else p.beg
+        hi = int(rend[p.read_beg:p.read_end].max()) \
+            if p.read_end > p.read_beg else p.end
+        p.ext_beg = max(0, min(p.beg, lo) - MAX_STR_N_BASES)
+        p.ext_end = min(ref_lens[p.tid], max(p.end, hi) + MAX_STR_N_BASES)
+    return plans
+
+
+def plan(batch, ref_lens, mem_per_thread_mb=1536, state=None, finalize=True,
+         nthreads=1, is_fastq_gen=False):
+    """Returns a list of RegionPlan covering all reads: the bedlines of a
+    bit-exact SamIter::iternext simulation (grouping.cpp:158-314),
+    verified against the compiled-reference oracle
+    (tests/test_sched_oracle.py).
+
+    `state` (a SamIterSim) seeds the scheduler for STREAMING tier-1
+    windows (io/stream.py); it is not mutated.  With finalize=False the
+    still-open block is returned as a trailing OPEN plan (t1_flag=-1)
+    whose only meaningful field is read_beg -- the stream carries its
+    reads into the next window."""
     n = batch.n
     if n == 0:
         return []
-    rend = batch.rend
-    plans = []
-    mem_limit = mem_per_thread_mb * 1024 * 1024
-
-    tids = np.asarray(batch.tid)
+    sim = state.clone() if state is not None else SamIterSim(
+        ref_lens, mem_per_thread_mb, nthreads, is_fastq_gen)
+    base_seen = sim.n_seen
+    tids = np.asarray(batch.tid, dtype=np.int64)
     pos = np.asarray(batch.pos, dtype=np.int64)
-    # boundaries: tid change or coverage gap >= COV_GAP
-    run_max_end = np.maximum.accumulate(rend)
-    prev_max = np.concatenate([[0], run_max_end[:-1]])
-    if prev_tid >= 0 and prev_max0 > 0:
-        same = tids == prev_tid   # coordinate-sorted: a same-tid prefix
-        prev_max = np.where(same, np.maximum(prev_max, prev_max0), prev_max)
-    new_tid = np.concatenate([[True], tids[1:] != tids[:-1]])
-    gap_cut = np.concatenate([[True], pos[1:] > prev_max[1:] + COV_GAP])
-    cut = new_tid | gap_cut
-    # memory model: cumulative cost within a segment; cut when over limit
-    starts = list(np.flatnonzero(cut)) + [n]
-    for si in range(len(starts) - 1):
-        i0, i1 = starts[si], starts[si + 1]
-        # subdivide by memory model
-        j0 = i0
-        while j0 < i1:
-            j1 = j0
-            seg_beg = int(pos[j0])
-            max_end = int(rend[j0])
-            while j1 < i1:
-                cand_end = max(max_end, int(rend[j1]))
-                cost = ((cand_end - seg_beg) * NUM_BYTES_PER_REF_POS
-                        + (j1 - j0 + 1) * NUM_BYTES_PER_READ)
-                if cost > mem_limit and j1 > j0:
-                    break
-                max_end = cand_end
-                j1 += 1
-            tid = int(tids[j0])
-            ref_len = ref_lens[tid]
-            beg = seg_beg
-            end = min(max_end + 1, ref_len)  # +1 for end insertions
-            plans.append(RegionPlan(tid=tid, beg=beg, end=end,
-                                    read_beg=j0, read_end=j1, t1_end=end))
-            j0 = j1
-    # extended bounds with STR context flanks
-    for p in plans:
-        p.ext_beg = max(0, p.beg - MAX_STR_N_BASES)
-        p.ext_end = min(ref_lens[p.tid], p.end + MAX_STR_N_BASES)
-    return plans
+    rend = np.asarray(batch.rend, dtype=np.int64)
+    flags = np.asarray(batch.flag, dtype=np.int64)
+    bls = sim.feed(tids, pos, rend, flags)
+    if finalize:
+        bls += sim.finish()
+    open_tail = None
+    if not finalize:
+        rb = sim.open_read_beg - base_seen
+        open_tail = RegionPlan(
+            tid=sim.block_tid, beg=max(sim.block_beg, 0),
+            end=max(sim.block_running_end, max(sim.block_beg, 0) + 1),
+            read_beg=max(rb, 0), read_end=n)
+        open_tail.t1_flag = -1
+    # bedline read indices are stream-relative; map to batch rows (the
+    # batch holds exactly the reads fed this call, mapped or not: recompute
+    # via position windows inside _plans_from_bedlines instead)
+    bedlines = [(t, b, e, f, nr) for (t, b, e, f, nr, _rb, _re) in bls]
+    return _plans_from_bedlines(bedlines, batch, ref_lens,
+                                open_tail=open_tail)
 
 
 def slice_batch(batch, plan: RegionPlan):
@@ -242,15 +433,12 @@ def restrict_to_intervals(plans, intervals, ref_lens, bound_emission=False,
     past the region tensors)."""
     from ..constants import MAX_INSERT_SIZE
     pos = rend = None
-    pad = MAX_INSERT_SIZE
+    # constant refetch margin: window-shape independence (see
+    # _plans_from_bedlines)
+    pad = MAX_INSERT_SIZE + 1
     if batch is not None:
         pos = np.asarray(batch.pos, dtype=np.int64)
         rend = np.asarray(batch.rend, dtype=np.int64)
-        isize = np.abs(np.asarray(batch.isize, dtype=np.int64))
-        span = rend - pos
-        pad = int(min(MAX_INSERT_SIZE,
-                      max(int(isize[isize < MAX_INSERT_SIZE].max(initial=0)),
-                          int(span.max(initial=0))))) + 1
     out = []
     for p in plans:
         for (tid, b, e) in intervals:
