@@ -34,7 +34,8 @@ def _run_both(oracle, contigs, reads, mem_mb=1536, nthreads=1,
     """reads: (tid, pos, cigar, flag) in file order.  Returns
     (oracle_bedlines, oracle_batches, our_bedlines)."""
     oracle.send("clear")
-    ps = [f"mem_per_thread={mem_mb}", f"max_cpu_num={nthreads}"]
+    ps = [f"mem_per_thread={mem_mb}", f"max_cpu_num={nthreads}",
+          "tier1_target_region=.", "bed_region_fname=."]
     # note: SamIter's is_fastq_gen is `size() > 0` (grouping.hpp:56), NOT
     # IS_PROVIDED -- even "." would count as fastq-gen; reset explicitly
     # because the paramset persists across `clear`
@@ -200,3 +201,98 @@ def test_plan_matches_bedlines(oracle):
     for p in plans:
         covered[p.read_beg:p.read_end] = True
     assert covered.all()
+
+
+def _run_interval_mode(oracle, contigs, reads, ps_extra):
+    oracle.send("clear")
+    oracle.send("ps mem_per_thread=1536 max_cpu_num=1 "
+                "fam_consensus_out_fastq= tier1_target_region=. "
+                "bed_region_fname=. " + ps_extra)
+    for name, ln in contigs:
+        oracle.send(f"contig {name} {ln}")
+    for (tid, pos, cig, flag) in reads:
+        oracle.send(f"read {tid} {pos} {cig} {flag}")
+    batches = oracle.run()
+    return [bl for (_n, _f, bls) in batches for bl in bls]
+
+
+def test_target_region_mode(oracle):
+    """-R/--targets bedlines mode (grouping.cpp:69-107 + 168-213): the
+    intervals ARE the regions, coordinates verbatim, 'chrom:pos' means
+    [pos, pos+1), no gap/memory cuts inside an interval."""
+    contigs = [("chr1", 50000), ("chr2", 40000)]
+    reads = [(0, i * 40, "150M", 99) for i in range(400)]
+    reads += [(1, i * 45, "150M", 99) for i in range(200)]
+    target = "chr1:100-9000,chr2:5000,chr2:200-700"
+    ref_bls = _run_interval_mode(
+        oracle, contigs, reads, f"tier1_target_region={target}")
+    ivs = regions_mod.parse_target_region(
+        target, {"chr1": 0, "chr2": 1}, [50000, 40000])
+    assert ref_bls == [(t, b, e, 0, 0) for (t, b, e) in ivs]
+    # a >200bp coverage gap inside chr1:100-9000 must NOT split it
+    assert ref_bls[0] == (0, 100, 9000, 0, 0)
+
+
+def test_bed_region_mode(oracle, tmp_path):
+    """--regions-bed bedlines mode incl. the BedLineFlag /
+    NumberOfReadsInThisInterval tokens of a --bed-out round trip
+    (grouping.cpp:113-157)."""
+    contigs = [("chr1", 50000), ("chr2", 40000)]
+    reads = [(0, i * 40, "150M", 99) for i in range(300)]
+    bed = tmp_path / "t.bed"
+    bed.write_text("chr1\t100\t9000\n"
+                   "chr2\t50\t600\tBedLineFlag\t1"
+                   "\tNumberOfReadsInThisInterval\t77\n")
+    ref_bls = _run_interval_mode(
+        oracle, contigs, reads, f"bed_region_fname={bed}")
+    ivs = regions_mod.read_bed_intervals(str(bed), {"chr1": 0, "chr2": 1})
+    assert ref_bls == ivs
+    assert ivs[1] == (1, 50, 600, 1, 77)   # flag + nreads parsed
+
+
+def test_plan_intervals_claims():
+    """plan_intervals: one plan per interval with [beg+1, end+1) claims
+    and boundary read re-inclusion."""
+    from uvc_tpu.io import bam, simulate
+    import tempfile
+
+    ref = simulate.random_ref(9000, 3)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.bam")
+        simulate.build_bam(path, ref, depth=40, seed=4)
+        hdr, batch = bam.read_bam(path)
+    ivs = [(0, 100, 4000, 0, 0), (0, 4000, 8999, 1, 3)]
+    plans = regions_mod.plan_intervals(ivs, batch, [9000])
+    assert [(p.tid, p.beg, p.end, p.t1_flag, p.t1_nreads)
+            for p in plans] == ivs
+    assert plans[0].emit_lo == 101 and plans[0].emit_hi == 4001
+    assert plans[1].emit_lo == 4001
+    # reads starting just before an interval are re-included
+    assert plans[1].read_beg < plans[0].read_end
+
+
+def test_region_read_filter_end_to_end():
+    """BED_END_TO_END_BIT drops templates not spanning the bedline;
+    OUT_OF_RANGE drops far-away templates (grouping.cpp:405-411)."""
+    from uvc_tpu.io import bam as pybam, simulate
+    from uvc_tpu.config import UVCConfig
+    import tempfile
+
+    ref = simulate.random_ref(3000, 1)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.bam")
+        simulate.build_bam(path, ref, depth=30, seed=2)
+        hdr, batch = pybam.read_bam(path)
+    cfg = UVCConfig()
+    plan = regions_mod.RegionPlan(tid=0, beg=1000, end=1100, read_beg=0,
+                                  read_end=batch.n, t1_beg=1000,
+                                  t1_end=1100, t1_flag=1)
+    sub = regions_mod.region_read_filter(batch, plan, cfg)
+    tob, toe = regions_mod.template_ord_bounds(sub)
+    assert sub.n > 0
+    assert (tob <= 1000).all() and (toe >= 1100).all()
+    plan2 = regions_mod.RegionPlan(tid=0, beg=1000, end=1100, read_beg=0,
+                                   read_end=batch.n, t1_beg=1000,
+                                   t1_end=1100, t1_flag=0)
+    sub2 = regions_mod.region_read_filter(batch, plan2, cfg)
+    assert sub2.n > sub.n         # without the bit only far reads drop

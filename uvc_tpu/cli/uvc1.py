@@ -144,6 +144,9 @@ def _process_region_chunk(idxs, ctx):
     for i in idxs:
         plan = ctx["plans"][i]
         sub = regions_mod.slice_batch(batch, plan)
+        # per-fetch template-range + BED_END_TO_END read filters
+        # (grouping.cpp:405-411) against the owning bedline's window
+        sub = regions_mod.region_read_filter(sub, plan, cfg)
         chrom = header.ref_names[plan.tid]
         refstring = fa.fetch(chrom, plan.ext_beg, plan.ext_end)
         ref_syms = CHAR_TO_SYMBOL[
@@ -277,6 +280,12 @@ def run(argv=None):
     dist_on = bool(os.environ.get("UVC_TPU_COORDINATOR"))
     use_stream = native_io.available()
 
+    # --bed-in REPLAYS a saved region schedule: it is an alias of the
+    # -R BED (CmdLineArgs.cpp:1028-1029) -- one mechanism, the BED lines
+    # ARE the tier-1 regions
+    if is_provided(cfg.bed_in_fname) and not is_provided(cfg.bed_region_fname):
+        cfg.bed_region_fname = cfg.bed_in_fname
+
     # indexed targeted access (-R/--targets + <bam>.bai): seek the BGZF
     # stream via the BAI linear index and decode ONLY the blocks that can
     # overlap the targets (sam_itr_queryi equivalent, main.cpp:29-70),
@@ -284,6 +293,11 @@ def run(argv=None):
     bai_path = cfg.bam_input_fname + ".bai"
     want_targets = (is_provided(cfg.tier1_target_region)
                     or is_provided(cfg.bed_region_fname))
+    if want_targets and not os.path.exists(bai_path):
+        # interval scheduling needs the whole batch in memory (the
+        # reference index-fetches per bedline); without a .bai, decode
+        # the file whole instead of streaming
+        use_stream = False
     if use_stream and want_targets and os.path.exists(bai_path):
         from ..io import bai as bai_mod
         from ..io.stream import BamStream
@@ -296,16 +310,16 @@ def run(argv=None):
         ref_lens0 = {i: ln for i, ln in enumerate(header.ref_lens)}
         ivs = []
         if is_provided(cfg.tier1_target_region):
-            ivs.append(regions_mod.parse_target_region(
-                cfg.tier1_target_region, name2tid, ref_lens0))
-        if is_provided(cfg.bed_region_fname):
+            ivs += regions_mod.parse_target_region(
+                cfg.tier1_target_region, name2tid, ref_lens0)
+        elif is_provided(cfg.bed_region_fname):
             check_file_exist(cfg.bed_region_fname, "BED")
             ivs += regions_mod.read_bed_intervals(cfg.bed_region_fname,
                                                   name2tid)
         linear = bai_mod.read_bai(bai_path)
         halo = MAX_INSERT_SIZE + MAX_STR_N_BASES
         pieces, seen = [], set()
-        for tid, beg, end in sorted(ivs):
+        for (tid, beg, end) in sorted(iv[:3] for iv in ivs):
             b = bai_mod.fetch_interval(cfg.bam_input_fname, linear,
                                        tid, beg, end, halo=halo)
             if b.n:
@@ -361,6 +375,18 @@ def run(argv=None):
     cfg.self_update_by_platform(plat, central, maxMQ)
 
     ref_lens = {i: ln for i, ln in enumerate(header.ref_lens)}
+    # user target scheduling (-R BED / --targets chrom:beg-end;
+    # grouping.cpp:69-157): the intervals ARE the tier-1 regions
+    # (SamIter bedlines mode) -- no gap or memory cuts inside one
+    sched_ivs = None
+    if is_provided(cfg.tier1_target_region):
+        sched_ivs = regions_mod.parse_target_region(
+            cfg.tier1_target_region, header.name2tid(), ref_lens)
+    elif is_provided(cfg.bed_region_fname):
+        check_file_exist(cfg.bed_region_fname, "BED")
+        sched_ivs = regions_mod.read_bed_intervals(cfg.bed_region_fname,
+                                                   header.name2tid())
+
     if use_stream:
         def _window_iter():
             if first_window is not None:
@@ -368,6 +394,8 @@ def run(argv=None):
                 yield from windows
         window_iter = _window_iter()
         plans = None
+    elif sched_ivs is not None:
+        plans = regions_mod.plan_intervals(sched_ivs, batch, ref_lens)
     else:
         plans = regions_mod.plan(
             batch, ref_lens, cfg.mem_per_thread, nthreads=cfg.max_cpu_num,
@@ -428,17 +456,6 @@ def run(argv=None):
                                or os.environ.get("UVC_TPU_MODEL_F32") == "1")
     calling._MODEL_EVAL = model_client.eval
 
-    # user target restriction inputs (-R BED / --targets chrom:beg-end;
-    # grouping.cpp:69-155), resolved once, applied per tier-1 window
-    target_ivs = None
-    if is_provided(cfg.tier1_target_region):
-        target_ivs = [regions_mod.parse_target_region(
-            cfg.tier1_target_region, header.name2tid(), ref_lens)]
-    bed_ivs = None
-    if is_provided(cfg.bed_region_fname):
-        check_file_exist(cfg.bed_region_fname, "BED")
-        bed_ivs = regions_mod.read_bed_intervals(cfg.bed_region_fname,
-                                                 header.name2tid())
     bed_out_fh = (open(cfg.bed_out_fname, "w")
                   if is_provided(cfg.bed_out_fname) else None)
 
@@ -466,19 +483,12 @@ def run(argv=None):
         pipeline over them; returns the number of tier-2 regions."""
         nonlocal n_reads, pool
         n_reads += wbatch.n
-        if target_ivs:
-            wplans = regions_mod.restrict_to_intervals(
-                wplans, target_ivs, ref_lens, bound_emission=True,
-                batch=wbatch)
-        if bed_ivs:
-            wplans = regions_mod.restrict_to_intervals(
-                wplans, bed_ivs, ref_lens, bound_emission=True, batch=wbatch)
-        # region-schedule persistence (--bed-out / --bed-in;
-        # main.cpp:1405-1439, CmdLineArgs.cpp:1028-1030)
-        if is_provided(cfg.bed_in_fname):
-            wplans = regions_mod.restrict_to_bed(
-                wplans, cfg.bed_in_fname, header.name2tid(), ref_lens,
-                batch=wbatch)
+        if sched_ivs is not None:
+            # interval scheduling replaces the SamIter gap/memory cuts
+            # entirely (only reachable with the whole batch: streaming is
+            # disabled when targets are provided)
+            wplans = regions_mod.plan_intervals(sched_ivs, wbatch,
+                                                ref_lens)
         if bed_out_fh:
             for p in wplans:
                 bed_out_fh.write(

@@ -39,11 +39,15 @@ class RegionPlan:
     # boundaries constrain which work unit claims each position
     emit_lo: int = -1
     emit_hi: int = 1 << 62
-    # exclusive end of the OWNING tier-1 region (plan() segment): tier-2
-    # children inherit it so MGVCF block content is cut at the tier-1
-    # boundary exactly as the reference cuts at its region end
-    # (main.cpp:666), independent of the tier-2 unit size
+    # bounds/flag of the OWNING tier-1 region (bedline): tier-2 children
+    # inherit them so MGVCF block content is cut at the tier-1 boundary
+    # exactly as the reference cuts at its region end (main.cpp:666),
+    # independent of the tier-2 unit size, and so the per-fetch read
+    # filters (region_read_filter) see the BEDLINE window, not the unit's
+    t1_beg: int = -1
     t1_end: int = -1
+    t1_flag: int = 0     # bedline region_flag (bit 0x1 = BED_END_TO_END)
+    t1_nreads: int = 0   # bedline n_reads (scheduling/bed-out bookkeeping)
 
 
 UNIT_READS = 8192  # tier-2 work-unit size (reads per unit before split)
@@ -101,11 +105,14 @@ def split_plans_into_units(plans, batch, ref_lens, unit_reads=None):
                        read_beg=p.read_beg, read_end=a_end,
                        emit_lo=p.emit_lo,
                        emit_hi=min(p.emit_hi, split_pos + 1),
-                       t1_end=p.t1_end)
+                       t1_beg=p.t1_beg, t1_end=p.t1_end,
+                       t1_flag=p.t1_flag, t1_nreads=p.t1_nreads)
         b = RegionPlan(tid=p.tid, beg=split_pos, end=p.end,
                        read_beg=b_beg, read_end=p.read_end,
                        emit_lo=max(p.emit_lo, split_pos + 1),
-                       emit_hi=p.emit_hi, t1_end=p.t1_end)
+                       emit_hi=p.emit_hi,
+                       t1_beg=p.t1_beg, t1_end=p.t1_end,
+                       t1_flag=p.t1_flag, t1_nreads=p.t1_nreads)
         for c in (a, b):
             lo = int(pos[c.read_beg:c.read_end].min()) \
                 if c.read_end > c.read_beg else c.beg
@@ -308,9 +315,9 @@ def _plans_from_bedlines(bedlines, batch, ref_lens, open_tail=None):
         rb = i0 + int(np.searchsorted(sub, beg - pad))
         re_ = i0 + int(np.searchsorted(sub, end))
         p = RegionPlan(tid=tid, beg=beg, end=end, read_beg=rb, read_end=re_,
-                       emit_lo=beg + 1, emit_hi=end + 1, t1_end=end)
-        p.t1_flag = flag
-        p.t1_nreads = nreads
+                       emit_lo=beg + 1, emit_hi=end + 1,
+                       t1_beg=beg, t1_end=end, t1_flag=flag,
+                       t1_nreads=nreads)
         plans.append(p)
     if open_tail is not None:
         plans.append(open_tail)
@@ -355,8 +362,7 @@ def plan(batch, ref_lens, mem_per_thread_mb=1536, state=None, finalize=True,
         open_tail = RegionPlan(
             tid=sim.block_tid, beg=max(sim.block_beg, 0),
             end=max(sim.block_running_end, max(sim.block_beg, 0) + 1),
-            read_beg=max(rb, 0), read_end=n)
-        open_tail.t1_flag = -1
+            read_beg=max(rb, 0), read_end=n, t1_flag=-1)
     # bedline read indices are stream-relative; map to batch rows (the
     # batch holds exactly the reads fed this call, mapped or not: recompute
     # via position windows inside _plans_from_bedlines instead)
@@ -386,85 +392,119 @@ def slice_batch(batch, plan: RegionPlan):
 
 
 def parse_target_region(target: str, name2tid, ref_lens):
-    """'chrom', 'chrom:beg-end' (1-based inclusive, like samtools) or
-    'chrom:beg' -> (tid, beg0, end0) interval (grouping.cpp:69-107)."""
-    chrom, _, span = target.partition(":")
-    tid = name2tid.get(chrom)
-    if tid is None:
-        raise ValueError(f"unknown contig in --targets: {chrom!r}")
-    if not span:
-        return (tid, 0, ref_lens[tid])
-    b, _, e = span.replace(",", "").partition("-")
-    beg0 = max(0, int(b) - 1)
-    end0 = int(e) if e else ref_lens[tid]
-    return (tid, beg0, min(end0, ref_lens[tid]))
+    """Comma-separated 'chrom:beg-end' / 'chrom:pos' / 'chrom' targets
+    (SamIter::target_region_to_contigs, grouping.cpp:69-107): the parsed
+    coordinates are used VERBATIM as the bedline interval (the reference
+    applies no 1-based adjustment), and 'chrom:pos' means [pos, pos+1).
+    Returns a list of (tid, beg, end) intervals in input order."""
+    out = []
+    for region in target.split(","):
+        if not region:
+            continue
+        chrom, _, span = region.partition(":")
+        tid = name2tid.get(chrom)
+        if tid is None:
+            raise ValueError(f"unknown contig in --targets: {chrom!r}")
+        if not span:
+            out.append((tid, 0, ref_lens[tid]))
+            continue
+        b, _, e = span.partition("-")
+        beg0 = int(b)
+        end0 = int(e) if e else beg0 + 1
+        out.append((tid, beg0, min(end0, ref_lens[tid])))
+    return out
 
 
 def read_bed_intervals(bed_path, name2tid):
+    """BED lines -> (tid, beg, end, flag, nreads) tuples
+    (SamIter::bed_fname_to_contigs, grouping.cpp:113-157): optional
+    whitespace tokens `BedLineFlag N` and `NumberOfReadsInThisInterval N`
+    after the three coordinates are honored (--bed-out round trip)."""
     intervals = []
     with open(bed_path) as fh:
         for line in fh:
             if not line.strip() or line.startswith(("#", "track")):
                 continue
-            cols = line.split("\t")
+            cols = line.split()
             tid = name2tid.get(cols[0])
             if tid is None:
                 continue
-            intervals.append((tid, int(cols[1]), int(cols[2])))
+            flag, nreads = 0, 0
+            for j in range(3, len(cols) - 1):
+                if cols[j] == "BedLineFlag":
+                    flag = int(cols[j + 1])
+                elif cols[j] == "NumberOfReadsInThisInterval":
+                    nreads = int(cols[j + 1])
+            intervals.append((tid, int(cols[1]), int(cols[2]), flag,
+                              nreads))
     return intervals
 
 
-def restrict_to_bed(plans, bed_path, name2tid, ref_lens, batch=None):
-    """Replay a region schedule from a BED file (--bed-in-fname,
-    CmdLineArgs.cpp:1028-1030): keep/clip plans to the BED intervals."""
-    intervals = read_bed_intervals(bed_path, name2tid)
-    return restrict_to_intervals(plans, intervals, ref_lens, batch=batch)
+ARRPOS_MARGIN = 2000      # MAX_INSERT_SIZE (grouping.cpp:22)
+ARRPOS_OUTER_RANGE = 10   # grouping.cpp:23
 
 
-def restrict_to_intervals(plans, intervals, ref_lens, bound_emission=False,
-                          batch=None):
-    """Clip plans to intervals.  bound_emission=True additionally claims
-    only vcfpos inside each interval (-R/--targets semantics); bed-in
-    schedule replay keeps emission unbounded to reproduce the tumor run.
+def plan_intervals(intervals, batch, ref_lens):
+    """-R / --regions-bed tier-1 scheduling (SamIter bedlines mode,
+    grouping.cpp:168-213): each target interval IS one region, in input
+    order, with no gap or memory cuts inside -- the whole-batch memory
+    model only splits the interval LIST across iternext calls, never an
+    interval.  intervals: (tid, beg, end[, flag[, nreads]]); flag bit 0x1
+    is BED_END_TO_END_BIT (iohts.hpp:12), honored by
+    region_read_filter."""
+    bedlines = []
+    for iv in intervals:
+        tid, b, e = iv[0], iv[1], iv[2]
+        fl = iv[3] if len(iv) > 3 else 0
+        nr = iv[4] if len(iv) > 4 else 0
+        bedlines.append((tid, b, min(e, ref_lens[tid]), fl, nr))
+    return _plans_from_bedlines(bedlines, batch, ref_lens)
 
-    When `batch` is given, each clipped plan's read range is narrowed to
-    the reads that can overlap its interval and the ext window is grown
-    to cover their spans (otherwise reads outside the window would index
-    past the region tensors)."""
+
+def template_ord_bounds(batch, pair_end_merge=True):
+    """Per-read template-ordered bounds [tOrdBeg, tOrdEnd] of
+    fill_isrc_isr2_beg_end_with_aln (grouping.cpp:385-408): the paired
+    template interval from (min(pos, mpos), |isize|) when the insert is
+    usable, else the single-read alignment span."""
     from ..constants import MAX_INSERT_SIZE
-    pos = rend = None
-    # constant refetch margin: window-shape independence (see
-    # _plans_from_bedlines)
-    pad = MAX_INSERT_SIZE + 1
-    if batch is not None:
-        pos = np.asarray(batch.pos, dtype=np.int64)
-        rend = np.asarray(batch.rend, dtype=np.int64)
-    out = []
-    for p in plans:
-        for (tid, b, e) in intervals:
-            if p.tid == tid and p.beg < e and b < p.end:
-                q = RegionPlan(tid=p.tid, beg=max(p.beg, b), end=min(p.end, e),
-                               read_beg=p.read_beg, read_end=p.read_end,
-                               emit_lo=p.emit_lo, emit_hi=p.emit_hi)
-                q.t1_end = q.end
-                if bound_emission:
-                    q.emit_lo = max(q.emit_lo, b + 1)
-                    q.emit_hi = min(q.emit_hi, e + 1)
-                q.ext_beg = max(0, q.beg - MAX_STR_N_BASES)
-                q.ext_end = min(ref_lens[q.tid], q.end + MAX_STR_N_BASES)
-                if pos is not None:
-                    sub = pos[p.read_beg:p.read_end]
-                    q.read_beg = p.read_beg + int(
-                        np.searchsorted(sub, q.beg - pad))
-                    q.read_end = p.read_beg + int(
-                        np.searchsorted(sub, q.end))
-                    if q.read_end > q.read_beg:
-                        lo = int(pos[q.read_beg:q.read_end].min())
-                        hi = int(rend[q.read_beg:q.read_end].max())
-                        q.ext_beg = max(0, min(q.beg, lo) - MAX_STR_N_BASES)
-                        q.ext_end = min(ref_lens[q.tid],
-                                        max(q.end, hi) + MAX_STR_N_BASES)
-                if q.read_end > q.read_beg:
-                    out.append(q)
-                break
-    return out
+    pos = np.asarray(batch.pos, dtype=np.int64)
+    endpos = np.asarray(batch.rend, dtype=np.int64) - 1
+    isize = np.asarray(batch.isize, dtype=np.int64)
+    # NORM_INSERT_SIZE (common.hpp:75)
+    isize = np.where(np.abs(isize) >= MAX_INSERT_SIZE, 0, isize)
+    flag = np.asarray(batch.flag, dtype=np.int64)
+    mpos = np.asarray(batch.mpos, dtype=np.int64)
+    single = ((flag & 0x1) == 0) | ((flag & 0x8) != 0) | (isize == 0) \
+        | (np.abs(isize) >= ARRPOS_MARGIN)
+    if not pair_end_merge:
+        single = np.ones(len(pos), dtype=bool)
+    tb1 = np.minimum(pos, mpos)
+    te1 = tb1 + np.abs(isize) - 1
+    return (np.where(single, pos, tb1), np.where(single, endpos, te1))
+
+
+def region_read_filter(sub, plan, cfg):
+    """The per-fetch template-range filters of
+    fill_isrc_isr2_beg_end_with_aln (grouping.cpp:405-411): drop reads
+    whose template is OUT_OF_RANGE of this bedline's window, and -- when
+    the bedline carries BED_END_TO_END_BIT -- reads whose template does
+    not span the bedline end-to-end.  Returns `sub` unchanged when
+    nothing is dropped."""
+    if sub.n == 0:
+        return sub
+    from ..io import bam as pybam
+    from ..constants import PairEndMerge
+    pem = int(getattr(cfg, "pair_end_merge", PairEndMerge.YES)) \
+        == int(PairEndMerge.YES)
+    tob, toe = template_ord_bounds(sub, pem)
+    margin = ARRPOS_MARGIN - ARRPOS_OUTER_RANGE
+    # the reference fetches per BEDLINE: tier-2 units of one bedline use
+    # the bedline's window, not their own
+    rb = plan.t1_beg if plan.t1_beg >= 0 else plan.beg
+    re_ = plan.t1_end if plan.t1_end > 0 else plan.end
+    keep = ~((tob + margin <= rb) | (re_ - 1 + margin <= toe))
+    if plan.t1_flag > 0 and (plan.t1_flag & 0x1):
+        keep &= (tob <= rb) & (toe >= re_)
+    if keep.all():
+        return sub
+    return pybam.subset_batch(sub, np.flatnonzero(keep))
