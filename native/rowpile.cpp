@@ -308,9 +308,9 @@ int pass_d_kernel(
     const int64_t *normMQ,       // [F]
     int64_t P, int64_t n_frags,
     int64_t highbq_thres, int64_t mut_window,
-    int64_t *bdp, int64_t *bta, int64_t *btb,  // [P*14*2]
-    int64_t *vq_bMQ,                            // [P*14]
-    int64_t *hist,                              // [P*14*16]
+    int32_t *bdp, int32_t *bta, int32_t *btb,  // [P*14*2]
+    int32_t *vq_bMQ,                            // [P*14]
+    int32_t *hist,                              // [P*14*16]
     uint8_t *is_mut_out                         // [n_rows]
 ) {
     const int64_t NS = 14;
@@ -397,9 +397,12 @@ struct KV { uint64_t k; int64_t v; };
 // thread (the CLI's worker THREADS each own a private table set; the
 // pre-round-3 design relied on forked workers for the same isolation)
 static thread_local std::vector<int64_t> ug, uv;   // unique keys, vals
-static thread_local std::vector<int64_t> cg, cp_, cst, ccs, ccc, ctot;
+// consensus rows are int32: group/pos/st/sym/cnt/tot all fit, and the
+// row tables are re-scanned by every downstream pass (pass-D, family
+// merge, sweeps) -- half the bytes is directly less cache traffic
+static thread_local std::vector<int32_t> cg, cp_, cst, ccs, ccc, ctot;
 static thread_local std::vector<int64_t> ug2, uv2; // rc2 second value set
-static thread_local std::vector<int64_t> c2g, c2p, c2st, c2cs, c2cc, c2tot;
+static thread_local std::vector<int32_t> c2g, c2p, c2st, c2cs, c2cc, c2tot;
 static thread_local int64_t g_P = 0;
 static thread_local int g_pos_bits = 0;
 // grow-only scratch buffers: kept across calls so repeated large regions
@@ -453,18 +456,18 @@ static void sort_u64(uint64_t *a, uint64_t *b, int64_t n,
 static void consensus_scan(const std::vector<int64_t> &ug,
                            const std::vector<int64_t> &uv,
                            int pos_bits, bool link_m_overridden,
-                           std::vector<int64_t> &cg, std::vector<int64_t> &cp,
-                           std::vector<int64_t> &cst, std::vector<int64_t> &ccs,
-                           std::vector<int64_t> &ccc,
-                           std::vector<int64_t> &ctot) {
+                           std::vector<int32_t> &cg, std::vector<int32_t> &cp,
+                           std::vector<int32_t> &cst, std::vector<int32_t> &ccs,
+                           std::vector<int32_t> &ccc,
+                           std::vector<int32_t> &ctot) {
     const int SYM_BITS = 4;
     const uint64_t POS_MASK = (((uint64_t)1 << pos_bits) - 1);
     const int64_t nu = (int64_t)ug.size();
     // pointer-written output (one bounds check per resize, not per row)
     cg.resize(nu); cp.resize(nu); cst.resize(nu);
     ccs.resize(nu); ccc.resize(nu); ctot.resize(nu);
-    int64_t *o_g = cg.data(), *o_p = cp.data(), *o_st = cst.data();
-    int64_t *o_cs = ccs.data(), *o_cc = ccc.data(), *o_tot = ctot.data();
+    int32_t *o_g = cg.data(), *o_p = cp.data(), *o_st = cst.data();
+    int32_t *o_cs = ccs.data(), *o_cc = ccc.data(), *o_tot = ctot.data();
     int64_t w = 0;
     for (int64_t i = 0; i < nu;) {
         const uint64_t key = (uint64_t)ug[i];
@@ -656,12 +659,14 @@ void rc_fetch_unique(int64_t *ugroup, int64_t *upos, int64_t *usym,
 void rc_fetch_consensus(int64_t *g, int64_t *p, int64_t *st, int64_t *cs,
                         int64_t *cc, int64_t *tot) {
     const int64_t n = (int64_t)rc::cg.size();
-    std::memcpy(g, rc::cg.data(), n * 8);
-    std::memcpy(p, rc::cp_.data(), n * 8);
-    std::memcpy(st, rc::cst.data(), n * 8);
-    std::memcpy(cs, rc::ccs.data(), n * 8);
-    std::memcpy(cc, rc::ccc.data(), n * 8);
-    std::memcpy(tot, rc::ctot.data(), n * 8);
+    for (int64_t i = 0; i < n; i++) {
+        g[i] = rc::cg[i];
+        p[i] = rc::cp_[i];
+        st[i] = rc::cst[i];
+        cs[i] = rc::ccs[i];
+        cc[i] = rc::ccc[i];
+        tot[i] = rc::ctot[i];
+    }
 }
 
 }  // extern "C"
@@ -848,8 +853,8 @@ int fq_sweep1_kernel(
     int64_t fam_flag,
     int64_t emperr_snv, int64_t emperc_snv,
     int64_t emperr_indel, int64_t emperc_indel,
-    int64_t *cdp12, int64_t *cdp21, int64_t *cdp2, int64_t *cdp3,
-    int64_t *cdpm, int64_t *cdpM,       // [P,14,2] zeroed by caller
+    int32_t *cdp12, int32_t *cdp21, int32_t *cdp2, int32_t *cdp3,
+    int32_t *cdpm, int32_t *cdpM,       // [P,14,2] zeroed by caller
     uint8_t *fam_good_out) {
     const int64_t NS = 14;
     const bool flag2 = (fam_flag & 0x2) != 0;
@@ -883,7 +888,7 @@ extern "C" {
 // (main_conversion.hpp:920-974; python reference engine_fq._iid_scan /
 // engine_bq.final_iid_qualities).  hist is [n,16]; outputs per element.
 int iid_scan_kernel(int64_t n, const int64_t *max_qual, int64_t dec_qual,
-                    const int64_t *hist, const int64_t *totDP,
+                    const int32_t *hist, const int64_t *totDP,
                     int64_t *q_out, int64_t *ad_out, int64_t *bq_out) {
     const double INV_LOG10 = 10.0 / 2.302585092994045684;
     const double DBL_EPS = 2.220446049250313e-16;
@@ -897,7 +902,7 @@ int iid_scan_kernel(int64_t n, const int64_t *max_qual, int64_t dec_qual,
         int64_t cum = 0;
         int64_t best_vq = INT64_MIN, best_k = 0, best_ad = 0;
         for (int64_t k = 0; k < 16; k++) {
-            const int64_t h = hist[i * 16 + k];
+            const int64_t h = (int64_t)hist[i * 16 + k];
             cum += h;
             if (h > 0 && k < lim) {
                 const int64_t c1 = cum > 1 ? cum : 1;
@@ -1056,12 +1061,14 @@ void rc2_sizes(int64_t *out4) {
 void rc2_fetch_consensus2(int64_t *g, int64_t *p, int64_t *st, int64_t *cs,
                           int64_t *cc, int64_t *tot) {
     const int64_t n = (int64_t)rc::c2g.size();
-    std::memcpy(g, rc::c2g.data(), n * 8);
-    std::memcpy(p, rc::c2p.data(), n * 8);
-    std::memcpy(st, rc::c2st.data(), n * 8);
-    std::memcpy(cs, rc::c2cs.data(), n * 8);
-    std::memcpy(cc, rc::c2cc.data(), n * 8);
-    std::memcpy(tot, rc::c2tot.data(), n * 8);
+    for (int64_t i = 0; i < n; i++) {
+        g[i] = rc::c2g[i];
+        p[i] = rc::c2p[i];
+        st[i] = rc::c2st[i];
+        cs[i] = rc::c2cs[i];
+        cc[i] = rc::c2cc[i];
+        tot[i] = rc::c2tot[i];
+    }
 }
 
 }  // extern "C"
@@ -1086,11 +1093,11 @@ int fq_sweep2_kernel(
     const int64_t *fam_strand,            // [n_fams]
     const int64_t *ref_syms,              // [P]
     const int64_t *sscs_flat,             // [14*14]
-    const int64_t *cdpM, const int64_t *cdpm,  // [P,14,2]
+    const int32_t *cdpM, const int32_t *cdpm,  // [P,14,2]
     int64_t P, int64_t rescue_add, int64_t fam_phred_indel_inc,
     int64_t dup1add, int64_t dup1perc, int64_t highbq_thres,
-    int64_t *cdp1,                        // [P,14,2] zeroed by caller
-    int64_t *hist,                        // [2,P,14,16] zeroed by caller
+    int32_t *cdp1,                        // [P,14,2] zeroed by caller
+    int32_t *hist,                        // [2,P,14,16] zeroed by caller
     int64_t *confam_out,                  // [n2]
     uint8_t *confam_ok_out,               // [n2]
     uint8_t *mut_out                      // [n2] phase-eligible mutation flag
@@ -1459,7 +1466,8 @@ int64_t rc2_run_fc(int64_t n, const int64_t *frag, const int64_t *pos,
 namespace pdx {
 static thread_local const int64_t *bg, *aDP4, *ref_syms, *frag_strand,
     *normMQ;
-static thread_local int64_t *bdp, *bta, *btb, *vq_bMQ, *hist;
+static thread_local int32_t *bdp, *bta, *btb, *vq_bMQ;
+static thread_local int32_t *hist;
 static thread_local int64_t P, highbq, W;
 static thread_local bool armed = false;
 static thread_local std::vector<int64_t> cov_pos, mut_pos;
@@ -1612,9 +1620,9 @@ int64_t frag_cons_direct(int64_t n_streams, const int64_t *stream_off,
     rcdiag::Phase ph("fcd.merge");
     const uint64_t NOKEY = ~(uint64_t)0;
     const uint64_t *rows = fcd::rows.data();
-    int64_t *o_g = rc::cg.data(), *o_p = rc::cp_.data();
-    int64_t *o_st = rc::cst.data(), *o_cs = rc::ccs.data();
-    int64_t *o_cc = rc::ccc.data(), *o_tot = rc::ctot.data();
+    int32_t *o_g = rc::cg.data(), *o_p = rc::cp_.data();
+    int32_t *o_st = rc::cst.data(), *o_cs = rc::ccs.data();
+    int32_t *o_cc = rc::ccc.data(), *o_tot = rc::ctot.data();
     int64_t w = 0;
     uint64_t cur_gp = NOKEY;   // (pos<<1)|st of the open consensus group
     int64_t cur_f = -1;
@@ -1625,12 +1633,12 @@ int64_t frag_cons_direct(int64_t n_streams, const int64_t *stream_off,
         int64_t cs, cc;
         if (best_s < 0) { cs = 6; cc = lm_v; }
         else { cs = best_s; cc = best_v; }
-        o_g[w] = cur_f;
-        o_p[w] = (int64_t)(cur_gp >> 1);
-        o_st[w] = (int64_t)(cur_gp & 1);
-        o_cs[w] = cs;
-        o_cc[w] = cc;
-        o_tot[w] = ovr ? cc : tot;
+        o_g[w] = (int32_t)cur_f;
+        o_p[w] = (int32_t)(cur_gp >> 1);
+        o_st[w] = (int32_t)(cur_gp & 1);
+        o_cs[w] = (int32_t)cs;
+        o_cc[w] = (int32_t)cc;
+        o_tot[w] = (int32_t)(ovr ? cc : tot);
         w++;
     };
     auto feed = [&](uint64_t key, int64_t acc) {
@@ -1737,10 +1745,11 @@ int64_t frag_cons_direct(int64_t n_streams, const int64_t *stream_off,
 // output order.  Returns ug.size() or -1 on an input-order violation
 // (caller falls back to rc2_run_fc).
 
-static int64_t fam_cons_core(int64_t n, const int64_t *frag,
-                             const int64_t *pos, const int64_t *sym,
-                             const int64_t *con_cnt, const int64_t *tot,
-                             const int64_t *st, const int64_t *fam_of_frag,
+template <class TI>
+static int64_t fam_cons_core(int64_t n, const TI *frag,
+                             const TI *pos, const TI *sym,
+                             const TI *con_cnt, const TI *tot,
+                             const TI *st, const int64_t *fam_of_frag,
                              int64_t n_frags, int64_t n_fams,
                              int64_t highbq_snv, int64_t P,
                              int64_t *fbeg, int64_t *fend) {
@@ -1918,7 +1927,7 @@ int64_t fam_cons_direct(int64_t n, const int64_t *frag, const int64_t *pos,
 
 namespace sres {
 // swapped-in fragment rows (inputs of the family merge)
-static thread_local std::vector<int64_t> in_g, in_p, in_st, in_cs, in_cc,
+static thread_local std::vector<int32_t> in_g, in_p, in_st, in_cs, in_cc,
     in_tot;
 // pass_d sparse outputs
 static thread_local std::vector<int64_t> mutf, mutp, mutst, muts;
@@ -1935,9 +1944,9 @@ static thread_local std::vector<int64_t> m2g, m2p, m2st, m2s, m2ok;
 static void pdx_run_frag(int64_t lo, int64_t hi, int64_t fr) {
     const int64_t NS = 14;
     const int NBUCKETS = 16;
-    const int64_t *g_pos = rc::cp_.data(), *g_st = rc::cst.data();
-    const int64_t *con_sym = rc::ccs.data(), *con_cnt = rc::ccc.data();
-    const int64_t *tot = rc::ctot.data();
+    const int32_t *g_pos = rc::cp_.data(), *g_st = rc::cst.data();
+    const int32_t *con_sym = rc::ccs.data(), *con_cnt = rc::ccc.data();
+    const int32_t *tot = rc::ctot.data();
     const int64_t strand = pdx::frag_strand[fr];
     const int64_t mq2 = pdx::normMQ[fr] * pdx::normMQ[fr] / 32;
     pdx::cov_pos.clear();
@@ -2012,8 +2021,8 @@ void frag_cons_arm_pass_d(
     const int64_t *bg, const int64_t *aDP4, const int64_t *ref_syms,
     const int64_t *frag_strand, const int64_t *normMQ,
     int64_t P, int64_t highbq_thres, int64_t mut_window,
-    int64_t *bdp, int64_t *bta, int64_t *btb, int64_t *vq_bMQ,
-    int64_t *hist) {
+    int32_t *bdp, int32_t *bta, int32_t *btb, int32_t *vq_bMQ,
+    int32_t *hist) {
     pdx::bg = bg; pdx::aDP4 = aDP4; pdx::ref_syms = ref_syms;
     pdx::frag_strand = frag_strand; pdx::normMQ = normMQ;
     pdx::P = P; pdx::highbq = highbq_thres; pdx::W = mut_window;
@@ -2038,17 +2047,17 @@ int pass_d_statics(
     const int64_t *bg, const int64_t *aDP4, const int64_t *ref_syms,
     const int64_t *frag_strand, const int64_t *normMQ,
     int64_t P, int64_t n_frags, int64_t highbq_thres, int64_t mut_window,
-    int64_t *bdp, int64_t *bta, int64_t *btb,  // [P*14*2]
-    int64_t *vq_bMQ,                            // [P*14]
-    int64_t *hist,                              // [P*14*16]
+    int32_t *bdp, int32_t *bta, int32_t *btb,  // [P*14*2]
+    int32_t *vq_bMQ,                            // [P*14]
+    int32_t *hist,                              // [P*14*16]
     int64_t *counts_out                         // [2]: n_mut, n_win
 ) {
     const int64_t NS = 14;
     const int NBUCKETS = 16;
     const int64_t n_rows = (int64_t)rc::cg.size();
-    const int64_t *g_frag = rc::cg.data(), *g_pos = rc::cp_.data();
-    const int64_t *g_st = rc::cst.data(), *con_sym = rc::ccs.data();
-    const int64_t *con_cnt = rc::ccc.data(), *tot = rc::ctot.data();
+    const int32_t *g_frag = rc::cg.data(), *g_pos = rc::cp_.data();
+    const int32_t *g_st = rc::cst.data(), *con_sym = rc::ccs.data();
+    const int32_t *con_cnt = rc::ccc.data(), *tot = rc::ctot.data();
     sres::mutf.clear(); sres::mutp.clear();
     sres::mutst.clear(); sres::muts.clear();
     sres::winf.clear(); sres::winp.clear(); sres::wins.clear();
@@ -2181,8 +2190,8 @@ int64_t fq_sweep1_statics(
     int64_t fam_flag,
     int64_t emperr_snv, int64_t emperc_snv,
     int64_t emperr_indel, int64_t emperc_indel,
-    int64_t *cdp12, int64_t *cdp21, int64_t *cdp2, int64_t *cdp3,
-    int64_t *cdpm, int64_t *cdpM) {
+    int32_t *cdp12, int32_t *cdp21, int32_t *cdp2, int32_t *cdp3,
+    int32_t *cdpm, int32_t *cdpM) {
     const int64_t NS = 14;
     const bool flag2 = (fam_flag & 0x2) != 0;
     const int64_t n = (int64_t)rc::cg.size();
@@ -2235,11 +2244,11 @@ void fq_fetch_good(int64_t *g, int64_t *p, int64_t *st, int64_t *s,
 int64_t fq_sweep2_statics(
     const int64_t *fam_strand, const int64_t *ref_syms,
     const int64_t *sscs_flat,
-    const int64_t *cdpM, const int64_t *cdpm,  // [P,14,2]
+    const int32_t *cdpM, const int32_t *cdpm,  // [P,14,2]
     int64_t P, int64_t rescue_add, int64_t fam_phred_indel_inc,
     int64_t dup1add, int64_t dup1perc, int64_t highbq_thres,
-    int64_t *cdp1,                        // [P,14,2] zeroed by caller
-    int64_t *hist                         // [2,P,14,16] zeroed by caller
+    int32_t *cdp1,                        // [P,14,2] zeroed by caller
+    int32_t *hist                         // [2,P,14,16] zeroed by caller
 ) {
     const int64_t NS = 14;
     const double INV_LOG10 = 10.0 / std::log(10.0);
@@ -2380,18 +2389,18 @@ int64_t fam_chain_statics(
     int64_t emperr_indel, int64_t emperc_indel,
     const int64_t *ref_syms, const int64_t *sscs_flat,
     int64_t rescue_add, int64_t fam_phred_indel_inc, int64_t highbq_thres,
-    int64_t *cdp12, int64_t *cdp21, int64_t *cdp2, int64_t *cdp3,
-    int64_t *cdpm, int64_t *cdpM,         // [P,14,2] zeroed by caller
-    int64_t *cdp1,                        // [P,14,2] zeroed by caller
-    int64_t *hist,                        // [2,P,14,16] zeroed by caller
+    int32_t *cdp12, int32_t *cdp21, int32_t *cdp2, int32_t *cdp3,
+    int32_t *cdpm, int32_t *cdpM,         // [P,14,2] zeroed by caller
+    int32_t *cdp1,                        // [P,14,2] zeroed by caller
+    int32_t *hist,                        // [2,P,14,16] zeroed by caller
     int64_t *fbeg, int64_t *fend,         // [n_fams]
     int64_t *counts_out                   // [2]: n_good, n_mut
 ) {
     const int64_t NS = 14;
     const int64_t n = (int64_t)rc::cg.size();
-    const int64_t *frag = rc::cg.data(), *pos = rc::cp_.data();
-    const int64_t *sym = rc::ccs.data(), *con_cnt = rc::ccc.data();
-    const int64_t *tot_in = rc::ctot.data();
+    const int32_t *frag = rc::cg.data(), *pos = rc::cp_.data();
+    const int32_t *sym = rc::ccs.data(), *con_cnt = rc::ccc.data();
+    const int32_t *tot_in = rc::ctot.data();
     const bool flag2 = (fam_flag & 0x2) != 0;
 
     // 1) per-fragment row ranges (rows must be frag-ascending, key-sorted)

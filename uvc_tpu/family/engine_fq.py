@@ -136,7 +136,9 @@ def run_fq(frag_cons, frag_gap_info, famgrp, ref_syms, sscs_table, thres,
 
     # ---- sweep 1: famcov consensus
     strand1 = fam_strand[s1.group]
-    z3 = lambda: np.zeros((P, NS, 2), dtype=np.int64)  # noqa: E731
+    # int32: these are pure count planes scattered to by the native
+    # kernels; half the bytes -> half the cache traffic of the sweeps
+    z3 = lambda: np.zeros((P, NS, 2), dtype=np.int32)  # noqa: E731
     cdp1, cdp12, cdp2, cdp3, cdp21 = z3(), z3(), z3(), z3(), z3()
     cdpM, cdpm, cdpD = z3(), z3(), z3()
     has_umi = (fam_dflag[s1.group] & 0x1) != 0
@@ -215,7 +217,7 @@ def run_fq(frag_cons, frag_gap_info, famgrp, ref_syms, sscs_table, thres,
 
     # ---- sweep 2: fammmm consensus -> cDP1 + confam quality buckets
     rescue_add = 0 if cfg.vcf_tumor_fname in (".", "") else 4
-    hist = np.zeros((2, P, NS, NUM_BUCKETS), dtype=np.int64)
+    hist = np.zeros((2, P, NS, NUM_BUCKETS), dtype=np.int32)
     use_nat2 = _lib is not None and hasattr(_lib, "fq_sweep2_kernel") \
         and (fg is None or len(s2.group) > 2048)
     if use_nat2:
@@ -238,7 +240,8 @@ def run_fq(frag_cons, frag_gap_info, famgrp, ref_syms, sscs_table, thres,
             null if fg is None else _cc(fs),
             null if fg is None else _cc(fcnt),
             _cc(fam_strand), _cc(ref_syms), _cc(sscs_table),
-            _cc(cdpM), _cc(cdpm),
+            cdpM.ctypes.data_as(ctypes.c_void_p),
+            cdpm.ctypes.data_as(ctypes.c_void_p),
             ctypes.c_int64(P), ctypes.c_int64(rescue_add),
             ctypes.c_int64(cfg.fam_phred_indel_inc_before_barcode_labeling),
             ctypes.c_int64(cfg.fam_thres_dup1add),
@@ -349,11 +352,13 @@ def _run_fq_statics(frag_gap_info, famgrp, ref_syms, sscs_table, thres,
     runs the dense path)."""
     from ..ops import native_rowpile as nr
     fam_of_frag = famgrp.fam_of_frag
-    z3 = lambda: np.zeros((P, NS, 2), dtype=np.int64)  # noqa: E731
+    # int32: these are pure count planes scattered to by the native
+    # kernels; half the bytes -> half the cache traffic of the sweeps
+    z3 = lambda: np.zeros((P, NS, 2), dtype=np.int32)  # noqa: E731
     cdp1, cdp12, cdp2, cdp3, cdp21 = z3(), z3(), z3(), z3(), z3()
     cdpM, cdpm, cdpD = z3(), z3(), z3()
     rescue_add = 0 if cfg.vcf_tumor_fname in (".", "") else 4
-    hist = np.zeros((2, P, NS, NUM_BUCKETS), dtype=np.int64)
+    hist = np.zeros((2, P, NS, NUM_BUCKETS), dtype=np.int32)
     fused = nr.fam_chain_statics(famgrp, P, cfg, ref_syms, sscs_table,
                                  rescue_add, cdp12, cdp21, cdp2, cdp3,
                                  cdpm, cdpM, cdp1, hist)

@@ -79,7 +79,7 @@ def iid_scan(max_qual, dec_qual, hist, totDP):
         return None
     shape = np.shape(max_qual)
     mq = np.ascontiguousarray(max_qual, dtype=np.int64).reshape(-1)
-    h = np.ascontiguousarray(hist, dtype=np.int64).reshape(-1, 16)
+    h = np.ascontiguousarray(hist, dtype=np.int32).reshape(-1, 16)
     td = np.ascontiguousarray(np.broadcast_to(totDP, shape),
                               dtype=np.int64).reshape(-1)
     n = len(mq)
@@ -227,11 +227,11 @@ def frag_cons_with_pass_d(allev, frag_of_read, n_frags, P, bg, aDP4,
     if lib is None or so is None \
             or not hasattr(lib, "frag_cons_arm_pass_d"):
         return None
-    bdp = np.zeros((P, 14, 2), dtype=np.int64)
-    bta = np.zeros((P, 14, 2), dtype=np.int64)
-    btb = np.zeros((P, 14, 2), dtype=np.int64)
-    vq_bmq = np.zeros((P, 14), dtype=np.int64)
-    hist = np.zeros((P, 14, 16), dtype=np.int64)
+    bdp = np.zeros((P, 14, 2), dtype=np.int32)
+    bta = np.zeros((P, 14, 2), dtype=np.int32)
+    btb = np.zeros((P, 14, 2), dtype=np.int32)
+    vq_bmq = np.zeros((P, 14), dtype=np.int32)
+    hist = np.zeros((P, 14, 16), dtype=np.int32)
 
     def cp(a, dt=np.int64):
         return np.ascontiguousarray(a, dtype=dt).ctypes.data_as(
@@ -279,11 +279,11 @@ def pass_d_statics(bg, aDP4, ref_syms, frag_strand, normMQ, P, n_frags,
     lib = _load()
     if lib is None or not hasattr(lib, "pass_d_statics"):
         return None
-    bdp = np.zeros((P, 14, 2), dtype=np.int64)
-    bta = np.zeros((P, 14, 2), dtype=np.int64)
-    btb = np.zeros((P, 14, 2), dtype=np.int64)
-    vq_bmq = np.zeros((P, 14), dtype=np.int64)
-    hist = np.zeros((P, 14, 16), dtype=np.int64)
+    bdp = np.zeros((P, 14, 2), dtype=np.int32)
+    bta = np.zeros((P, 14, 2), dtype=np.int32)
+    btb = np.zeros((P, 14, 2), dtype=np.int32)
+    vq_bmq = np.zeros((P, 14), dtype=np.int32)
+    hist = np.zeros((P, 14, 16), dtype=np.int32)
     counts = np.zeros(2, dtype=np.int64)
 
     def cp(a, dt=np.int64):
@@ -460,11 +460,11 @@ def pass_d_native(gc, bg, aDP4, ref_syms, frag_strand, normMQ, P, n_frags,
     n = len(gc.group)
     if n and (int(gc.pos.min()) < 0 or int(gc.pos.max()) >= P):
         raise ValueError(f"pass_d_native: pos outside [0,{P})")
-    bdp = np.zeros((P, 14, 2), dtype=np.int64)
-    bta = np.zeros((P, 14, 2), dtype=np.int64)
-    btb = np.zeros((P, 14, 2), dtype=np.int64)
-    vq_bmq = np.zeros((P, 14), dtype=np.int64)
-    hist = np.zeros((P, 14, 16), dtype=np.int64)
+    bdp = np.zeros((P, 14, 2), dtype=np.int32)
+    bta = np.zeros((P, 14, 2), dtype=np.int32)
+    btb = np.zeros((P, 14, 2), dtype=np.int32)
+    vq_bmq = np.zeros((P, 14), dtype=np.int32)
+    hist = np.zeros((P, 14, 16), dtype=np.int32)
     is_mut = np.zeros(n, dtype=np.uint8)
 
     def cp(a, dt=np.int64):

@@ -1312,7 +1312,7 @@ def pass_d_fragments(allev: EventValues, gap_info, table, ref_syms,
     phredlike = np.minimum(con_qual, max_qual)
     pbucket = np.clip(max_qual - phredlike, 0, None)
 
-    hist = np.zeros((P, NS, NUM_BUCKETS), dtype=np.int64)
+    hist = np.zeros((P, NS, NUM_BUCKETS), dtype=np.int32)
     hm = pbucket < NUM_BUCKETS
     fast_add_at(hist, (g_pos[hm], con_sym[hm], pbucket[hm]), 1)
 
