@@ -261,17 +261,67 @@ class SamIterSim:
     def feed(self, tids, pos, rend, flags=None):
         """Consume mapped reads in file order; returns flushed bedlines as
         (tid, beg, end, flag, n_reads, read_beg, read_end) with read_beg/
-        read_end indexing the MAPPED-read stream."""
+        read_end indexing the MAPPED-read stream.
+
+        Only CUT points run the scalar _step: between them the state is a
+        pure prefix function (running max end, counters), so a vectorized
+        scan-ahead finds the next read where any cut condition (template
+        change / far jump / sub-memory model) can fire and bulk-applies
+        the quiet run before it."""
         out = []
-        it = zip(tids.tolist(), pos.tolist(), rend.tolist(),
-                 flags.tolist() if flags is not None else iter(int, 1))
-        for t, p, r, f in it:
-            if self.terminated:
-                break
-            if flags is not None and (f & 0x4):
-                continue
+        tids = np.asarray(tids, dtype=np.int64)
+        pos = np.asarray(pos, dtype=np.int64)
+        rend = np.asarray(rend, dtype=np.int64)
+        if flags is not None:
+            m = (np.asarray(flags, dtype=np.int64) & 0x4) == 0
+            if not m.all():
+                tids, pos, rend = tids[m], pos[m], rend[m]
+        n = len(pos)
+        memfree = (1024 * 1024 // NUM_WORKING_UNITS_PER_THREAD) * self.mem
+        W = 2048
+        i = 0
+        while i < n and not self.terminated:
+            # scalar step at every potential cut (and right after one)
+            t, p, r = int(tids[i]), int(pos[i]), int(rend[i])
             self.last = (t, p, r)
             self._step(t, p, r, False, out)
+            i += 1
+            if i >= n or self.terminated:
+                break
+            # vectorized scan-ahead over the same-tid window
+            j = min(i + W, n)
+            t0 = self.block_tid
+            jt = i + int(np.searchsorted(tids[i:j], t0, side="right"))
+            if jt == i:
+                continue
+            seg_pos = pos[i:jt]
+            seg_rend = rend[i:jt]
+            k = jt - i
+            prev = np.empty(k, dtype=np.int64)
+            prev[0] = self.block_running_end
+            if k > 1:
+                np.maximum.accumulate(seg_rend[:-1], out=prev[1:])
+                np.maximum(prev[1:], self.block_running_end, out=prev[1:])
+            far = prev + 2 * MAX_STR_N_BASES < seg_pos
+            nr = self.region_n_reads + np.arange(k, dtype=np.int64)
+            rposs = prev - self.block_beg + self.region_rposs_add
+            ov = np.minimum(np.maximum(prev - seg_pos, 0), 150)
+            sub_over = (nr * NUM_BYTES_PER_READ
+                        + rposs * (NUM_BYTES_PER_REF_POS + 1024)
+                        > memfree + memfree * ov // 150)
+            cut = far | sub_over
+            d = int(np.argmax(cut)) if cut.any() else k
+            if d > 0:
+                # bulk-apply the quiet run [i, i+d)
+                run_max = int(np.max(seg_rend[:d]))
+                if run_max > self.block_running_end:
+                    self.block_running_end = run_max
+                self.region_n_reads += d
+                self.region_rposs = self.block_running_end - self.block_beg
+                self.n_seen += d
+                self.last = (int(tids[i + d - 1]), int(seg_pos[d - 1]),
+                             int(seg_rend[d - 1]))
+                i += d
         return out
 
     def finish(self):
