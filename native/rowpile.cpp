@@ -82,14 +82,19 @@ void radix_argsort_u64(const uint64_t *keys, int64_t n, int64_t *order) {
 // ---------------------------------------------------------------------------
 // pass_c: counter plane order (must match uvc_tpu/ops PASS_C_PLANES)
 
+// int32 planes (the reference's uvc1_readnum_t/_100x_t fields are int32,
+// main_conversion.hpp:645-691); the uvc1_readpos_big_t sums (aLBL/aRBL/
+// aLIT/aRIT, main_conversion.hpp:675-690) plus the BQ-sum plane bg stay
+// int64 in a small side tensor
 enum {
     O_a2XM2, O_a2BM2, O_aPF1, O_aPF2, O_aBQ2, O_aMQs, O_aP1, O_aP2, O_aP3,
     O_aNC, O_aDPff, O_aDPfr, O_aDPrf, O_aDPrr, O_aLP1, O_aLP2, O_aLPL,
-    O_aRP1, O_aRP2, O_aRPL, O_aLB1, O_aLB2, O_aLBL, O_aRB1, O_aRB2, O_aRBL,
-    O_aLI1, O_aLI2, O_aRI1, O_aRI2, O_aRIf, O_aLIr, O_aLIT, O_aRIT,
-    O_bg, O_a1BQf, O_a1BQr, O_a2BQf, O_a2BQr,
+    O_aRP1, O_aRP2, O_aRPL, O_aLB1, O_aLB2, O_aRB1, O_aRB2,
+    O_aLI1, O_aLI2, O_aRI1, O_aRI2, O_aRIf, O_aLIr,
+    O_a1BQf, O_a1BQr, O_a2BQf, O_a2BQr,
     N_PLANES
 };
+enum { OB_aLBL, OB_aRBL, OB_aLIT, OB_aRIT, OB_bg, N_BIG_PLANES };
 
 // per-read field order (int64 [n_reads, N_RF])
 enum {
@@ -130,7 +135,8 @@ int pass_c_kernel(
     const int64_t *baq, const int64_t *baq2,  // [>= P]
     const int64_t *cfg,     // [N_CFG]
     int64_t P,
-    int64_t *out            // [P, 14, N_PLANES] zeroed by caller
+    int32_t *out,           // [P, 14, N_PLANES] zeroed by caller
+    int64_t *out_big        // [P, 14, N_BIG_PLANES] zeroed by caller
 ) {
     const int64_t NS = 14;
     // accumulate directly in the caller's [P,14,N_PLANES] buffer: one
@@ -156,9 +162,10 @@ int pass_c_kernel(
         const bool paired = r[RF_paired] != 0;
         const int64_t flag = r[RF_flag];
         const int64_t *th = thres + pos * N_TH;
-        int64_t *o = out + idx * N_PLANES;
+        int32_t *o = out + idx * N_PLANES;
+        int64_t *ob = out_big + idx * N_BIG_PLANES;
 
-        o[O_bg] += bq;
+        ob[OB_bg] += bq;
         o[isrc ? O_a1BQr : O_a1BQf] += bq;
         o[isrc ? O_a2BQr : O_a2BQf] += bq * bq / 32;
         o[O_aMQs] += r[RF_mapq];
@@ -178,8 +185,8 @@ int pass_c_kernel(
             ? imin(rpos_abs - r[RF_fragL] + 1, MAXI) : MAXI;
         const int64_t frag_r2 = has_is
             ? imin(r[RF_fragR] - rpos_abs, MAXI) : MAXI;
-        o[O_aLIT] += (((int64_t)isrc) & has_is) * frag_l2;
-        o[O_aRIT] += ((isrc ? (int64_t)0 : (int64_t)1) & has_is) * frag_r2;
+        ob[OB_aLIT] += (((int64_t)isrc) & has_is) * frag_l2;
+        ob[OB_aRIT] += ((isrc ? (int64_t)0 : (int64_t)1) & has_is) * frag_r2;
 
         const int64_t p_beg = iclip(r[RF_pos], 0, P - 1);
         const int64_t p_end = iclip(r[RF_rend] - 1, 0, P - 1);
@@ -249,8 +256,8 @@ int pass_c_kernel(
             o[O_aLB2] += gu & t2 & (seg_l_baq >= cfg[CF_BAQ2]);
             o[O_aRB1] += gu & (seg_r_baq >= cfg[CF_BAQ1]);
             o[O_aRB2] += gu & t2 & (seg_r_baq >= cfg[CF_BAQ2]);
-            o[O_aLBL] += gu * seg_l_baq;
-            o[O_aRBL] += gu * seg_r_baq;
+            ob[OB_aLBL] += gu * seg_l_baq;
+            ob[OB_aRBL] += gu * seg_r_baq;
             o[O_aBQ2] += gf;
         }
 

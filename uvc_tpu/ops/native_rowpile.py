@@ -14,10 +14,14 @@ from ..constants import MAX_INSERT_SIZE
 _LIB = None
 _TRIED = False
 
+# int32 planes (reference int32 counter fields) + the int64 "big" sums
+# (uvc1_readpos_big_t aLBL/aRBL/aLIT/aRIT + the BQ-sum plane bg), kept in
+# a small side tensor so the hot scatter rows are half as wide
 PLANES = ("a2XM2 a2BM2 aPF1 aPF2 aBQ2 aMQs aP1 aP2 aP3 aNC "
           "aDPff aDPfr aDPrf aDPrr aLP1 aLP2 aLPL aRP1 aRP2 aRPL "
-          "aLB1 aLB2 aLBL aRB1 aRB2 aRBL aLI1 aLI2 aRI1 aRI2 "
-          "aRIf aLIr aLIT aRIT bg a1BQf a1BQr a2BQf a2BQr").split()
+          "aLB1 aLB2 aRB1 aRB2 aLI1 aLI2 aRI1 aRI2 "
+          "aRIf aLIr a1BQf a1BQr a2BQf a2BQr").split()
+BIG_PLANES = "aLBL aRBL aLIT aRIT bg".split()
 N_RF = 14
 N_TH = 14
 N_CFG = 13
@@ -530,7 +534,8 @@ def pass_c_native(allev, table, baq, baq2, thres, off, P, cfg, dflag):
 
     # [P,14,N_PLANES]: the kernel accumulates in place (calloc-zeroed
     # pages, no kernel-side staging/transpose); planes are strided views
-    out = np.zeros((P, 14, len(PLANES)), dtype=np.int64)
+    out = np.zeros((P, 14, len(PLANES)), dtype=np.int32)
+    out_big = np.zeros((P, 14, len(BIG_PLANES)), dtype=np.int64)
 
     def cp(a):
         return np.ascontiguousarray(a).ctypes.data_as(ctypes.c_void_p)
@@ -559,10 +564,13 @@ def pass_c_native(allev, table, baq, baq2, thres, off, P, cfg, dflag):
         cp(e_isgap), cp(e_cop), cp(e_il), cp(e_dist), cp(reads),
         cp(np.ascontiguousarray(bm, dtype=np.int64)), cp(th),
         cp(baq64), cp(baq264), cfgv.ctypes.data_as(ctypes.c_void_p),
-        ctypes.c_int64(P), out.ctypes.data_as(ctypes.c_void_p))
+        ctypes.c_int64(P), out.ctypes.data_as(ctypes.c_void_p),
+        out_big.ctypes.data_as(ctypes.c_void_p))
     if rc != 0:
         raise RuntimeError("pass_c_kernel failed")
-    return {nm: out[:, :, i] for i, nm in enumerate(PLANES)}
+    d = {nm: out[:, :, i] for i, nm in enumerate(PLANES)}
+    d.update({nm: out_big[:, :, i] for i, nm in enumerate(BIG_PLANES)})
+    return d
 
 
 PASS_A_PLANES = ("a_pcr_dp a_umi_dp a_dp a_qlen a_XM1500 a_GO1500 a_GAPLEN "
