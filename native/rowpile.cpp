@@ -1664,6 +1664,58 @@ int64_t frag_cons_direct(int64_t n_streams, const int64_t *stream_off,
             else if (acc > best_v) { best_v = acc; best_s = s2; }
         }
     };
+    const bool lmo = (link_m_overridden != 0);
+    // unique-key row range of ONE fragment (single read, or the
+    // concatenated halves of non-overlapping mates): emit groups
+    // directly -- base rows are singleton groups, link groups span the
+    // few consecutive link symbols at one position
+    int64_t dr_f = -1;
+    auto direct_range = [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ) {
+            const uint64_t k = rows[i] >> 32;
+            const int64_t sym = (int64_t)(k & 15);
+            const uint64_t posk = k >> 4;
+            if (sym < 6) {
+                const int64_t val = (int64_t)(uint32_t)rows[i];
+                if (val > 0) {
+                    o_g[w] = (int32_t)dr_f;
+                    o_p[w] = (int32_t)posk;
+                    o_st[w] = 0;
+                    o_cs[w] = (int32_t)sym;
+                    o_cc[w] = (int32_t)val;
+                    o_tot[w] = (int32_t)val;
+                    w++;
+                }
+                i++;
+                continue;
+            }
+            int64_t gtot = 0, gbv = -1, gbs = -1, glm = 0;
+            do {
+                const uint64_t k2 = rows[i] >> 32;
+                if ((k2 >> 4) != posk) break;
+                const int64_t s2 = (int64_t)(k2 & 15);
+                const int64_t v2 = (int64_t)(uint32_t)rows[i];
+                if (v2 > 0) {
+                    gtot += v2;
+                    if (lmo && s2 == 6) { glm = v2; }
+                    else if (v2 > gbv) { gbv = v2; gbs = s2; }
+                }
+                i++;
+            } while (i < hi);
+            if (gtot > 0) {
+                int64_t cs, cc;
+                if (gbs < 0) { cs = 6; cc = glm; }
+                else { cs = gbs; cc = gbv; }
+                o_g[w] = (int32_t)dr_f;
+                o_p[w] = (int32_t)posk;
+                o_st[w] = 1;
+                o_cs[w] = (int32_t)cs;
+                o_cc[w] = (int32_t)cc;
+                o_tot[w] = (int32_t)(lmo ? cc : gtot);
+                w++;
+            }
+        }
+    };
     for (int64_t f = 0; f < n_frags; f++) {
         const int64_t f_start_w = w;
         const int64_t r_lo = fcd::frag_cnt[f], r_hi = fcd::frag_cnt[f + 1];
@@ -1685,12 +1737,33 @@ int64_t frag_cons_direct(int64_t n_streams, const int64_t *stream_off,
         cur_f = f;
         cur_gp = NOKEY;
         if (nr == 1) {
-            // single read: keys are unique, feed rows directly
-            for (int64_t i = seg_i[0]; i < seg_e[0]; i++)
-                feed(rows[i] >> 32, (int64_t)(uint32_t)rows[i]);
+            // single read: keys are unique, emit groups directly
+            dr_f = f;
+            direct_range(seg_i[0], seg_e[0]);
+            if (pdx::armed && w > f_start_w) {
+                pdx_run_frag(f_start_w, w, f);
+            }
+            continue;
         } else if (nr == 2) {
             int64_t i0 = seg_i[0], e0 = seg_e[0];
             int64_t i1 = seg_i[1], e1 = seg_e[1];
+            // non-overlapping mates (the dominant paired-end layout when
+            // insert > 2*readlen): the two key-sorted ranges concatenate,
+            // so the branchy two-way merge reduces to sequential feeds
+            if ((rows[e0 - 1] >> 32) < (rows[i1] >> 32)
+                || (rows[e1 - 1] >> 32) < (rows[i0] >> 32)) {
+                if ((rows[i1] >> 32) < (rows[i0] >> 32)) {
+                    std::swap(i0, i1);
+                    std::swap(e0, e1);
+                }
+                dr_f = f;
+                direct_range(i0, e0);
+                direct_range(i1, e1);
+                if (pdx::armed && w > f_start_w) {
+                    pdx_run_frag(f_start_w, w, f);
+                }
+                continue;
+            }
             while (i0 < e0 && i1 < e1) {
                 const uint64_t k0 = rows[i0] >> 32, k1 = rows[i1] >> 32;
                 if (k0 < k1) {
