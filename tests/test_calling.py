@@ -370,3 +370,34 @@ def test_model_request_shards_over_local_devices(tmp_path):
     oi1, of1 = fn(pi, pf)
     np.testing.assert_array_equal(oi, np.asarray(oi1))
     np.testing.assert_array_equal(of, np.asarray(of1))
+
+
+def test_bed_out_bed_in_roundtrip(tmp_path):
+    """--bed-out writes the tier-1 schedule; --bed-in replays it as the
+    region source (the reference aliases it onto the regions BED,
+    CmdLineArgs.cpp:1028-1029).  The replayed run must emit the same
+    variant records."""
+    import subprocess, sys, os
+    from uvc_tpu.io import bgzf
+    fa, bam_path, ref, variants, n = simulate.build_test_dataset(
+        str(tmp_path), seed=13)
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.path.dirname(os.path.dirname(
+                   os.path.abspath(__file__))))
+    out1 = str(tmp_path / "a.vcf.gz")
+    bed = str(tmp_path / "sched.bed")
+    subprocess.run([sys.executable, "-m", "uvc_tpu.cli.uvc1", "-f", fa,
+                    "-o", out1, "--bed-out-fname", bed, bam_path],
+                   check=True, env=env, capture_output=True)
+    assert os.path.getsize(bed) > 0
+    out2 = str(tmp_path / "b.vcf.gz")
+    subprocess.run([sys.executable, "-m", "uvc_tpu.cli.uvc1", "-f", fa,
+                    "-o", out2, "--bed-in-fname", bed, bam_path],
+                   check=True, env=env, capture_output=True)
+
+    def recs(p):
+        return [l for l in bgzf.decompress(open(p, "rb").read())
+                .decode().splitlines()
+                if not l.startswith("#") and "ANY_VAR" in l]
+    r1, r2 = recs(out1), recs(out2)
+    assert r1 and r1 == r2
