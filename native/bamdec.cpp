@@ -252,12 +252,62 @@ int64_t bam_scan(const uint8_t *buf, int64_t len, int64_t start,
 static const int8_t NT16_TO_SYM[16] = {4, 0, 1, 4, 2, 4, 4, 4,
                                        3, 4, 4, 4, 4, 4, 4, 4};
 
+// Walk the aux block [p, end) and return the integer value of tag "NM"
+// (-1 if absent). Skips every SAM aux value type (A c C s S i I f d Z H B)
+// so foreign-writer BAMs decode; reference gets this from htslib's
+// bam_aux_get (used at main.hpp:980,1810).
+static int32_t aux_find_nm(const uint8_t *p, const uint8_t *end) {
+    while (p + 3 <= end) {
+        uint8_t t0 = p[0], t1 = p[1], tp = p[2];
+        p += 3;
+        int fixed = 0;
+        switch (tp) {
+            case 'A': case 'c': case 'C': fixed = 1; break;
+            case 's': case 'S': fixed = 2; break;
+            case 'i': case 'I': case 'f': fixed = 4; break;
+            case 'd': fixed = 8; break;
+            case 'Z': case 'H': {
+                while (p < end && *p) p++;
+                p++;
+                continue;
+            }
+            case 'B': {
+                if (p + 5 > end) return -1;
+                uint8_t el = p[0];
+                uint32_t cnt;
+                memcpy(&cnt, p + 1, 4);
+                int es = (el == 'c' || el == 'C') ? 1
+                       : (el == 's' || el == 'S') ? 2 : 4;
+                p += 5 + (int64_t)es * cnt;
+                continue;
+            }
+            default:
+                return -1;  // unknown type: cannot skip safely
+        }
+        if (p + fixed > end) return -1;
+        if (t0 == 'N' && t1 == 'M') {
+            switch (tp) {
+                case 'c': return (int32_t)(int8_t)p[0];
+                case 'C': return (int32_t)p[0];
+                case 's': { int16_t v; memcpy(&v, p, 2); return v; }
+                case 'S': { uint16_t v; memcpy(&v, p, 2); return v; }
+                case 'i': { int32_t v; memcpy(&v, p, 4); return v; }
+                case 'I': { uint32_t v; memcpy(&v, p, 4); return (int32_t)v; }
+                default: return -1;  // 'A'/'f'/'d'-typed NM: not an int
+            }
+        }
+        p += fixed;
+    }
+    return -1;
+}
+
 int bam_fill(const uint8_t *buf, int64_t len, int64_t start,
              int32_t *tid, int32_t *pos, uint8_t *mapq, uint16_t *flag,
              int32_t *mtid, int32_t *mpos, int32_t *isize,
              uint8_t *qname_data, int64_t *qname_off,
              uint8_t *cigar_op, int32_t *cigar_len, int64_t *cigar_off,
-             int8_t *seq_sym, uint8_t *qual, int64_t *seq_off) {
+             int8_t *seq_sym, uint8_t *qual, int64_t *seq_off,
+             int32_t *nm) {
     int64_t i = 0, qo = 0, co = 0, so = 0;
     int64_t p = start;
     qname_off[0] = cigar_off[0] = seq_off[0] = 0;
@@ -294,6 +344,7 @@ int bam_fill(const uint8_t *buf, int64_t len, int64_t start,
         const uint8_t *ql = sq + (ls + 1) / 2;
         memcpy(qual + so, ql, ls);
         so += ls;
+        nm[i] = aux_find_nm(ql + ls, r + bs);
         i++;
         qname_off[i] = qo;
         cigar_off[i] = co;

@@ -46,8 +46,8 @@ def _prep(tmp_path, depth=40, umi=False, duplex=False, seed=3):
     kw = dict(indel_str_phred_per_region=cfg.indel_str_phred_per_region,
               indel_nonSTR_phred_per_base=cfg.indel_nonSTR_phred_per_base,
               indel_polymerase_size=cfg.indel_polymerase_size)
-    baq = strscan.baq_offsets(tracks, use_anyTR=True, **kw)
-    baq2 = strscan.baq_offsets(tracks, use_anyTR=False, **kw)
+    baq = strscan.baq_offsets(tracks, use_anyTR=False, **kw)
+    baq2 = strscan.baq_offsets(tracks, use_anyTR=True, **kw)
     dflag = famgrp.frag_dflag[famgrp.frag_of_read]
     prep = engine_bq.pass_a_prep(table, batch, ref_syms, tracks, baq, 0, P,
                                  cfg, dflag)
@@ -134,8 +134,8 @@ def test_statics_resident_chain_parity(tmp_path, umi):
     kw = dict(indel_str_phred_per_region=cfg.indel_str_phred_per_region,
               indel_nonSTR_phred_per_base=cfg.indel_nonSTR_phred_per_base,
               indel_polymerase_size=cfg.indel_polymerase_size)
-    baq = strscan.baq_offsets(tracks, use_anyTR=True, **kw)
-    baq2 = strscan.baq_offsets(tracks, use_anyTR=False, **kw)
+    baq = strscan.baq_offsets(tracks, use_anyTR=False, **kw)
+    baq2 = strscan.baq_offsets(tracks, use_anyTR=True, **kw)
     table = events.expand(batch)
     dflag = famgrp.frag_dflag[famgrp.frag_of_read]
     prep = engine_bq.pass_a_prep(table, batch, ref_syms, tracks, baq, 0, P,
@@ -197,8 +197,8 @@ def test_event_values_native_parity(tmp_path):
     kw = dict(indel_str_phred_per_region=cfg.indel_str_phred_per_region,
               indel_nonSTR_phred_per_base=cfg.indel_nonSTR_phred_per_base,
               indel_polymerase_size=cfg.indel_polymerase_size)
-    baq = strscan.baq_offsets(tracks, use_anyTR=True, **kw)
-    baq2 = strscan.baq_offsets(tracks, use_anyTR=False, **kw)
+    baq = strscan.baq_offsets(tracks, use_anyTR=False, **kw)
+    baq2 = strscan.baq_offsets(tracks, use_anyTR=True, **kw)
     table = events.expand(batch)
     dflag = famgrp.frag_dflag[famgrp.frag_of_read]
     prep = engine_bq.pass_a_prep(table, batch, ref_syms, tracks, baq, 0, P,

@@ -27,8 +27,8 @@ def test_pass_c_parity(tmp_path):
     famgrp = dedup.group_families(batch, table, cfg)
     dflag = famgrp.frag_dflag[famgrp.frag_of_read]
     tracks = strscan.scan_repeats(ref_syms)
-    baq = strscan.baq_offsets(tracks, use_anyTR=True)
-    baq2 = strscan.baq_offsets(tracks, use_anyTR=False)
+    baq = strscan.baq_offsets(tracks, use_anyTR=False)
+    baq2 = strscan.baq_offsets(tracks, use_anyTR=True)
     prep = engine_bq.pass_a_prep(table, batch, ref_syms, tracks, baq, 0, P,
                                  cfg, dflag)
     thres = engine_bq.pass_b_thres(prep, tracks, cfg, False)
@@ -65,8 +65,8 @@ def test_pass_d_parity(tmp_path):
     frag_strand = np.zeros(nf, dtype=np.int64)
     frag_strand[frag_of_read] = table.reads.strand
     tracks = strscan.scan_repeats(ref_syms)
-    baq = strscan.baq_offsets(tracks, use_anyTR=True)
-    baq2 = strscan.baq_offsets(tracks, use_anyTR=False)
+    baq = strscan.baq_offsets(tracks, use_anyTR=False)
+    baq2 = strscan.baq_offsets(tracks, use_anyTR=True)
     prep = engine_bq.pass_a_prep(table, batch, ref_syms, tracks, baq, 0, P,
                                  cfg, dflag)
     thres = engine_bq.pass_b_thres(prep, tracks, cfg, False)
@@ -262,7 +262,7 @@ def test_pass_a_parity(tmp_path, monkeypatch):
     table = events.expand(batch)
     tracks = strscan.scan_repeats(syms, cfg.indel_str_repeatsize_max,
                                   cfg.indel_vntr_repeatsize_max)
-    baq = strscan.baq_offsets(tracks, use_anyTR=True)
+    baq = strscan.baq_offsets(tracks, use_anyTR=False)
     P = len(syms)
     dflag = np.full(batch.n, 0x3, dtype=np.int64)
     prep_nat = engine_bq.pass_a_prep(table, batch, syms, tracks, baq, 0, P,

@@ -74,7 +74,7 @@ def test_indel_phred_values():
 def test_baq_offsets_monotone():
     ref = b"GATCGATTTTTTTTTTCGATCGA"
     tr = strscan.scan_repeats(ref)
-    baq = strscan.baq_offsets(tr, use_anyTR=True)
+    baq = strscan.baq_offsets(tr, use_anyTR=False)
     assert np.all(np.diff(baq) >= 0)
     # non-STR regions accrue 5/base; STR region accrues ~1/track
     assert baq[5] - baq[0] == 25
@@ -262,8 +262,8 @@ def test_iontorrent_proton_branches(tmp_path):
     P = len(ref_syms)
     table = events.expand(batch)
     tracks = strscan.scan_repeats(ref_syms)
-    baq = strscan.baq_offsets(tracks, use_anyTR=True)
-    baq2 = strscan.baq_offsets(tracks, use_anyTR=False)
+    baq = strscan.baq_offsets(tracks, use_anyTR=False)
+    baq2 = strscan.baq_offsets(tracks, use_anyTR=True)
     dflag = np.zeros(batch.n, dtype=np.int64)
     prep = engine_bq.pass_a_prep(table, batch, ref_syms, tracks, baq, 0, P,
                                  cfg, dflag)

@@ -86,7 +86,8 @@ def _feed_and_run(exe, batch, famgrp, ref, cfg, platform_int=1):
         out = orc.send(
             f"read {po.esc(qn)} {int(batch.flag[i])} {int(batch.mapq[i])} "
             f"{int(batch.pos[i])} {cig} {seq} {qual} {int(batch.mtid[i])} "
-            f"{int(batch.mpos[i])} {int(batch.isize[i])} -1")
+            f"{int(batch.mpos[i])} {int(batch.isize[i])} "
+            f"{int(batch.nm_filled()[i])}")
         ids[i] = int(out.split("=")[1])
     for fm in sorted(fam_frags):
         umis = "-"
@@ -105,7 +106,7 @@ def _feed_and_run(exe, batch, famgrp, ref, cfg, platform_int=1):
 
 def _run_case(tmp_path, *, L=600, depth=30, seed=5, umi=False, duplex=False,
               platform=SequencingPlatform.ILLUMINA, extra_variants=(),
-              cfg_tweaks=()):
+              cfg_tweaks=(), with_nm=True):
     ref = simulate.random_ref(L, 11 + seed)
     p200 = ref[200]
     variants = [
@@ -116,7 +117,7 @@ def _run_case(tmp_path, *, L=600, depth=30, seed=5, umi=False, duplex=False,
     ] + list(extra_variants)
     path = str(tmp_path / "t.bam")
     simulate.build_bam(path, ref, depth=depth, variants=variants, seed=seed,
-                       umi=umi, duplex=duplex)
+                       umi=umi, duplex=duplex, with_nm=with_nm)
     hdr, batch = bam_mod.read_bam(path)
     cfg = UVCConfig()
     cfg.bam_input_fname = path
@@ -240,6 +241,40 @@ def test_planes_plain(oracle_exe, tmp_path):
         orc.close()
 
 
+def test_planes_nm_dense(oracle_exe, tmp_path):
+    """NM-present branch under heavy mismatch density: clustered SNVs at
+    fraction ~1 drive per-read xm1500 past the a2XM2/XM1T/XM2T thresholds
+    (main.hpp:1466-1521) and the microadjust_xm indel gate (main.hpp:2069),
+    so the planes derived from the decoded NM tag are actually exercised."""
+    dense = []
+    seedref = simulate.random_ref(600, 11 + 21)
+    for pp in (240, 252, 261, 275, 288):
+        dense.append(simulate.Variant(
+            pp, f"{seedref[pp]}>" + ("A" if seedref[pp] != "A" else "T"),
+            0.95))
+    dense.append(simulate.Variant(266, "+TTG", 0.5))
+    ref, batch, cfg, res = _run_case(tmp_path, seed=21, depth=36,
+                                     extra_variants=dense)
+    assert int(batch.nm.max()) >= 5, "NM-dense workload did not materialize"
+    orc = _feed_and_run(oracle_exe, batch, res.famgrp, ref, cfg)
+    try:
+        _compare_all(orc, res, len(ref), step=2)
+    finally:
+        orc.close()
+
+
+def test_planes_nm_absent(oracle_exe, tmp_path):
+    """NM-absent fallback (bam_aux_get NULL -> nm=nge, main.hpp:981):
+    the wire feeds -1 and both sides take the xm=0 path."""
+    ref, batch, cfg, res = _run_case(tmp_path, seed=22, with_nm=False)
+    assert batch.nm is None
+    orc = _feed_and_run(oracle_exe, batch, res.famgrp, ref, cfg)
+    try:
+        _compare_all(orc, res, len(ref), step=8)
+    finally:
+        orc.close()
+
+
 def test_planes_indel_heavy(oracle_exe, tmp_path):
     extra = [simulate.Variant(150, "+GATTACA", 0.35),
              simulate.Variant(480, "-5", 0.35),
@@ -309,7 +344,8 @@ def _feed_reads_raw(exe, batch, raw_qual, ref, cfg, platform_int=1):
         orc.send(
             f"read {po.esc(qn)} {int(batch.flag[i])} {int(batch.mapq[i])} "
             f"{int(batch.pos[i])} {cig} {seq} {qual} {int(batch.mtid[i])} "
-            f"{int(batch.mpos[i])} {int(batch.isize[i])} -1")
+            f"{int(batch.mpos[i])} {int(batch.isize[i])} "
+            f"{int(batch.nm_filled()[i])}")
     return orc
 
 

@@ -510,6 +510,8 @@ int main() {
     std::vector<std::pair<std::array<std::vector<std::vector<bam1_t *>>, 2>,
                           MolecularBarcode>> alns3;
     Symbol2CountCoverageSet *s2ccs = nullptr;
+    std::vector<RegionalTandemRepeat> saved_repeatvec;
+    std::vector<uvc1_qual_t> saved_baq1, saved_baq2;
     std::array<std::string, NUM_FQLIKE_CON_OUT_FILES> fqdata3;
     std::vector<HapLink> haps_bq, haps_fq, haps_f2q;
 
@@ -589,6 +591,13 @@ int main() {
             const auto & baq_offsetarr2 =
                 region_repeatvec_to_baq_offsetarr<true>(
                     region_repeatvec, r_tid, r_beg, r_end + 1, ps);
+            saved_repeatvec = region_repeatvec;
+            saved_baq1.clear(); saved_baq2.clear();
+            for (auto p2 = baq_offsetarr.getIncluBegPosition();
+                    p2 < baq_offsetarr.getExcluEndPosition(); p2++) {
+                saved_baq1.push_back(baq_offsetarr.getByPos(p2));
+                saved_baq2.push_back(baq_offsetarr2.getByPos(p2));
+            }
             delete s2ccs;
             s2ccs = new Symbol2CountCoverageSet(r_tid, r_beg, r_end + 1);
             if (!bed_set) {
@@ -662,6 +671,20 @@ int main() {
             alns3.clear();
             bed_set = false;
             std::cout << "ok" << std::endl;
+        } else if (op == "baq") {
+            // baq offsets + repeat-track fields at region-relative POS
+            int64_t pos;
+            iss >> pos;
+            const auto & rt = saved_repeatvec.at(pos);
+            std::cout << "baq1=" << saved_baq1.at(pos)
+                      << " baq2=" << saved_baq2.at(pos)
+                      << " begpos=" << rt.begpos
+                      << " tracklen=" << rt.tracklen
+                      << " unitlen=" << rt.unitlen
+                      << " indelphred=" << rt.indelphred
+                      << " anyTR_begpos=" << rt.anyTR_begpos
+                      << " anyTR_tracklen=" << rt.anyTR_tracklen
+                      << " anyTR_unitlen=" << rt.anyTR_unitlen << std::endl;
         } else if (op == "prep") {
             int64_t pos;
             iss >> pos;

@@ -66,6 +66,14 @@ class ReadBatch:
     seq: np.ndarray      # int8 [b] symbol codes (0-3 ACGT, 4 N)
     qual: np.ndarray     # uint8 [b] raw phred
     seq_off: np.ndarray  # int64 [n+1]
+    nm: np.ndarray = None  # int32 [n] NM aux tag (-1 = absent); None = all absent
+
+    def nm_filled(self) -> np.ndarray:
+        """NM per read with -1 for tag-absent reads (reference reads the
+        NM aux tag at main.hpp:980,1810 and falls back to nge_cnt)."""
+        if self.nm is None:
+            return np.full(self.n, -1, dtype=np.int32)
+        return self.nm
 
     def qname(self, i: int) -> bytes:
         return self.qname_data[self.qname_off[i]:self.qname_off[i + 1]]
@@ -125,7 +133,9 @@ def concat_batches(pieces) -> ReadBatch:
         qname_off=cat_off("qname_off"),
         cigar_op=cat("cigar_op"), cigar_len=cat("cigar_len"),
         cigar_off=cat_off("cigar_off"),
-        seq=cat("seq"), qual=cat("qual"), seq_off=cat_off("seq_off"))
+        seq=cat("seq"), qual=cat("qual"), seq_off=cat_off("seq_off"),
+        nm=(None if all(p.nm is None for p in pieces)
+            else np.concatenate([p.nm_filled() for p in pieces])))
 
 
 def subset_batch(batch: ReadBatch, keep: np.ndarray) -> ReadBatch:
@@ -150,7 +160,8 @@ def subset_batch(batch: ReadBatch, keep: np.ndarray) -> ReadBatch:
         cigar_op=batch.cigar_op[cidx], cigar_len=batch.cigar_len[cidx],
         cigar_off=np.concatenate([[0], np.cumsum(clens)]),
         seq=batch.seq[sidx], qual=batch.qual[sidx],
-        seq_off=np.concatenate([[0], np.cumsum(slens)]))
+        seq_off=np.concatenate([[0], np.cumsum(slens)]),
+        nm=None if batch.nm is None else batch.nm[keep])
 
 
 def filter_batch(batch: ReadBatch, cfg) -> ReadBatch:
@@ -215,6 +226,7 @@ def decode_records(buf, start: int = 0, end: int = None) -> ReadBatch:
         end = len(u8)
     # pass 1: record boundaries (the only per-record python loop)
     offs = []
+    ends = []
     pos = start
     while pos + 4 <= end:
         block_size = int(u8[pos]) | int(u8[pos+1]) << 8 | int(u8[pos+2]) << 16 | int(u8[pos+3]) << 24
@@ -224,8 +236,10 @@ def decode_records(buf, start: int = 0, end: int = None) -> ReadBatch:
                 f"exceeds buffer end {end}")
         offs.append(pos)
         pos += 4 + block_size
+        ends.append(pos)
     n = len(offs)
     rec = np.asarray(offs, dtype=np.int64)
+    rec_end = np.asarray(ends, dtype=np.int64)
 
     def gather_i32(byte_off):
         idx = rec[:, None] + byte_off + np.arange(4)
@@ -290,13 +304,72 @@ def decode_records(buf, start: int = 0, end: int = None) -> ReadBatch:
     qual_idx = _flat_gather_idx(qual_starts, l_seq)
     qual = u8[qual_idx].copy()
 
+    # aux block: NM tag (SAM spec §4.2.4; reference reads it via
+    # bam_aux_get at main.hpp:980,1810). Other tags are skipped by type.
+    aux_starts = qual_starts + l_seq
+    nm = None
+    if bool((aux_starts < rec_end).any()):
+        nm = np.full(n, -1, dtype=np.int32)
+        mv = u8  # uint8 view
+        for i in np.flatnonzero(aux_starts < rec_end):
+            v = _aux_get_int(mv, int(aux_starts[i]), int(rec_end[i]), 0x4D4E)
+            if v is not None:
+                nm[i] = v
+
     return ReadBatch(
         n=n, tid=tid, pos=pos_arr, mapq=mapq.copy(), flag=flag,
         mtid=mtid, mpos=mpos, isize=isize,
         qname_data=qname_data, qname_off=qname_off.astype(np.int64),
         cigar_op=cigar_op, cigar_len=cigar_len,
         cigar_off=cigar_off.astype(np.int64),
-        seq=seq_sym, qual=qual, seq_off=seq_off.astype(np.int64))
+        seq=seq_sym, qual=qual, seq_off=seq_off.astype(np.int64),
+        nm=nm)
+
+
+_AUX_FIXED_SIZE = {ord('A'): 1, ord('c'): 1, ord('C'): 1, ord('s'): 2,
+                   ord('S'): 2, ord('i'): 4, ord('I'): 4, ord('f'): 4,
+                   ord('d'): 8}
+_AUX_B_ELSIZE = {ord('c'): 1, ord('C'): 1, ord('s'): 2, ord('S'): 2,
+                 ord('i'): 4, ord('I'): 4, ord('f'): 4}
+_AUX_INT_DECODE = {
+    ord('c'): lambda b, p: int(np.int8(b[p])),
+    ord('C'): lambda b, p: int(b[p]),
+    ord('s'): lambda b, p: int(b[p]) | (int(np.int8(b[p + 1])) << 8),
+    ord('S'): lambda b, p: int(b[p]) | (int(b[p + 1]) << 8),
+    ord('i'): lambda b, p: (int(b[p]) | (int(b[p + 1]) << 8)
+                            | (int(b[p + 2]) << 16)
+                            | (int(np.int8(b[p + 3])) << 24)),
+    ord('I'): lambda b, p: (int(b[p]) | (int(b[p + 1]) << 8)
+                            | (int(b[p + 2]) << 16) | (int(b[p + 3]) << 24)),
+}
+
+
+def _aux_get_int(b, p: int, end: int, tag16: int):
+    """Walk aux tags in b[p:end]; return the integer value of the tag whose
+    two chars little-endian-pack to tag16, or None. Skips every SAM aux
+    value type (A c C s S i I f d Z H B) so foreign-writer BAMs decode."""
+    while p + 3 <= end:
+        t = int(b[p]) | (int(b[p + 1]) << 8)
+        tp = int(b[p + 2])
+        p += 3
+        if tp in _AUX_FIXED_SIZE:
+            if t == tag16 and tp in _AUX_INT_DECODE and p + _AUX_FIXED_SIZE[tp] <= end:
+                return _AUX_INT_DECODE[tp](b, p)
+            p += _AUX_FIXED_SIZE[tp]
+        elif tp in (ord('Z'), ord('H')):
+            while p < end and b[p] != 0:
+                p += 1
+            p += 1  # NUL
+        elif tp == ord('B'):
+            if p + 5 > end:
+                return None
+            el = int(b[p])
+            cnt = (int(b[p + 1]) | (int(b[p + 2]) << 8)
+                   | (int(b[p + 3]) << 16) | (int(b[p + 4]) << 24))
+            p += 5 + _AUX_B_ELSIZE.get(el, 1) * cnt
+        else:
+            return None  # unknown type: cannot skip safely
+    return None
 
 
 def read_bam(path: str):
@@ -314,9 +387,26 @@ _CHAR_TO_NT16 = {c: i for i, c in enumerate(SEQ_NT16_STR)}
 _CHAR_TO_NT16.update({c.lower(): i for i, c in enumerate(SEQ_NT16_STR)})
 
 
+def encode_aux_int(tag: str, value: int) -> bytes:
+    """Encode one integer aux tag using the smallest type, as htslib's
+    bam_aux_update_int does (unsigned types preferred for >=0 values)."""
+    t = tag.encode()
+    if value >= 0:
+        if value <= 0xFF:
+            return t + b"C" + struct.pack("<B", value)
+        if value <= 0xFFFF:
+            return t + b"S" + struct.pack("<H", value)
+        return t + b"I" + struct.pack("<I", value)
+    if value >= -0x80:
+        return t + b"c" + struct.pack("<b", value)
+    if value >= -0x8000:
+        return t + b"s" + struct.pack("<h", value)
+    return t + b"i" + struct.pack("<i", value)
+
+
 def encode_record(qname: str, flag: int, tid: int, pos: int, mapq: int,
                   cigar, mtid: int, mpos: int, isize: int,
-                  seq: str, qual) -> bytes:
+                  seq: str, qual, aux: bytes = b"") -> bytes:
     """Encode one alignment record body (without block_size prefix)."""
     name_b = qname.encode() + b"\x00"
     n_cigar = len(cigar)
@@ -338,7 +428,7 @@ def encode_record(qname: str, flag: int, tid: int, pos: int, mapq: int,
         qual_b = bytes(ord(c) - 33 for c in qual)
     else:
         qual_b = bytes(qual)
-    body = head + name_b + cig + bytes(packed) + qual_b
+    body = head + name_b + cig + bytes(packed) + qual_b + aux
     return struct.pack("<i", len(body)) + body
 
 

@@ -94,6 +94,7 @@ def fill_records(lib, u8, length, nrec, total_qname, total_cigar, total_seq):
     seq_sym = arr(total_seq, np.int8)
     qual = arr(total_seq, np.uint8)
     seq_off = arr(nrec + 1, np.int64)
+    nm = arr(nrec, np.int32)
 
     def cp(a):
         return a.ctypes.data_as(ctypes.c_void_p)
@@ -102,11 +103,11 @@ def fill_records(lib, u8, length, nrec, total_qname, total_cigar, total_seq):
                       cp(tid), cp(pos), cp(mapq), cp(flag), cp(mtid),
                       cp(mpos), cp(isize), cp(qname_data), cp(qname_off),
                       cp(cigar_op), cp(cigar_len), cp(cigar_off),
-                      cp(seq_sym), cp(qual), cp(seq_off))
+                      cp(seq_sym), cp(qual), cp(seq_off), cp(nm))
     if rc != 0:
         raise ValueError("bam_fill failed")
     return pybam.ReadBatch(
         n=nrec, tid=tid, pos=pos, mapq=mapq, flag=flag, mtid=mtid, mpos=mpos,
         isize=isize, qname_data=qname_data.tobytes(), qname_off=qname_off,
         cigar_op=cigar_op, cigar_len=cigar_len, cigar_off=cigar_off,
-        seq=seq_sym, qual=qual, seq_off=seq_off)
+        seq=seq_sym, qual=qual, seq_off=seq_off, nm=nm)

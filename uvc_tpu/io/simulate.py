@@ -183,16 +183,47 @@ def _ref_advance(cig_events, hap_offset: int) -> int:
     return adv
 
 
-def build_bam(path: str, ref: str, chrom: str = "chr1", **sim_kwargs):
-    """Simulate reads over `ref` and write a coordinate-sorted BAM."""
+def calc_nm(ref: str, pos: int, cigar, seq: str) -> int:
+    """Edit distance to the reference over the alignment (the NM aux tag
+    as samtools calmd defines it: mismatches in M/=/X plus I/D lengths)."""
+    nm = 0
+    rp, qp = pos, 0
+    for op, ln in cigar:
+        if op in (BAM_CMATCH, 7, 8):
+            a = np.frombuffer(seq[qp:qp + ln].encode(), np.uint8)
+            b = np.frombuffer(ref[rp:rp + ln].encode(), np.uint8)
+            nm += int((a != b).sum())
+            rp += ln
+            qp += ln
+        elif op == BAM_CINS:
+            nm += ln
+            qp += ln
+        elif op == BAM_CDEL:
+            nm += ln
+            rp += ln
+        elif op == BAM_CSOFT_CLIP:
+            qp += ln
+        elif op == 3:  # N
+            rp += ln
+    return nm
+
+
+def build_bam(path: str, ref: str, chrom: str = "chr1", with_nm: bool = True,
+              **sim_kwargs):
+    """Simulate reads over `ref` and write a coordinate-sorted BAM.
+
+    Writes the NM aux tag per read (as real aligners do) unless
+    with_nm=False, which exercises the reference's NM-absent fallback."""
     reads = simulate_reads(ref, **sim_kwargs)
     reads.sort(key=lambda r: r[2])
     header = (f"@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:{chrom}\tLN:{len(ref)}\n"
               f"@PG\tID:uvc_tpu_sim\tPN:uvc_tpu_sim\n")
     records = []
     for (qname, flag, pos, cigar, seq, qual, mpos, isize) in reads:
+        aux = (bam.encode_aux_int("NM", calc_nm(ref, pos, cigar, seq))
+               if with_nm else b"")
         records.append((qname, flag, 0, pos, 60, cigar, 0, mpos, isize,
-                        seq, qual))
+                        seq, qual, aux))
     bam.write_bam(path, header, [(chrom, len(ref))], records)
     return len(records)
 
@@ -213,8 +244,9 @@ def build_bam_multi(path: str, contigs, **sim_kwargs):
                                seed=base_seed + tid, **sim_kwargs)
         reads.sort(key=lambda r: r[2])
         for (qname, flag, pos, cigar, seq, qual, mpos, isize) in reads:
+            aux = bam.encode_aux_int("NM", calc_nm(ref, pos, cigar, seq))
             records.append((f"t{tid}-{qname}", flag, tid, pos, 60, cigar,
-                            tid, mpos, isize, seq, qual))
+                            tid, mpos, isize, seq, qual, aux))
     bam.write_bam(path, header, [(c, len(r)) for c, r, _ in contigs],
                   records)
     return len(records)

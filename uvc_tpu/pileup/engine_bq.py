@@ -1445,11 +1445,11 @@ def run_bq(batch, ref_syms, region_offset, cfg, dflag=None,
         ref_syms, cfg.indel_str_repeatsize_max, cfg.indel_vntr_repeatsize_max,
         cfg.indel_BQ_max, cfg.indel_polymerase_slip_rate,
         cfg.indel_del_to_ins_err_ratio)
-    baq = strscan.baq_offsets(tracks, use_anyTR=True,
+    baq = strscan.baq_offsets(tracks, use_anyTR=False,
                               indel_str_phred_per_region=cfg.indel_str_phred_per_region,
                               indel_nonSTR_phred_per_base=cfg.indel_nonSTR_phred_per_base,
                               indel_polymerase_size=cfg.indel_polymerase_size)
-    baq2 = strscan.baq_offsets(tracks, use_anyTR=False,
+    baq2 = strscan.baq_offsets(tracks, use_anyTR=True,
                                indel_str_phred_per_region=cfg.indel_str_phred_per_region,
                                indel_nonSTR_phred_per_base=cfg.indel_nonSTR_phred_per_base,
                                indel_polymerase_size=cfg.indel_polymerase_size)

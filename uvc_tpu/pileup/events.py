@@ -200,8 +200,13 @@ def expand(batch) -> EventTable:
     max_clip_len = np.zeros(n, dtype=np.int64)
     np.maximum.at(max_clip_len, op_read[is_clip], ln[is_clip])
 
-    # xm from NM tag is not yet decoded; reference falls back to nge (xm=0)
-    xm_cnt = np.zeros(n, dtype=np.int64)
+    # xm = NM - gapext; NM-absent reads fall back to nge, i.e. xm=0
+    # (main.hpp:980-984,1810-1814; release build has no nm>=nge assert,
+    # so no clamping — a malformed NM<nge yields negative xm as there)
+    nm_tag = batch.nm_filled().astype(np.int64) if hasattr(batch, "nm_filled") \
+        else np.full(n, -1, dtype=np.int64)
+    nm_cnt = np.where(nm_tag >= 0, nm_tag, nge)
+    xm_cnt = nm_cnt - nge
     xm1500 = xm_cnt * 1500 // span
     go1500 = ngo * 1500 // span
     avg_gaplen = nge // np.maximum(1, ngo)

@@ -65,11 +65,11 @@ def call_region(batch, ref_syms, region_offset, cfg,
         ref_syms, cfg.indel_str_repeatsize_max, cfg.indel_vntr_repeatsize_max,
         cfg.indel_BQ_max, cfg.indel_polymerase_slip_rate,
         cfg.indel_del_to_ins_err_ratio)
-    baq = strscan.baq_offsets(tracks, use_anyTR=True,
+    baq = strscan.baq_offsets(tracks, use_anyTR=False,
                               indel_str_phred_per_region=cfg.indel_str_phred_per_region,
                               indel_nonSTR_phred_per_base=cfg.indel_nonSTR_phred_per_base,
                               indel_polymerase_size=cfg.indel_polymerase_size)
-    baq2 = strscan.baq_offsets(tracks, use_anyTR=False,
+    baq2 = strscan.baq_offsets(tracks, use_anyTR=True,
                                indel_str_phred_per_region=cfg.indel_str_phred_per_region,
                                indel_nonSTR_phred_per_base=cfg.indel_nonSTR_phred_per_base,
                                indel_polymerase_size=cfg.indel_polymerase_size)

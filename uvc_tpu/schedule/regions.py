@@ -438,7 +438,8 @@ def slice_batch(batch, plan: RegionPlan):
         cigar_op=batch.cigar_op[c0:c1], cigar_len=batch.cigar_len[c0:c1],
         cigar_off=batch.cigar_off[i0:i1 + 1] - c0,
         seq=batch.seq[s0:s1], qual=batch.qual[s0:s1],
-        seq_off=batch.seq_off[i0:i1 + 1] - s0)
+        seq_off=batch.seq_off[i0:i1 + 1] - s0,
+        nm=None if batch.nm is None else batch.nm[i0:i1])
 
 
 def parse_target_region(target: str, name2tid, ref_lens):
