@@ -646,3 +646,68 @@ def test_exact_indel_maps_oracle(oracle_exe, tmp_path):
               + sum(len(v) for v in res.fq.fam_indel.values()))
     assert n_keys >= 6, f"workload exercised too few indel keys: {n_keys}"
     assert not diffs, f"{len(diffs)} exact-indel map diffs: {diffs[:8]}"
+
+
+def test_aux_emitters_oracle(oracle_exe, tmp_path):
+    """MGVCF + ADDITIONAL_INDEL_CANDIDATE emission vs the COMPILED
+    reference: the main.cpp:655-799 emitter blocks (sliced verbatim into
+    the oracle's `auxemit` op) run over the reference-built
+    Symbol2CountCoverageSet, and the emitted line stream must be
+    byte-identical to vcfout/aux_records.emit_mgvcf +
+    emit_indel_candidates over our pipeline's planes."""
+    from uvc_tpu import calling
+    from uvc_tpu.constants import (OUTVAR_MGVCF,
+                                   OUTVAR_ADDITIONAL_INDEL_CANDIDATE)
+    from uvc_tpu.vcfout import aux_records
+
+    L = 2600                       # spans three MGVCF block starts
+    ref = simulate.random_ref(L, 19)
+    # a long STR track fires the is_in_long_track AIC trigger
+    ref = ref[:1760] + "AT" * 22 + ref[1760 + 44:]
+    p500 = ref[500]
+    variants = [
+        simulate.Variant(500, f"{p500}>" + ("A" if p500 != "A" else "C"),
+                         0.4),
+        simulate.Variant(901, "+AC", 0.3),
+        simulate.Variant(1399, "-2", 0.3),
+    ]
+    path = str(tmp_path / "aux.bam")
+    simulate.build_bam(path, ref, depth=40, variants=variants, seed=19)
+    hdr, batch = bam_mod.read_bam(path)
+    cfg = UVCConfig()
+    cfg.bam_input_fname = path
+    cfg.outvar_flag |= OUTVAR_MGVCF | OUTVAR_ADDITIONAL_INDEL_CANDIDATE
+    raw_qual = batch.qual.copy()
+    ref_syms = CHAR_TO_SYMBOL[np.frombuffer(ref.encode(), np.uint8) & 0x7F]
+    rctx = calling.prepare_region(batch, ref_syms, 0, cfg)
+    F, res = rctx["F"], rctx["res"]
+
+    ours = []
+    ours += [(int(l.split("\t", 2)[1]), 0, l)
+             for l in aux_records.emit_mgvcf(F, res, cfg, "chrT",
+                                             ref.encode(), 0, 0, L,
+                                             t1_end=L)]
+    ours += [(int(l.split("\t", 2)[1]), 1, l)
+             for l in aux_records.emit_indel_candidates(
+                 F, res, cfg, "chrT", ref.encode(), 0, 0, L)]
+    ours.sort(key=lambda t: (t[0], t[1]))
+    ours_text = "".join(l + "\n" for _, _, l in ours)
+
+    orc = _feed_reads_raw(oracle_exe, batch, raw_qual, ref, cfg)
+    try:
+        orc.send(f"group 0 {L} 0")
+        orc.send("run")
+        out = orc.send(f"auxemit 0 {L - 1} 0")
+        assert out.startswith("aux ")
+        ref_text = po.unesc(out[4:])
+    finally:
+        orc.close()
+    assert "ADDITIONAL_INDEL_CANDIDATE" in ref_text
+    assert ref_text.count("MGVCF_BLOCK") >= 3
+    if ref_text != ours_text:
+        rl, ol = ref_text.splitlines(), ours_text.splitlines()
+        for i in range(max(len(rl), len(ol))):
+            a = rl[i] if i < len(rl) else "<missing>"
+            b = ol[i] if i < len(ol) else "<missing>"
+            assert a == b, f"line {i}:\nref: {a[:400]}\npy:  {b[:400]}"
+        assert False, (len(rl), len(ol))

@@ -1,0 +1,359 @@
+"""Record-TEXT parity: the final VCF emission layer vs the COMPILED
+reference (VERDICT round-4 missing #2).
+
+tools/record_oracle.py round-5 additions compile the reference's
+`fill_tki` / `fill_conditional_tki` / `calc_binom_powlaw_syserr_normv_quals{,2}`
+/ `append_vcf_record` (main.hpp:5912-6272), `generate_vcf_header`
+(main.hpp:5778-5883), and — sliced verbatim from main.cpp — the cVQ1M/cVQ2M
+consensus-allele ranking (main.cpp:1000-1015) and the tumor-normal NLODQ
+composition (main.cpp:1104-1147).  These tests run the REAL python pipeline
+on simulated BAMs (plain / UMI / IonTorrent / tumor-normal) and pin, per
+emitted record, the ENTIRE reference-produced VCF line (CHROM..FORMAT
+column text) against vcf_writer.render_record's bytes — so every byte
+between the model planes and the bgzf stream is reference-backed, and the
+golden_*.vcf files stop being self-pinned.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = os.environ.get("UVC_REFERENCE_DIR", "/root/reference")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(REF, "main.hpp")),
+    reason="reference source unavailable")
+
+import record_oracle  # noqa: E402
+
+from test_record_oracle import (_run_pipeline, _run_tn_pipeline,  # noqa: E402
+                                _ps_lines)
+
+from uvc_tpu import calling  # noqa: E402
+from uvc_tpu.constants import Symbol, SYMBOL_TO_DESC  # noqa: E402
+from uvc_tpu.vcfout import writer as vcf_writer  # noqa: E402
+
+NS = int(Symbol.END_SYMBOLS) if hasattr(Symbol, "END_SYMBOLS") else 14
+DESC_TO_SYMBOL = {d: i for i, d in enumerate(SYMBOL_TO_DESC)}
+
+
+@pytest.fixture(scope="module")
+def oracle(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("record_text_oracle"))
+    exe = record_oracle.build_oracle(d)
+    orc = record_oracle.Oracle(exe)
+    yield orc
+    orc.close()
+
+
+def _feed_rvec(orc, tracks):
+    """Ship the region's RegionalTandemRepeat vector (sparse rows only)."""
+    n = len(tracks.begpos)
+    orc.send(f"rvec {n}")
+    nz = np.nonzero(np.asarray(tracks.tracklen)
+                    | np.asarray(tracks.anyTR_tracklen))[0]
+    for i in nz.tolist():
+        orc.send(f"rvecrow {i} {int(tracks.begpos[i])} "
+                 f"{int(tracks.tracklen[i])} {int(tracks.unitlen[i])} "
+                 f"{int(tracks.anyTR_begpos[i])} "
+                 f"{int(tracks.anyTR_tracklen[i])} "
+                 f"{int(tracks.anyTR_unitlen[i])}")
+
+
+def _feed_record_fmt(orc, rec):
+    """Mirror one VariantRecord's fmt dict into the oracle BcfFormat."""
+    FF = record_oracle.FMT_FIELDS
+    parts = []
+    for k, v in rec.fmt.items():
+        if k.startswith("_"):
+            continue
+        spec = FF.get(k)
+        assert spec is not None, f"record fmt key {k} not in BcfFormat"
+        kind = spec[0]
+        if isinstance(v, (tuple, list)):
+            vals = list(v)
+        elif isinstance(v, str):
+            if kind == "vector" and v == ".":
+                continue       # deliberately-empty Number=D vector -> "."
+            vals = v.split(",") if kind == "vector" else [v]
+        else:
+            vals = [v]
+        enc = ",".join(record_oracle.esc(str(x)) for x in vals)
+        parts.append(f"{k}={enc}")
+    parts.append("enable_tier2_consensus_format_tags=%d"
+                 % int(bool(rec.fmt.get("_sscs"))))
+    orc.send("fmt " + " ".join(parts))
+
+
+def _feed_tki(orc, t):
+    orc.send("tki " + " ".join(
+        f"{k}={int(getattr(t, a))}" for k, a in (
+            ("VTI", "VTI"), ("pos", "pos"), ("BDP", "BDP"), ("bDP", "bDP"),
+            ("CDP1x", "CDP1x"), ("cDP1x", "cDP1x"), ("cVQ1", "cVQ1"),
+            ("cPCQ1", "cPCQ1"), ("CDP2x", "CDP2x"), ("cDP2x", "cDP2x"),
+            ("cVQ2", "cVQ2"), ("cPCQ2", "cPCQ2"), ("bNMQ", "bNMQ"),
+            ("vHGQ", "vHGQ"), ("tDP", "tDP"), ("tDPC", "tDPC"),
+            ("enable_tier2_consensus_format_tags", "enable_tier2"))))
+    orc.send(f"tki tADR={t.tAD_ref},{t.tAD_alt} "
+             f"tADCR={t.tADC_ref},{t.tADC_alt}")
+    orc.send("tki ref_alt=" + record_oracle.esc(t.ref_alt))
+    if getattr(t, "tumor_format_text", ""):
+        # bcf1_to_string (main.hpp:5897-5910) returns the last column
+        # INCLUDING its leading tab
+        orc.send("tumorfmt " + record_oracle.esc("\t" + t.tumor_format_text))
+
+
+def _replay_record(orc, rctx, rec, cfg, ps_line, chrom, region_offset,
+                   is_tumor_only):
+    """Feed one assembled record through the compiled append_vcf_record and
+    return the reference-emitted line (without trailing newline)."""
+    F = rctx["F"]
+    p, s = rec.pos, rec.symbol
+    orc.send("reset")
+    orc.send(ps_line)
+    if not is_tumor_only:
+        orc.send("ps vcf_tumor_fname=oracle-tumor.vcf.gz "
+                 "is_tumor_format_retrieved=1")
+    _feed_rvec(orc, rctx["res"].tracks)
+    _feed_record_fmt(orc, rec)
+    tkis = rctx.get("rescued", {}).get((p, s))
+    if tkis:
+        _feed_tki(orc, tkis[0])
+    refsym = int(F["ref_syms"][p]) if s < 6 else int(Symbol.LINK_M)
+    nlodq1 = int(rec.info["NLODQ"])
+    argmin = DESC_TO_SYMBOL.get(rec.info["NLODV"], 14)
+    ru = rec.info.get("RU", "") or "A"
+    rnum = int(rec.info.get("RC", 0))
+    rs = record_oracle.esc(rctx["_refstring"].decode())
+    out = orc.ask(
+        f"record {record_oracle.esc(chrom)} {p + region_offset} "
+        f"{region_offset} {refsym} {s} {nlodq1} {argmin} 0 "
+        f"{record_oracle.esc(ru)} {rnum} {rs}")
+    assert out.startswith("REC ")
+    return record_oracle.unesc(out[4:])
+
+
+def _check_pipeline_records(orc, prepared, cfg, is_tumor_only, errs,
+                            chrom="chrT"):
+    n = 0
+    ps_line = _ps_lines(cfg)
+    for rctx in prepared:
+        refstring = rctx["_refstring"]
+        recs = calling.assemble_records(rctx, refstring, 0, chrom, cfg,
+                                        is_tumor_only=is_tumor_only)
+        for rec in recs:
+            ref_line = _replay_record(orc, rctx, rec, cfg, ps_line, chrom,
+                                      0, is_tumor_only)
+            ours = vcf_writer.render_record(chrom, rec) + "\n"
+            if ref_line != ours:
+                errs.append(f"(p={rec.pos},s={rec.symbol})\n"
+                            f"ref: {ref_line!r}\npy:  {ours!r}")
+            n += 1
+    return n
+
+
+def test_record_text_parity_plain(oracle, tmp_path):
+    prepared, cfg = _run_pipeline(tmp_path, seed=7)
+    errs = []
+    n = _check_pipeline_records(oracle, prepared, cfg, True, errs)
+    assert n >= 4, f"too few records exercised: {n}"
+    assert not errs, f"{len(errs)} of {n} records differ:\n" + \
+        "\n".join(errs[:6])
+
+
+def test_record_text_parity_umi(oracle, tmp_path):
+    prepared, cfg = _run_pipeline(tmp_path, seed=11, depth=120,
+                                  umi=dict(umi=True, n_umi_families=400))
+    errs = []
+    n = _check_pipeline_records(oracle, prepared, cfg, True, errs)
+    assert n >= 2, f"too few records exercised: {n}"
+    assert not errs, f"{len(errs)} of {n} records differ:\n" + \
+        "\n".join(errs[:6])
+
+
+def test_record_text_parity_tumor_normal(oracle, tmp_path):
+    prepared, cfg = _run_tn_pipeline(tmp_path)
+    errs = []
+    n = _check_pipeline_records(oracle, prepared, cfg, False, errs)
+    assert n >= 3, f"too few rescued records exercised: {n}"
+    assert not errs, f"{len(errs)} of {n} records differ:\n" + \
+        "\n".join(errs[:6])
+
+
+def _st_range(s):
+    return (0, 0, 6) if s < 6 else (1, 6, 14)
+
+
+def test_tnjoin_parity(oracle, tmp_path):
+    """The tumor-normal NLODQ composition (main.cpp:1104-1147, sliced
+    verbatim into the oracle driver) vs calling.assemble_records'
+    nlodq_inc loop: germline group -> output_germline -> tn_nlodq_compose
+    must reproduce our records' INFO NLODQ/NLODV for every rescued
+    candidate."""
+    from test_record_oracle import _germ_feed_fields
+    import record_oracle as ro
+
+    prepared, cfg = _run_tn_pipeline(tmp_path)
+    ps_line = _ps_lines(cfg)
+    n = 0
+    errs = []
+    for rctx in prepared:
+        F, res = rctx["F"], rctx["res"]
+        cand = np.asarray(rctx["cand"])
+        refstring = rctx["_refstring"]
+        recs = calling.assemble_records(rctx, refstring, 0, "chrT", cfg,
+                                        is_tumor_only=False)
+        for rec in recs:
+            p, s = rec.pos, rec.symbol
+            tkis = rctx["rescued"].get((p, s))
+            if not tkis:
+                continue
+            st, lo, hi = _st_range(s)
+            refsym = int(F["ref_syms"][p]) if st == 0 else int(Symbol.LINK_M)
+            syms = [x for x in range(lo, hi) if cand[p, x]]
+            if refsym not in syms:
+                continue
+            oracle.send("reset")
+            oracle.send(ps_line)
+            oracle.send("ps vcf_tumor_fname=oracle-tumor.vcf.gz")
+            for x in syms:
+                if x == 5:          # BASE_NN excluded (main.cpp:1042)
+                    continue
+                fmtd = calling.plan_fmt(F, res, p, x, refsym, 0)
+                line = _germ_feed_fields(fmtd, F, p, x)
+                # the tnjoin block additionally reads cDP1x/CDP1x of the
+                # top-2 germline fmts (main.cpp:1109-1113)
+                line += (f" cDP1x={fmtd['cDP1x'][0]},{fmtd['cDP1x'][1]}"
+                         f" CDP1x={fmtd['CDP1x'][0]},{fmtd['CDP1x'][1]}")
+                oracle.send(line)
+            rs = ro.esc(refstring.decode())
+            out = oracle.ask(f"germline {refsym} {p} 0 {rs}")
+            nlodq_ss = int(out.split(" ", 2)[1])
+            _feed_record_fmt(oracle, rec)
+            _feed_tki(oracle, tkis[0])
+            gp = (cfg.germ_phred_hetero_snp if st == 0
+                  else cfg.germ_phred_hetero_indel)
+            out = oracle.ask(f"tnjoin {s} {gp} {gp} {nlodq_ss} "
+                             f"{nlodq_ss - 3 + gp}")
+            parts_o = out.split(" ")
+            _, nlodq_c, argmin_c = parts_o[:3]
+            diag = " ".join(parts_o[3:])
+            ours_nlodq = int(rec.info["NLODQ"])
+            ours_nlodv = rec.info["NLODV"]
+            if int(nlodq_c) != ours_nlodq:
+                st_g = F["_germ"][st]
+                errs.append(f"(p={p},s={s}) NLODQ ref={nlodq_c} "
+                            f"py={ours_nlodq} diag[{diag}] "
+                            f"alts=({int(st_g['alt1_sym'][p])},"
+                            f"{int(st_g['alt1_cDP1x'][p])};"
+                            f"{int(st_g['alt2_sym'][p])},"
+                            f"{int(st_g['alt2_cDP1x'][p])}) "
+                            f"CDP1x={int(F['CDP1x'][p, s])} "
+                            f"vHGQ={tkis[0].vHGQ} tcDP1x={tkis[0].cDP1x} "
+                            f"tCDP1x={tkis[0].CDP1x}")
+            if SYMBOL_TO_DESC[min(int(argmin_c), 14)] != ours_nlodv:
+                errs.append(f"(p={p},s={s}) NLODV "
+                            f"ref={SYMBOL_TO_DESC[min(int(argmin_c), 14)]} "
+                            f"py={ours_nlodv}")
+            n += 1
+    assert n >= 4, f"too few rescued candidates: {n}"
+    assert not errs, f"{len(errs)} of {n}:\n" + "\n".join(errs[:12])
+
+
+def test_cvqm_ranking_parity(oracle, tmp_path):
+    """The cVQ1M/cVQ2M/cVQAM/cVQSM consensus-allele ranking
+    (main.cpp:1000-1015, sliced verbatim) vs our rank dict."""
+    import record_oracle as ro
+
+    prepared, cfg = _run_pipeline(tmp_path, seed=7)
+    ps_line = _ps_lines(cfg)
+    n = 0
+    errs = []
+    for rctx in prepared:
+        F, res = rctx["F"], rctx["res"]
+        cand = np.asarray(rctx["cand"])
+        recs = calling.assemble_records(rctx, rctx["_refstring"], 0, "chrT",
+                                        cfg, is_tumor_only=True)
+        by_pos = {}
+        for rec in recs:
+            st = _st_range(rec.symbol)[0]
+            by_pos.setdefault((rec.pos, st), rec)
+        for (p, st), rec in sorted(by_pos.items()):
+            lo, hi = (0, 6) if st == 0 else (6, 14)
+            refsym = int(F["ref_syms"][p]) if st == 0 else int(Symbol.LINK_M)
+            oracle.send("reset")
+            oracle.send(ps_line)
+            oracle.send("gfmt %d VTI=%d,%d" % (rec.symbol, refsym,
+                                               rec.symbol))
+            for x in range(lo, hi):
+                if not cand[p, x] or x == refsym:
+                    continue
+                cv1, cv2 = int(F["cVQ1"][p, x]), int(F["cVQ2"][p, x])
+                gk = F["gapSa"].get((p, x))
+                gs = gk.decode() if isinstance(gk, bytes) else ""
+                oracle.send(f"cvqt {max(cv1, cv2)} {cv1} {cv2} {x} "
+                            + ro.esc(gs))
+            out = oracle.ask("cvqm")
+            assert out.startswith("CVQ ")
+            first = out[4:].split("|")[0]
+            got = {}
+            for part in first.split(";"):
+                if part:
+                    k, _, v = part.partition("=")
+                    got[k] = [ro.unesc(x) for x in v.split(",")]
+            for tag in ("cVQ1M", "cVQ2M", "cVQAM", "cVQSM"):
+                ours = [str(x) for x in rec.fmt[tag]]
+                if got[tag] != ours:
+                    errs.append(f"(p={p},st={st}) {tag}: ref={got[tag]} "
+                                f"py={ours}")
+            n += 1
+    assert n >= 4, n
+    assert not errs, f"{len(errs)} of {n}:\n" + "\n".join(errs[:12])
+
+
+def test_header_parity(oracle):
+    """generate_vcf_header (main.hpp:5778-5883) vs vcfout.writer.
+    Everything except the run-dependent fileDate / version lines must be
+    byte-identical, including the tumor-sample column variant."""
+    from uvc_tpu.config import UVCConfig
+    from uvc_tpu.constants import SequencingPlatform
+    import record_oracle as ro
+
+    cfg = UVCConfig()
+    cfg.fasta_ref_fname = "ref.fa"
+    cfg.sample_name = "S1"
+    cfg.self_update_by_platform(SequencingPlatform.ILLUMINA, 150, 60)
+    ps_line = _ps_lines(cfg)
+    contigs = [("chr1", 248956422), ("chrM", 16569)]
+    tokens = ["uvc1", "-f", "ref.fa", "-o", "out.vcf.gz", "in.bam"]
+
+    def norm(h):
+        return [l for l in h.splitlines()
+                if not l.startswith(("##fileDate=",
+                                     "##variantCallerVersion="))]
+
+    for tumor_name, retrieved in ((None, 0), ("TUMOR", 1)):
+        oracle.send("reset")
+        oracle.send(ps_line)
+        if retrieved:
+            oracle.send("ps is_tumor_format_retrieved=1 "
+                        "vcf_tumor_fname=t.vcf.gz")
+        for nm, ln in contigs:
+            oracle.send(f"contig {ro.esc(nm)} {ln}")
+        out = oracle.ask("header " + (ro.esc(tumor_name) if tumor_name
+                                      else "-")
+                         + " " + " ".join(ro.esc(t) for t in tokens))
+        assert out.startswith("HDR ")
+        # unesc yields latin-1 code units; the header holds UTF-8 bytes
+        ref_hdr = ro.unesc(out[4:]).encode("latin-1").decode("utf-8")
+        ours = vcf_writer.generate_header(
+            " ".join(tokens), contigs, "S1", cfg=cfg,
+            tumor_sample=tumor_name)
+        ref_l, our_l = norm(ref_hdr), norm(ours)
+        assert len(ref_l) == len(our_l), (len(ref_l), len(our_l))
+        for a, b in zip(ref_l, our_l):
+            assert a == b, f"\nref: {a!r}\npy:  {b!r}"

@@ -123,6 +123,11 @@ def _parse_print_plan(src, format_ids, fields):
             raise ValueError("unparsed print block: " + rest[:200])
         tag = m.group(1)
         kind, arity, et = fields[tag]
+        if kind == "array":
+            # the generated printer emits only out_num_2 entries (<= the
+            # struct array size in_num_1; bcf_formats_generator1.cpp:670-674)
+            m = re.search(r"i < (\d+); i\+\+", rest)
+            arity = int(m.group(1))
         plan.append((tag, gated, kind, arity, et))
     return plan
 

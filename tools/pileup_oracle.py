@@ -424,6 +424,14 @@ static bool set_ps_field(CommandLineArgs & ps, const std::string & k,
     return false;
 }
 
+// mock for the (dead in this driver: no tumor VCF is ever provided)
+// tumor-column re-emission path of the sliced MGVCF/AIC blocks
+static std::string bcf1_to_string(const bcf_hdr_t *, const bcf1_t *) {
+    return std::string();
+}
+
+%(are_depths_diff)s
+
 static bam1_t * make_read(const std::string & qname_in, uint16_t flag,
                           uint8_t mapq, int32_t tid,
                           int64_t pos, const std::string & cigar,
@@ -838,6 +846,48 @@ int main() {
                 }
             }
             std::cout << os.str() << std::endl;
+        } else if (op == "auxemit") {
+            // MGVCF + ADDITIONAL_INDEL_CANDIDATE emission over [beg, end]
+            // (main.cpp:604-644 position loop locals + the two emitter
+            // blocks sliced verbatim from main.cpp:655-799)
+            long beg_l, end_l, inclu_l;
+            iss >> beg_l >> end_l >> inclu_l;
+            auto & symbolToCountCoverageSet12 = *s2ccs;
+            const CommandLineArgs & paramset = ps;
+            const auto tname_tseqlen_tuple =
+                std::make_tuple(std::string("chrT"), (int64_t)0);
+            const uvc1_refgpos_t extended_inclu_beg_pos = r_beg;
+            const uvc1_refgpos_t incluBegPosition = inclu_l;
+            const int tid = r_tid;
+            std::map<std::tuple<uvc1_refgpos_t, uvc1_refgpos_t,
+                                AlignmentSymbol>,
+                     std::vector<TumorKeyInfo>> tid_pos_symb_to_tkis;
+            const bcf_hdr_t *bcf_hdr = NULL;
+            std::string buf_out_string_pass;
+            uvc1_readpos_t prev_tracklen = 0;
+            uvc1_readpos_t curr_tracklen = 0;
+            for (uvc1_refgpos_t zerobased_pos = beg_l;
+                    zerobased_pos <= end_l;
+                    zerobased_pos++, prev_tracklen = curr_tracklen) {
+                std::string repeatunit;
+                uvc1_readpos_t repeatnum = 0;
+                uvc1_rp_diff_t rridx = zerobased_pos
+                    - extended_inclu_beg_pos;
+                indelpos_to_context(repeatunit, repeatnum, refstring, rridx,
+                        paramset.indel_str_repeatsize_max);
+                curr_tracklen = repeatnum
+                    * UNSIGN2SIGN(repeatunit.size());
+                for (const SymbolType symboltype : SYMBOL_TYPE_ARR) {
+                    if (zerobased_pos == beg_l
+                            && BASE_SYMBOL == symboltype) { continue; }
+                    const uvc1_refgpos_t refpos =
+                        (BASE_SYMBOL == symboltype ? (zerobased_pos - 1)
+                                                   : zerobased_pos);
+%(mgvcf_block)s
+%(aic_block)s
+                }
+            }
+            std::cout << "aux " << esc(buf_out_string_pass) << std::endl;
         } else if (op == "quit") {
             break;
         } else if (!op.empty()) {
@@ -945,11 +995,24 @@ def build_oracle(workdir):
                 f'(decltype(ps.{name}))strtoll(v.c_str(), 0, 10); '
                 f'return true; }}')
 
+    # the MGVCF block (main.cpp:655-757) and the
+    # ADDITIONAL_INDEL_CANDIDATE block (main.cpp:759-799), sliced verbatim
+    from record_oracle import _extract_slice
+    mgvcf_block = _extract_slice(
+        main_cpp, "if ((paramset.outvar_flag & OUTVAR_MGVCF)", None,
+        brace_match_from="if ((paramset.outvar_flag & OUTVAR_MGVCF)")
+    aic_block = _extract_slice(
+        main_cpp, "const auto aCDP = ", None,
+        brace_match_from="if ((OUTVAR_ADDITIONAL_INDEL_CANDIDATE")
+
     src = DRIVER_TMPL % dict(
         extracted=extracted,
         grouping=grouping_span,
         bedline=bedline,
         ps_setters="\n".join(ps_setters),
+        are_depths_diff=_extract_named(main_cpp, "are_depths_diff"),
+        mgvcf_block=mgvcf_block,
+        aic_block=aic_block,
         **printers,
     )
     cpp = os.path.join(workdir, "pileup_oracle.cpp")

@@ -85,6 +85,31 @@ def _extract_span(src, start_name, end_name):
     return src[beg:end]
 
 
+def _extract_slice(src, begin_anchor, end_anchor, brace_match_from=None):
+    """Literal slice of reference source between two anchors (both
+    included).  If brace_match_from is given, the end is instead found by
+    brace-matching the first '{' after that anchor (end_anchor unused)."""
+    beg = src.index(begin_anchor)
+    if brace_match_from is not None:
+        i = src.index(brace_match_from, beg)
+        i = src.index("{", i)
+        depth = 0
+        while True:
+            c = src[i]
+            if c == "{":
+                depth += 1
+            elif c == "}":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        return src[beg:i + 1]
+    end = src.index(end_anchor, beg) + len(end_anchor)
+    # extend to the end of the line containing the end anchor
+    end = src.index("\n", end)
+    return src[beg:end]
+
+
 def _extract_defines(src, names):
     out = []
     for n in names:
@@ -235,6 +260,48 @@ struct MockS2CCS {
     MockPrepSets seg_format_prep_sets;
 };
 
+// --- emission-layer harness (round 5): a mock bcf1_to_string (the real
+// one calls htslib vcf_format on the tumor record; the oracle is handed
+// the already-extracted tumor FORMAT payload over the protocol) and a
+// VERSION_DETAIL stand-in (the reference's comes from Makefile -D flags)
+static std::string g_tumor_fmt_payload;
+static std::string
+bcf1_to_string(const bcf_hdr_t *, const bcf1_t *) {
+    return g_tumor_fmt_payload;
+}
+static const char *VERSION_DETAIL = "oracle";
+struct MockBaqArr {
+    uvc1_qual_t getByPos(uvc1_refgpos_t) const { return 0; }
+};
+
+%(extracted_emit)s
+
+// --- main.cpp glue, sliced verbatim at build time ---
+// cVQ1M/cVQ2M consensus-allele ranking (main.cpp:1000-1015)
+static void
+cvqm_rank(std::vector<std::tuple<bcfrec::BcfFormat, TumorKeyInfo>> & fmt_tki_tup_vec,
+          std::vector<std::tuple<uvc1_qual_t, uvc1_qual_t, uvc1_qual_t, AlignmentSymbol, std::string>> & maxVQ_VQ1_VQ2_symbol_indelstr_tup_vec) {
+%(cvqm_block)s
+}
+
+// tumor-normal NLODQ composition (main.cpp:1104-1147)
+template <class TTup>
+static std::pair<uvc1_qual_t, int>
+tn_nlodq_compose(
+        const CommandLineArgs & paramset,
+        const TTup & nlodq_fmtptr1_fmtptr2_tup,
+        const TumorKeyInfo & tki,
+        const AlignmentSymbol symbol,
+        bcfrec::BcfFormat & fmt,
+        uvc1_qual_t nlodq,
+        const uvc1_qual_t germ_phred,
+        const uvc1_qual_t nlodq_singlesite,
+        const uvc1_qual_t nlodq_singlesample) {
+    AlignmentSymbol argmin_nlodq_symbol = END_ALIGNMENT_SYMBOLS;
+%(tnjoin_block)s
+    return std::make_pair(nlodq, (int)argmin_nlodq_symbol);
+}
+
 // --- value encoding: %%XX escape for , ; = %% space and control bytes ---
 static std::string esc(const std::string & s) {
     static const char *hex = "0123456789ABCDEF";
@@ -349,6 +416,10 @@ static bool set_tki_field(TumorKeyInfo & t, const std::string & k,
                           const std::string & v) {
 %(tki_setters)s
     if (k == "ref_alt") { t.ref_alt = unesc(v); return true; }
+    if (k == "tADR") { av(t.tADR, split(v, ',')); return true; }
+    if (k == "nADR") { av(t.nADR, split(v, ',')); return true; }
+    if (k == "tADCR") { av(t.tADCR, split(v, ',')); return true; }
+    if (k == "nADCR") { av(t.nADCR, split(v, ',')); return true; }
     return false;
 }
 
@@ -361,6 +432,13 @@ int main() {
     MockS2CCS s2ccs;
     RegionalTandemRepeat rtr1, rtr2;
     TumorKeyInfo tki;
+    std::vector<RegionalTandemRepeat> repeatvec;
+    std::vector<std::tuple<uvc1_qual_t, uvc1_qual_t, uvc1_qual_t, AlignmentSymbol, std::string>> cvq_tup_vec;
+    std::vector<std::string> contig_names;
+    std::vector<uint32_t> contig_lens;
+    bcfrec::BcfFormat germ_init_fmt;           // outlives the germline op:
+    std::tuple<uvc1_qual_t, bcfrec::BcfFormat*, bcfrec::BcfFormat*>
+        germ_tup { 0, &germ_init_fmt, &germ_init_fmt };  // tnjoin reads it
     std::string line;
     while (std::getline(std::cin, line)) {
         std::istringstream iss(line);
@@ -378,6 +456,14 @@ int main() {
             rtr1 = RegionalTandemRepeat();
             rtr2 = RegionalTandemRepeat();
             tki = TumorKeyInfo();
+            repeatvec.clear();
+            cvq_tup_vec.clear();
+            contig_names.clear();
+            contig_lens.clear();
+            g_tumor_fmt_payload.clear();
+            germ_init_fmt = bcfrec::BcfFormat();
+            germ_tup = std::make_tuple((uvc1_qual_t)0, &germ_init_fmt,
+                                       &germ_init_fmt);
         } else if (op == "ps" || op == "prep" || op == "rtr1"
                    || op == "rtr2" || op == "tki" || op == "fmt") {
             while (iss >> kv) {
@@ -453,24 +539,26 @@ int main() {
                 vec.push_back(std::make_pair(AlignmentSymbol(gsyms[i]),
                                              &gfmts[i]));
             }
-            // pad with the caller's init_fmt entries (main.cpp:1046-1055)
-            bcfrec::BcfFormat init_fmt;
-            ensure_fmt_nonempty(init_fmt);
-            clear_push(init_fmt.VTI, (int32_t)END_ALIGNMENT_SYMBOLS);
-            clear_push(init_fmt.gVQ1, 0);
-            clear_push(init_fmt.CONTQ, 0);
-            clear_push(init_fmt.cDP12f, 0);
-            clear_push(init_fmt.cDP12r, 0);
-            clear_push(init_fmt.cDP0a, 0);
-            clear_push(init_fmt.cDP1v, 50);
+            // pad with the caller's init_fmt entries (main.cpp:1046-1055);
+            // persisted so tnjoin can follow the returned fmt pointers
+            germ_init_fmt = bcfrec::BcfFormat();
+            ensure_fmt_nonempty(germ_init_fmt);
+            clear_push(germ_init_fmt.VTI, (int32_t)END_ALIGNMENT_SYMBOLS);
+            clear_push(germ_init_fmt.gVQ1, 0);
+            clear_push(germ_init_fmt.CONTQ, 0);
+            clear_push(germ_init_fmt.cDP12f, 0);
+            clear_push(germ_init_fmt.cDP12r, 0);
+            clear_push(germ_init_fmt.cDP0a, 0);
+            clear_push(germ_init_fmt.cDP1v, 50);
             while (vec.size() <= 4) {
                 vec.push_back(std::make_pair(END_ALIGNMENT_SYMBOLS,
-                                             &init_fmt));
+                                             &germ_init_fmt));
             }
             std::string out_string;
             auto ret = output_germline(out_string, AlignmentSymbol(refsymbol),
                     vec, "chrT", unesc(rs), (uvc1_refgpos_t)refpos,
                     (uvc1_refgpos_t)extbeg, ps, 0);
+            germ_tup = ret;
             std::cout << "GERM " << (long long)std::get<0>(ret) << " "
                       << esc(out_string) << "\n";
         } else if (op == "dpv") {
@@ -498,6 +586,97 @@ int main() {
             double a1, a2, ef, pl;
             iss >> a1 >> a2 >> ef >> pl;
             std::cout << (long long)hetLODQ(a1, a2, ef, pl) << "\n";
+        } else if (op == "tumorfmt") {
+            std::string v; iss >> v;
+            g_tumor_fmt_payload = unesc(v);
+        } else if (op == "rvec") {
+            long n; iss >> n;
+            repeatvec.assign(n, RegionalTandemRepeat());
+        } else if (op == "rvecrow") {
+            long i, b, t, u, ab, at2, au;
+            iss >> i >> b >> t >> u >> ab >> at2 >> au;
+            RegionalTandemRepeat & r = repeatvec.at(i);
+            r.begpos = b; r.tracklen = t; r.unitlen = u;
+            r.anyTR_begpos = ab; r.anyTR_tracklen = at2; r.anyTR_unitlen = au;
+        } else if (op == "record") {
+            long refpos, region_offset, rnum, nlodq1;
+            int refsym, sym, argmin, shouldref;
+            std::string tname, ru, rs;
+            iss >> tname >> refpos >> region_offset >> refsym >> sym
+                >> nlodq1 >> argmin >> shouldref >> ru >> rnum >> rs;
+            std::string out;
+            MockBaqArr baq;
+            // only guard the LAST()-read vectors (blanket ensure would
+            // turn deliberately-empty vectors from "." into "0")
+            if (fmt.gapSa.empty()) { fmt.gapSa.resize(1); }
+            if (fmt.aBQ2.empty()) { fmt.aBQ2.resize(1); }
+            if (fmt.bNMQ.empty()) { fmt.bNMQ.resize(1); }
+            append_vcf_record(out, unesc(tname).c_str(),
+                    (uvc1_refgpos_t)refpos, (uvc1_refgpos_t)region_offset,
+                    unesc(rs), repeatvec, unesc(ru), (uvc1_readpos_t)rnum,
+                    AlignmentSymbol(refsym), AlignmentSymbol(sym), fmt, tki,
+                    (uvc1_qual_t)nlodq1, AlignmentSymbol(argmin),
+                    (bool)shouldref, NULL, baq, ps, 0);
+            std::cout << "REC " << esc(out) << "\n";
+        } else if (op == "tnjoin") {
+            int sym; long nlodq_default, germ_phred_v, nlodq_ss, nlodq_ssamp;
+            iss >> sym >> nlodq_default >> germ_phred_v >> nlodq_ss
+                >> nlodq_ssamp;
+            auto pr = tn_nlodq_compose(ps, germ_tup, tki,
+                    AlignmentSymbol(sym), fmt, (uvc1_qual_t)nlodq_default,
+                    (uvc1_qual_t)germ_phred_v, (uvc1_qual_t)nlodq_ss,
+                    (uvc1_qual_t)nlodq_ssamp);
+            std::cout << "TNJ " << (long long)pr.first << " " << pr.second
+                      << " f1vti=" << (std::get<1>(germ_tup)->VTI.empty() ? -9 : (long)std::get<1>(germ_tup)->VTI.back())
+                      << " f1ad=" << (long long)collectget(std::get<1>(germ_tup)->cDP1x, 1, 50)
+                      << " f1dp=" << (std::get<1>(germ_tup)->CDP1x.empty() ? -9 : (long long)std::get<1>(germ_tup)->CDP1x[0])
+                      << " f2vti=" << (std::get<2>(germ_tup)->VTI.empty() ? -9 : (long)std::get<2>(germ_tup)->VTI.back())
+                      << " f2ad=" << (long long)collectget(std::get<2>(germ_tup)->cDP1x, 1, 50)
+                      << " f2dp=" << (std::get<2>(germ_tup)->CDP1x.empty() ? -9 : (long long)std::get<2>(germ_tup)->CDP1x[0])
+                      << "\n";
+        } else if (op == "cvqt") {
+            long maxvq, vq1, vq2; int sym; std::string gs;
+            iss >> maxvq >> vq1 >> vq2 >> sym >> gs;
+            cvq_tup_vec.push_back(std::make_tuple(
+                    (uvc1_qual_t)maxvq, (uvc1_qual_t)vq1, (uvc1_qual_t)vq2,
+                    AlignmentSymbol(sym), unesc(gs)));
+        } else if (op == "cvqm") {
+            std::vector<std::tuple<bcfrec::BcfFormat, TumorKeyInfo>> tups;
+            for (auto & gf : gfmts) {
+                tups.push_back(std::make_tuple(gf, TumorKeyInfo()));
+            }
+            cvqm_rank(tups, cvq_tup_vec);
+            std::ostringstream os;
+            for (auto & t : tups) {
+                const bcfrec::BcfFormat & g = std::get<0>(t);
+                os << "cVQ1M="; pv(os, g.cVQ1M); os << ";";
+                os << "cVQ2M="; pv(os, g.cVQ2M); os << ";";
+                os << "cVQAM="; pv(os, g.cVQAM); os << ";";
+                os << "cVQSM="; pv(os, g.cVQSM); os << "|";
+            }
+            cvq_tup_vec.clear();
+            std::cout << "CVQ " << os.str() << "\n";
+        } else if (op == "contig") {
+            std::string nm; long len; iss >> nm >> len;
+            contig_names.push_back(unesc(nm));
+            contig_lens.push_back((uint32_t)len);
+        } else if (op == "header") {
+            std::string tumor_name_s;
+            iss >> tumor_name_s;
+            std::vector<std::string> argv_s;
+            while (iss >> kv) { argv_s.push_back(unesc(kv)); }
+            std::vector<const char*> argv_p;
+            for (auto & s : argv_s) { argv_p.push_back(s.c_str()); }
+            std::vector<const char*> names_p;
+            for (auto & s : contig_names) { names_p.push_back(s.c_str()); }
+            const std::string tn2 = unesc(tumor_name_s);
+            std::string ret = generate_vcf_header(
+                    (int)argv_p.size(), argv_p.data(),
+                    (int32_t)names_p.size(), names_p.data(),
+                    contig_lens.data(),
+                    (tumor_name_s == "-" ? (const char *)NULL : tn2.c_str()),
+                    ps);
+            std::cout << "HDR " << esc(ret) << "\n";
         } else if (op == "print") {
             std::ostringstream os;
             print_fmt(fmt, os);
@@ -554,7 +733,43 @@ def build_oracle(workdir):
                                "output_germline"))
     extracted = "\n\n".join(parts)
 
+    # --- the emission layer (round 5): generate_vcf_header, fill_tki,
+    # fill_conditional_tki, calc_binom_powlaw_syserr_normv_quals{,2} and
+    # append_vcf_record (main.hpp:5778-6272), plus the platform-name table
+    # from common.cpp the header interpolates ---
+    common_cpp = open(os.path.join(REF, "common.cpp")).read()
+    emit_parts = [
+        _extract_slice(common_cpp,
+                       "const auto _SEQUENCING_PLATFORM_TO_NAME",
+                       "_SEQUENCING_PLATFORM_TO_NAME.end());"),
+        _extract_slice(main_hpp, "const bcfrec::BcfFormat FORMAT_UNCOV",
+                       "bcfrec::BcfFormat();"),
+        _extract_named(main_hpp, "generate_vcf_header"),
+        _extract_named(main_hpp, "fill_tki"),
+        _extract_named(main_hpp, "indelstring_gapSeq_gapAD_to_AD"),
+        _extract_named(main_hpp, "fill_conditional_tki"),
+        _extract_named(main_hpp, "calc_binom_powlaw_syserr_normv_quals"),
+        _extract_named(main_hpp, "calc_binom_powlaw_syserr_normv_quals2"),
+        _extract_named(main_hpp, "append_vcf_record"),
+    ]
+    extracted_emit = "\n\n".join(emit_parts)
+
+    # --- main.cpp glue, sliced verbatim: the cVQ1M/cVQ2M consensus-allele
+    # ranking (main.cpp:1000-1015) and the tumor-normal NLODQ composition
+    # (main.cpp:1104-1147) ---
+    main_cpp = open(os.path.join(REF, "main.cpp")).read()
+    cvqm_block = _extract_slice(
+        main_cpp, "std::sort(maxVQ_VQ1_VQ2_symbol_indelstr_tup_vec.rbegin()",
+        None, brace_match_from="for (auto & fmt_tki_tup : fmt_tki_tup_vec)")
+    i0 = main_cpp.index("uvc1_qual_t nlodq_inc = 999;")
+    i0 = main_cpp.rindex("if (IS_PROVIDED(paramset.vcf_tumor_fname))", 0, i0)
+    i1 = main_cpp.index("nlodq = nlodq_singlesample;", i0)
+    i1 = main_cpp.index("}", i1) + 1
+    tnjoin_block = main_cpp[i0:i1]
+
+    global FMT_FIELDS
     fmt_fields = _parse_fmt_fields(step1)
+    FMT_FIELDS = fmt_fields   # exposed for test-side feed planning
     fmt_setters, fmt_printers, fmt_ensures = [], [], []
     for name, (kind, _, _) in fmt_fields.items():
         fmt_setters.append(
@@ -588,6 +803,9 @@ def build_oracle(workdir):
 
     src = DRIVER_TMPL % dict(
         extracted=extracted,
+        extracted_emit=extracted_emit,
+        cvqm_block=cvqm_block,
+        tnjoin_block=tnjoin_block,
         fmt_setters="\n".join(fmt_setters),
         fmt_printers="\n".join(fmt_printers),
         fmt_ensures="\n".join(fmt_ensures),

@@ -54,6 +54,32 @@ class VariantRecord:
     ref_fmt: dict = None  # REF-allele values for Number=R tags
 
 
+_LIBM = None
+
+
+def _f32_record_qual(raw64):
+    """calc_non_negative<float> (main_conversion.hpp:163-171) on the
+    float32-rounded input, via glibc powf/log1pf/logf so the result is
+    bit-identical to the reference's `float vcfqual` (main.hpp:6206) and
+    std::to_string(float) renders the same 6-decimal text."""
+    global _LIBM
+    v = np.float32(raw64)
+    if v >= np.float32(10.0):
+        return float(v)
+    import ctypes
+    if _LIBM is None:
+        lm = ctypes.CDLL("libm.so.6")
+        for nm in ("powf", "log1pf", "logf"):
+            fn = getattr(lm, nm)
+            fn.restype = ctypes.c_float
+            fn.argtypes = [ctypes.c_float] * (2 if nm == "powf" else 1)
+        _LIBM = lm
+    base = float(np.float32(10.0 ** 0.1))
+    powv = np.float32(_LIBM.powf(base, float(v)))
+    return float(np.float32(_LIBM.log1pf(float(powv)))
+                 / np.float32(_LIBM.logf(base)))
+
+
 def tumor_only_tlodq(F, cfg):
     """append_vcf_record's TLODQ with the all-zero normal (tumor-only).
     Traceable: runs inside the jitted model program."""
@@ -433,6 +459,7 @@ def _model_core(arrays, cand, tpfa_dpv, tpfa_qual, cfg, is_tumor_only,
                         jnp.log1p(jnp.power(base10, raw_q)) / math.log(base10),
                         raw_q)
     out = dict(Fm.writes)
+    out["_rawq"] = raw_q
     out["_tlodq"] = tlodq
     out["_b4c"] = b4c
     out["_c4c"] = c4c
@@ -1136,7 +1163,12 @@ def assemble_records(ctx, refstring, region_offset, chrom, cfg,
         is_indel = s in (7, 8, 9, 10, 11, 12)
 
         if is_tumor_only:
-            q = float(vcfqual[p, s])
+            # final QUAL is float32 in the reference (main.hpp:6206:
+            # `float vcfqual = calc_non_negative(MAX((float)tlodq,
+            # lowestVAQ))`); recompute the f32 path host-side so the
+            # 6-decimal std::to_string(float) rendering is bit-exact
+            q = _f32_record_qual(float(F["_rawq"][p, s])
+                                 if "_rawq" in F else float(vcfqual[p, s]))
             tl = int(tlodq[p, s])
             nlodq_rec = nlodq_ss
             nlodv = SYMBOL_TO_DESC[NS]
@@ -1163,7 +1195,11 @@ def assemble_records(ctx, refstring, region_offset, chrom, cfg,
             for altk in ("alt1", "alt2"):
                 norm_sym = int(stq[altk + "_sym"][p])
                 nAD = (int(stq[altk + "_cDP1x"][p]) + 50) / 100.0
-                nDP = (int(F["CDP1x"][p, s]) + 100) / 100.0
+                # a missing alt is the PADDING init_fmt whose CDP1x[0] is 0
+                # (main.cpp:1046-1055,1113); a real alt's CDP1x[0] is the
+                # position's symboltype sum
+                ndp_base = (int(F["CDP1x"][p, s]) if norm_sym < NS else 0)
+                nDP = (ndp_base + 100) / 100.0
                 tAD = (tki.cDP1x + 50) / 100.0
                 tDP = (tki.CDP1x + 100) / 100.0
                 bjpfrac = (tAD / tDP) / (nAD / nDP)
@@ -1184,14 +1220,14 @@ def assemble_records(ctx, refstring, region_offset, chrom, cfg,
             ref_bdp = int((F["bDPf"] + F["bDPr"])[p, ref_link])
             alt_bdp = int((F["bDPf"] + F["bDPr"])[p, s])
             n_norm_alts = (totBDP - ref_bdp) + alt_bdp
-            nlodq_rec = max(max(nlodq_ss, germ_phred[st] + nlodq_inc),
+            # main.cpp:1144 uses the SINGLE-SITE germline LOD in the max
+            # (nlodq_singlesite), not the -3+germ_phred single-sample value
+            nlodq_rec = max(max(int(stq["nlodq"][p]),
+                                germ_phred[st] + nlodq_inc),
                             tki.vHGQ + min(3, totBDP - n_norm_alts
                                            * int(round(0.5 / cfg.contam_any_mul_frac))))
             somaticq = min(tl, nlodq_rec)
-            raw = float(somaticq)
-            base10 = 10.0 ** 0.1
-            q = (math.log1p(base10 ** raw) / math.log(base10)
-                 if raw < 10.0 else raw)
+            q = _f32_record_qual(float(somaticq))
 
         keep = ((q >= cfg.vqual)
                 or (is_tumor_only
@@ -1207,30 +1243,29 @@ def assemble_records(ctx, refstring, region_offset, chrom, cfg,
         if not keep:
             continue
 
-        # REF/ALT strings (main.hpp:6064-6089)
-        if tki is not None and tki.ref_alt:
-            ref_a, alt_a = tki.ref_alt.split("\t")
-            vcfpos = p + 1 if st == 0 else p
-        else:
-            regionpos = p
-            gap_key = F["gapSa"].get((p, s))
-            if is_indel and gap_len > 0:
-                vcfpos = p  # anchored at p-1 (internal p printed as POS)
-                anchor = refstring[regionpos - 1:regionpos].decode() if regionpos > 0 else "n"
-                if s in (10, 11, 12):
-                    iseq = gap_key.decode() if isinstance(gap_key, bytes) else ""
-                    ref_a, alt_a = anchor, anchor + iseq
-                else:
-                    dseq = refstring[regionpos:regionpos + gap_len].decode()
-                    ref_a, alt_a = anchor + dseq, anchor
-            elif st == 0:
-                vcfpos = p + 1
-                ref_a = refstring[regionpos:regionpos + 1].decode()
-                alt_a = SYMBOL_TO_DESC[s]
+        # REF/ALT strings (main.hpp:6064-6089) — ALWAYS built from THIS
+        # sample's gapSa/refstring, also in normal (rescued) mode: when the
+        # normal carries no exact indel sequence the reference emits the
+        # symbolic <LI*>/<LD*> ALT, never the tumor VCF's REF/ALT
+        regionpos = p
+        gap_key = F["gapSa"].get((p, s))
+        if is_indel and gap_len > 0:
+            vcfpos = p  # anchored at p-1 (internal p printed as POS)
+            anchor = refstring[regionpos - 1:regionpos].decode() if regionpos > 0 else "n"
+            if s in (10, 11, 12):
+                iseq = gap_key.decode() if isinstance(gap_key, bytes) else ""
+                ref_a, alt_a = anchor, anchor + iseq
             else:
-                vcfpos = p
-                ref_a = refstring[regionpos - 1:regionpos].decode() if regionpos > 0 else "n"
-                alt_a = SYMBOL_TO_DESC[s]
+                dseq = refstring[regionpos:regionpos + gap_len].decode()
+                ref_a, alt_a = anchor + dseq, anchor
+        elif st == 0:
+            vcfpos = p + 1
+            ref_a = refstring[regionpos:regionpos + 1].decode()
+            alt_a = SYMBOL_TO_DESC[s]
+        else:
+            vcfpos = p
+            ref_a = refstring[regionpos - 1:regionpos].decode() if regionpos > 0 else "n"
+            alt_a = SYMBOL_TO_DESC[s]
 
         filt = ("Q10" if q < 10 else "Q20" if q < 20 else "Q30" if q < 30
                 else "Q40" if q < 40 else "Q50" if q < 50
@@ -1240,8 +1275,23 @@ def assemble_records(ctx, refstring, region_offset, chrom, cfg,
         # (fill_conditional_tki, main.hpp:5944-5960)
         cdpd_b = F["cDPDf"][p, :] + F["cDPDr"][p, :]
         t2dp = int(F["CDPD"][p, s]) + int(F["DDP2"][p, s])
+        # cond_altDP (fill_conditional_tki, main.hpp:5957-5959): indel
+        # alleles take the exact-sequence duplex-consensus AD
+        # (indelstring_gapSeq_gapAD_to_AD over gapSeq/gc2dAD)
+        if is_indel:
+            gk = F["gapSa"].get((p, s))
+            istr = gk.decode() if isinstance(gk, bytes) else (gk or "")
+            cond_alt = 0
+            tab2 = F["gapTab"].get((p, s))
+            if tab2 is not None:
+                for sq, ad in zip(tab2[2], tab2[6]):
+                    sqs = sq.decode() if isinstance(sq, bytes) else str(sq)
+                    if sqs == istr:
+                        cond_alt += int(ad)
+        else:
+            cond_alt = int(cdpd_b[s]) + int(F["dDP2"][p, s])
         t2ad = (int(cdpd_b[ref_link]) + int(F["dDP2"][p, ref_link]),
-                int(cdpd_b[s]) + int(F["dDP2"][p, s]))
+                cond_alt)
         # repeat unit + flanking repeat tracks (main.hpp:6099-6104, 6232)
         rulen = int(F["ctx_unitlen"][p])
         ru = refstring[p:p + rulen].decode()
@@ -1265,15 +1315,21 @@ def assemble_records(ctx, refstring, region_offset, chrom, cfg,
             "tDP": (tki.tDP if tki else int(F["CDP1"][p, s])),
             "tAD": ((tki.tAD_ref, tki.tAD_alt) if tki
                     else (int(F["AD"][p, ref_link]), int(F["AD"][p, s]))),
+            # normal mode: t2DP is the DECODED tumor CDP2b sum while t2AD
+            # is the NORMAL's own duplex-consensus pair — fill_conditional_
+            # tki<false> overwrites tki.tADCR from the normal fmt
+            # (main.hpp:5974-5977) but tDPC keeps the rescue decode
             "t2DP": (tki.tDPC if tki else t2dp),
-            "t2AD": ((tki.tADC_ref, tki.tADC_alt) if tki else t2ad),
+            "t2AD": t2ad,
             "RU": ru, "RC": int(F["ctx_repeatnum"][p]),
             "R3X2": r3x2,
         }
         if not is_tumor_only:
             info["nDP"] = int(F["CDP1"][p, s])
             info["nAD"] = (int(F["AD"][p, ref_link]), int(F["AD"][p, s]))
-            info["n2AD"] = t2ad
+            # tki.nADCR is never filled by the reference's normal path
+            # (main_conversion.hpp:519 default {{0}})
+            info["n2AD"] = (0, 0)
         fmt = plan_fmt(F, res, p, s, ref_link, nlodq_ss)
         fmt["_sscs"] = (bool(tki.enable_tier2) if tki is not None
                         else bool(F["enable_tier2"][p, s]))
@@ -1327,7 +1383,7 @@ def assemble_records(ctx, refstring, region_offset, chrom, cfg,
         fmt["vNLODQ"] = (int(germ[0]["nlodq"][p]), int(germ[1]["nlodq"][p]))
         records.append(VariantRecord(
             pos=p, symbol=s, vcfpos=vcfpos + region_offset, ref=ref_a,
-            alt=alt_a, qual=round(q, 4), filter=filt, info=info, fmt=fmt,
+            alt=alt_a, qual=q, filter=filt, info=info, fmt=fmt,
             tumor_fmt=(tki.tumor_format_text if tki else "")))
     # extra qualifying exact-indel alleles (indel_get_majority can return
     # several strings, main.hpp:5406-5455 + main.cpp:883-905): rerun the

@@ -33,8 +33,9 @@ class Symbol(IntEnum):
 
 
 NUM_SYMBOLS = 14
-MGVCF_SYMBOL = 14  # <NON_REF> pseudo-symbol
-ADDITIONAL_INDEL_CANDIDATE_SYMBOL = 15
+MGVCF_SYMBOL = 15  # <NON_REF> pseudo-symbol (END_ALIGNMENT_SYMBOLS=14,
+# main_conversion.hpp:331-333)
+ADDITIONAL_INDEL_CANDIDATE_SYMBOL = 16
 
 SYMBOL_TO_DESC = [
     "A", "C", "G", "T", "N", "*",

@@ -173,24 +173,29 @@ def emit_indel_candidates(F, res, cfg, chrom, refstring, region_offset,
     prep = res.bq.prep
     lines = []
     tracklen = F["ctx_repeatnum"] * F["ctx_unitlen"]
-    prev_tracklen = 0
-    for p in range(region_beg, region_end):
-        curr_tracklen = int(tracklen[p])
-        aCDP = int(prep.a_near_long_clip_dp[p])
-        ADP = int(prep.a_dp[p])
+    P = len(tracklen)
+    # the reference evaluates the STR-track context at loop position z but
+    # anchors the record (prep depths, vcfREF, refpos) at z-1: the BASE
+    # symboltype's refpos = zerobased_pos - 1 while repeatunit/repeatnum/
+    # curr_tracklen come from zerobased_pos (main.cpp:608-614,644,759-799)
+    for z in range(region_beg + 1, region_end + 1):
+        rp = z - 1
+        curr_tracklen = int(tracklen[z]) if z < P else 0
+        prev_tracklen = int(tracklen[rp])
+        aCDP = int(prep.a_near_long_clip_dp[rp])
+        ADP = int(prep.a_dp[rp])
         is_long_track = curr_tracklen > max(
             cfg.microadjust_alignment_tracklen_min - 1, prev_tracklen)
         is_clip = (aCDP >= cfg.microadjust_alignment_clip_min_count
                    and aCDP >= ADP * cfg.microadjust_alignment_clip_min_frac)
-        prev_tracklen = curr_tracklen
         if not ((is_long_track or is_clip)
                 and ADP >= 2 * cfg.microadjust_alignment_clip_min_count):
             continue
-        vcfref = refstring[p:p + 1].decode() or "N"
-        match_refsym = int(F["ref_syms"][p])
-        ru, rc = repeat_context_str(refstring, p, F)
+        vcfref = refstring[rp:rp + 1].decode() or "N"
+        match_refsym = int(F["ref_syms"][rp])
+        ru, rc = repeat_context_str(refstring, z, F) if z < P else ("", 0)
         lines.append("\t".join([
-            chrom, str(p + region_offset + 1), ".", vcfref,
+            chrom, str(z + region_offset), ".", vcfref,
             "<ADDITIONAL_INDEL_CANDIDATE>", ".", ".",
             f"ADDITIONAL_INDEL_CANDIDATE;RU={ru};RC={rc}",
             "GT:VTI:clipDP",

@@ -89,14 +89,14 @@ def read_tumor_vcf(path, name2tid):
             CDP2x=_geti(d, "CDP2x", 0), cDP2x=_geti(d, "cDP2x"),
             cVQ2=_geti(d, "cVQ2"), cPCQ2=_geti(d, "cPCQ2"),
             bNMQ=_geti(d, "bNMQ"), vHGQ=_geti(d, "vHGQ"),
-            tDP=_geti(d, "DP"),
-            tAD_ref=_geti(d, "AD", 0), tAD_alt=_geti(d, "AD"),
-            tDPC=(_geti(d, "CDPDb", 0) + _geti(d, "CDPDb", 1)
-                  + _geti(d, "DDP2")),
-            tADC_ref=(_geti(d, "cDPDf", 0) + _geti(d, "cDPDr", 0)
-                      + _geti(d, "dDP2", 0)),
-            tADC_alt=(_geti(d, "cDPDf") + _geti(d, "cDPDr")
-                      + _geti(d, "dDP2")),
+            # back-compat block (main.cpp:364-376): tDP/tADR from
+            # CDP1b/cDP1f+cDP1r, tDPC/tADCR from CDP2b/cDP2f+cDP2r
+            tDP=_geti(d, "CDP1b", 0) + _geti(d, "CDP1b", 1),
+            tAD_ref=_geti(d, "cDP1f", 0) + _geti(d, "cDP1r", 0),
+            tAD_alt=_geti(d, "cDP1f", 1) + _geti(d, "cDP1r", 1),
+            tDPC=_geti(d, "CDP2b", 0) + _geti(d, "CDP2b", 1),
+            tADC_ref=_geti(d, "cDP2f", 0) + _geti(d, "cDP2r", 0),
+            tADC_alt=_geti(d, "cDP2f", 1) + _geti(d, "cDP2r", 1),
             tumor_format_text=cols[9])
         tkis.setdefault((tid, symbolpos, vti), []).append(tki)
     return tkis

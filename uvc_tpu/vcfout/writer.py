@@ -115,10 +115,10 @@ def generate_header(cmdline, contigs, sample_name, cfg=None,
     lines.extend(_extra_format_lines(cfg))
     lines.append("##phasing=partial")
     lines.append(f"##variantCallerVersion=uvc_tpu-{__version__}")
-    # the reference joins argv with two trailing spaces per token
-    # (main.hpp:5874-5877)
+    # the reference joins argv with two trailing spaces per token — the
+    # final token's trailing spaces INCLUDED (main.hpp:5871-5875)
     lines.append("##variantCallerCommand="
-                 + "".join(tok + "  " for tok in cmdline.split()).rstrip())
+                 + "".join(tok + "  " for tok in cmdline.split()))
     plat = (platform_names[int(cfg.inferred_sequencing_platform)]
             if cfg is not None else "AUTO")
     readlen = cfg.central_readlen if cfg is not None else 0
@@ -156,6 +156,11 @@ def render_fmt_column(fmt, sscs_on):
             parts.append(tag)
             continue
         v = fmt[tag]
+        if kind == "array" and isinstance(v, (tuple, list)):
+            # fixed arrays print only out_num_2 entries (the generated
+            # streamAppendBcfFormat loop bound, e.g. AMQs/ALP1/CDP1w
+            # print 1 of their 2 struct entries)
+            v = v[:arity]
         if isinstance(v, (tuple, list)):
             parts.append(",".join(_fmt_one(x) for x in v) if len(v) else ".")
         elif isinstance(v, str):
@@ -206,7 +211,8 @@ def render_record(chrom, rec, ref_fmt=None):
                  else schema.FORMAT_STRING_PER_REC_WITHOUT_SSCS)
     line = "\t".join([
         chrom, str(rec.vcfpos), ".", rec.ref, rec.alt,
-        f"{rec.qual:g}", rec.filter, ";".join(parts), fmt_names,
+        # std::to_string(float vcfqual): fixed 6-decimal (main.hpp:6266)
+        f"{rec.qual:.6f}", rec.filter, ";".join(parts), fmt_names,
         render_fmt_column(rec.fmt, sscs_on)])
     if getattr(rec, "tumor_fmt", ""):
         line += "\t" + rec.tumor_fmt
