@@ -24,7 +24,10 @@ import numpy as np
 def bench_host_pipeline():
     """End-to-end CLI throughput (BAM -> bgzipped VCF) with the worker
     pool at the machine's core count, matching how the reference's
-    wall-clock baseline is measured (16-thread uvc1, BASELINE.md)."""
+    wall-clock baseline is measured (16-thread uvc1, BASELINE.md).
+    Also captures a thread-scaling curve (-t 1/2/4) as bench aux — the
+    honest analog of the reference's 16-thread scaling claim
+    (reference README.md:16-17)."""
     from uvc_tpu.io import simulate, bgzf
 
     d = tempfile.mkdtemp()
@@ -42,13 +45,14 @@ def bench_host_pipeline():
     # sitecustomize/jax import per start, which is not variant-calling work
     from uvc_tpu.cli import uvc1 as uvc1_cli
     # steady-state throughput: one un-timed warm-up run (imports, allocator
-    # pools, page cache), then best of two timed runs (the shared host has
-    # high run-to-run variance)
+    # pools, page cache, persistent XLA compile cache), then best of up to
+    # 5 timed runs within a ~90s budget (the shared host shows multi-x
+    # wall-clock swings from neighbor load).  The warm-up doubles as the
+    # cold-compile prime: a fresh environment's first model compile can
+    # burn minutes through the tunnel and must never be part of a timed
+    # leg (round-4 weak #5).
     rc = uvc1_cli.run(["-f", fa, "-o", out_vcf, "-t", str(ncpu), path])
     assert rc == 0
-    # best-of up to 5 timed runs within a ~90s budget: the shared host
-    # shows multi-x wall-clock swings from neighbor load, so more samples
-    # in quiet windows beat a single fixed repetition count
     dt = float("inf")
     budget_t0 = time.time()
     for rep in range(5):
@@ -58,12 +62,22 @@ def bench_host_pipeline():
         dt = min(dt, time.time() - t0)
         if rep >= 1 and time.time() - budget_t0 > 90:
             break
+    # thread-scaling curve: best-of-2 per -t (1, 2, and 2x oversubscribed)
+    scaling = {}
+    for nt in sorted({1, 2, ncpu, 2 * ncpu}):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            assert uvc1_cli.run(["-f", fa, "-o", out_vcf, "-t", str(nt),
+                                 path]) == 0
+            best = min(best, time.time() - t0)
+        scaling[f"t{nt}"] = round(best, 3)
     body = bgzf.decompress(open(out_vcf, "rb").read()).decode()
     n_recs = sum(1 for l in body.splitlines()
                  if not l.startswith("#") and "ANY_VAR" in l)
     from uvc_tpu.io import bam as bam_mod
     hdr, batch = bam_mod.read_bam(path)
-    return batch.n, len(ref), n_recs, dt
+    return batch.n, len(ref), n_recs, dt, scaling, (d, fa, path)
 
 
 def bench_device_model():
@@ -156,14 +170,49 @@ def bench_device_model_guarded(timeout_s=540):
         return 0.0, 0.0, f"unavailable({type(e).__name__})"
 
 
+def bench_device_prepare_ab(files, timeout_s=420):
+    """UVC_TPU_DEVICE_PREPARE=0 vs =1 on the same workload (round-4 weak
+    #3: the gate's crossover was asserted, never measured).  Both legs run
+    as fresh subprocesses (identical import overhead, gate=1 needs its own
+    jax in-process) with a watchdog; returns wall seconds per leg or None
+    on timeout/error."""
+    import subprocess
+    d, fa, path = files
+    out = {}
+    for gate in ("0", "1"):
+        env = dict(os.environ, UVC_TPU_DEVICE_PREPARE=gate)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-m", "uvc_tpu.cli.uvc1", "-f", fa,
+                     "-o", d + "/ab.vcf.gz", "-t", "2", path],
+                    timeout=timeout_s, env=env, capture_output=True,
+                    cwd=os.path.dirname(os.path.abspath(__file__)))
+                if r.returncode == 0:
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+            except subprocess.TimeoutExpired:
+                break
+        out["wall_s_gate" + gate] = round(best, 3) if best else None
+    if out.get("wall_s_gate1") is None:
+        out["note"] = ("gate=1 exceeded the watchdog on this remote-tunnel "
+                       "setup (1,200-read control: 152 s; on-device compile "
+                       "through the tunnel + per-region event-table upload "
+                       "dominate -- see ops/device_consensus.py)")
+    return out
+
+
 def main():
-    n_reads, n_pos, n_recs, host_dt = bench_host_pipeline()
+    n_reads, n_pos, n_recs, host_dt, scaling, files = bench_host_pipeline()
     reads_per_s = n_reads / host_dt
     # release the CLI's device-owner child BEFORE the probe subprocess:
     # a live owner can hold the tunnel and starve the probe into its
     # watchdog timeout
     from uvc_tpu.model import server as model_server
     model_server.reset_client()
+    devprep_ab = bench_device_prepare_ab(files)
     cols_per_s, dev_dt, platform = bench_device_model_guarded()
     # vs_baseline is measured against a 10k reads/s DRIVER FLOOR, not a
     # measured uvc1 run: the reference cannot be built in this environment
@@ -191,6 +240,11 @@ def main():
             # local-PCIe/pod hosts)
             "device_prepare_gate": os.environ.get(
                 "UVC_TPU_DEVICE_PREPARE", "") == "1",
+            # subprocess A/B of the gate on this workload (includes ~2.4s
+            # interpreter+jax import per leg, identical in both)
+            "device_prepare_ab": devprep_ab,
+            # thread-scaling curve, best-of-2 wall seconds per -t
+            "thread_scaling_wall_s": scaling,
         },
     }))
 

@@ -21,10 +21,15 @@ random tables and on real pipeline event streams:
 Production use is gated behind UVC_TPU_DEVICE_PREPARE=1 (wired in
 pileup/region.py: the fragment MAX-merge routes through
 device_reduce_consensus instead of the native host kernel, with
-bit-identical output).  On the remote-tunnel single-chip setup the
-event-table upload dominates (the host native kernels win), but on
-local-PCIe/pod hosts this is the path that scales.  STATS counts the
-production calls/rows for the CLI exit summary and bench aux.
+bit-identical output).  MEASURED on the remote-tunnel single-chip setup
+(round 5, BENCH_r05 aux device_prepare_ab): gate=0 completes the 45k-read
+bench workload in 8.2 s wall while gate=1 exceeds the 420 s watchdog; a
+1,200-read control run completes at 152 s (one on-device program compile
+through the tunnel + the per-region event-table upload dominate).  The
+host native kernels therefore win by >50x here; the gate's crossover is a
+local-PCIe/pod host where compile is cached locally and upload is
+PCIe-speed.  STATS counts the production calls/rows for the CLI exit
+summary and bench aux.
 """
 
 from functools import partial

@@ -70,9 +70,22 @@ def split_plans_into_units(plans, batch, ref_lens, unit_reads=None):
         unit_reads = UNIT_READS
     pos = np.asarray(batch.pos, dtype=np.int64)
     rend = np.asarray(batch.rend, dtype=np.int64)
-    # constant refetch margin: window-shape independence (see
-    # _plans_from_bedlines)
-    pad = MAX_INSERT_SIZE + 1
+    # refetch margin = the batch's OBSERVED maximum fragment extent
+    # (|isize| for pairs, read span otherwise), capped at the reference's
+    # MAX_INSERT_SIZE guarantee (grouping.cpp:664).  A fragment whose
+    # begin is >= pad before a unit's claim window provably cannot touch
+    # it, so re-including only that margin keeps every unit's pileup,
+    # dedup and insert-coverage stats complete while cutting the
+    # duplicated boundary work (a constant 2001bp pad re-processed ~2x of
+    # every read on short-insert libraries).  Derived from the batch
+    # alone, so unit decomposition stays independent of -t and identical
+    # on every host.
+    if batch.n:
+        isz = np.abs(np.asarray(batch.isize, dtype=np.int64))
+        frag_ext = np.where(isz != 0, isz, rend - pos)
+        pad = min(MAX_INSERT_SIZE, int(frag_ext.max())) + 1
+    else:
+        pad = MAX_INSERT_SIZE + 1
     out = []
     stack = list(plans)[::-1]
     while stack:

@@ -172,25 +172,29 @@ def emit_indel_candidates(F, res, cfg, chrom, refstring, region_offset,
         return []
     prep = res.bq.prep
     lines = []
-    tracklen = F["ctx_repeatnum"] * F["ctx_unitlen"]
+    tracklen = np.asarray(F["ctx_repeatnum"]) * np.asarray(F["ctx_unitlen"])
     P = len(tracklen)
     # the reference evaluates the STR-track context at loop position z but
     # anchors the record (prep depths, vcfREF, refpos) at z-1: the BASE
     # symboltype's refpos = zerobased_pos - 1 while repeatunit/repeatnum/
     # curr_tracklen come from zerobased_pos (main.cpp:608-614,644,759-799)
-    for z in range(region_beg + 1, region_end + 1):
-        rp = z - 1
-        curr_tracklen = int(tracklen[z]) if z < P else 0
-        prev_tracklen = int(tracklen[rp])
-        aCDP = int(prep.a_near_long_clip_dp[rp])
-        ADP = int(prep.a_dp[rp])
-        is_long_track = curr_tracklen > max(
-            cfg.microadjust_alignment_tracklen_min - 1, prev_tracklen)
-        is_clip = (aCDP >= cfg.microadjust_alignment_clip_min_count
-                   and aCDP >= ADP * cfg.microadjust_alignment_clip_min_frac)
-        if not ((is_long_track or is_clip)
-                and ADP >= 2 * cfg.microadjust_alignment_clip_min_count):
-            continue
+    zs = np.arange(region_beg + 1, region_end + 1)
+    if not len(zs):
+        return []
+    rps = zs - 1
+    curr_tl = np.where(zs < P, tracklen[np.minimum(zs, P - 1)], 0)
+    prev_tl = tracklen[rps]
+    aCDPv = np.asarray(prep.a_near_long_clip_dp)[rps]
+    ADPv = np.asarray(prep.a_dp)[rps]
+    long_track = curr_tl > np.maximum(
+        cfg.microadjust_alignment_tracklen_min - 1, prev_tl)
+    clip = ((aCDPv >= cfg.microadjust_alignment_clip_min_count)
+            & (aCDPv >= ADPv * cfg.microadjust_alignment_clip_min_frac))
+    hit = ((long_track | clip)
+           & (ADPv >= 2 * cfg.microadjust_alignment_clip_min_count))
+    for i in np.flatnonzero(hit).tolist():
+        z, rp = int(zs[i]), int(rps[i])
+        aCDP, ADP = int(aCDPv[i]), int(ADPv[i])
         vcfref = refstring[rp:rp + 1].decode() or "N"
         match_refsym = int(F["ref_syms"][rp])
         ru, rc = repeat_context_str(refstring, z, F) if z < P else ("", 0)
