@@ -185,6 +185,9 @@ int64_t bgzf_stream_read(void *h, uint8_t *dst, int64_t max_out) {
     return dlen;
 }
 
+static int64_t effective_cigar(const uint8_t *r, int32_t bs,
+                               const uint8_t **words);
+
 // Scan only COMPLETE records; sets *consumed to the byte length of the
 // complete-record prefix.  Returns n_records (>=0).
 int64_t bam_scan_prefix(const uint8_t *buf, int64_t len, int64_t start,
@@ -197,10 +200,10 @@ int64_t bam_scan_prefix(const uint8_t *buf, int64_t len, int64_t start,
         if (p + 4 + bs > len) break;
         const uint8_t *r = buf + p + 4;
         uint8_t l_read_name = r[8];
-        uint16_t n_cigar = (uint16_t)(r[12] | (r[13] << 8));
         int32_t l_seq = rd_i32_fwd(r + 16);
+        const uint8_t *w_;
         tq += l_read_name - 1;
-        tc += n_cigar;
+        tc += effective_cigar(r, bs, &w_);
         ts += l_seq;
         n++;
         p += 4 + bs;
@@ -235,10 +238,10 @@ int64_t bam_scan(const uint8_t *buf, int64_t len, int64_t start,
         if (p + 4 + bs > len) return -1;
         const uint8_t *r = buf + p + 4;
         uint8_t l_read_name = r[8];
-        uint16_t n_cigar = rd_u16(r + 12);
         int32_t l_seq = rd_i32(buf + p + 4 + 16);
+        const uint8_t *w_;
         tq += l_read_name - 1;
-        tc += n_cigar;
+        tc += effective_cigar(r, bs, &w_);
         ts += l_seq;
         n++;
         p += 4 + bs;
@@ -301,6 +304,76 @@ static int32_t aux_find_nm(const uint8_t *p, const uint8_t *end) {
     return -1;
 }
 
+// CG:B,I long-cigar lookup (SAM spec 4.2.2 / htslib bam_read1): when the
+// in-record cigar is the kSmN placeholder, the real cigar is a CG:B,I
+// aux array.  Returns its element count and sets *arr, or -1.
+static int64_t aux_find_cg(const uint8_t *p, const uint8_t *end,
+                           const uint8_t **arr) {
+    while (p + 3 <= end) {
+        uint8_t t0 = p[0], t1 = p[1], tp = p[2];
+        p += 3;
+        int fixed = 0;
+        switch (tp) {
+            case 'A': case 'c': case 'C': fixed = 1; break;
+            case 's': case 'S': fixed = 2; break;
+            case 'i': case 'I': case 'f': fixed = 4; break;
+            case 'd': fixed = 8; break;
+            case 'Z': case 'H': {
+                while (p < end && *p) p++;
+                p++;
+                continue;
+            }
+            case 'B': {
+                if (p + 5 > end) return -1;
+                uint8_t el = p[0];
+                uint32_t cnt;
+                memcpy(&cnt, p + 1, 4);
+                int es = (el == 'c' || el == 'C') ? 1
+                       : (el == 's' || el == 'S') ? 2 : 4;
+                if (p + 5 + (int64_t)es * cnt > end) return -1;
+                if (t0 == 'C' && t1 == 'G' && el == 'I') {
+                    *arr = p + 5;
+                    return (int64_t)cnt;
+                }
+                p += 5 + (int64_t)es * cnt;
+                continue;
+            }
+            default:
+                return -1;
+        }
+        if (p + fixed > end) return -1;
+        p += fixed;
+    }
+    return -1;
+}
+
+// Effective cigar of one record body r (bs bytes): the in-record words,
+// unless they are the kSmN placeholder with a CG aux array.
+static int64_t effective_cigar(const uint8_t *r, int32_t bs,
+                               const uint8_t **words) {
+    uint8_t lrn = r[8];
+    uint16_t nc = rd_u16(r + 12);
+    int32_t ls = rd_i32(r + 16);
+    const uint8_t *cg = r + 32 + lrn;
+    *words = cg;
+    if (nc == 2) {
+        uint32_t w0, w1;
+        memcpy(&w0, cg, 4);
+        memcpy(&w1, cg + 4, 4);
+        if ((w0 & 0xF) == 4 /*S*/ && (int32_t)(w0 >> 4) == ls
+                && (w1 & 0xF) == 3 /*N*/) {
+            const uint8_t *aux = cg + 4 * 2 + (ls + 1) / 2 + ls;
+            const uint8_t *arr = NULL;
+            int64_t cnt = aux_find_cg(aux, r + bs, &arr);
+            if (cnt > 0) {
+                *words = arr;
+                return cnt;
+            }
+        }
+    }
+    return nc;
+}
+
 int bam_fill(const uint8_t *buf, int64_t len, int64_t start,
              int32_t *tid, int32_t *pos, uint8_t *mapq, uint16_t *flag,
              int32_t *mtid, int32_t *mpos, int32_t *isize,
@@ -329,13 +402,15 @@ int bam_fill(const uint8_t *buf, int64_t len, int64_t start,
         memcpy(qname_data + qo, q, lrn - 1);
         qo += lrn - 1;
         const uint8_t *cg = q + lrn;
-        for (int k = 0; k < nc; k++) {
+        const uint8_t *cw;
+        const int64_t nce = effective_cigar(r, bs, &cw);
+        for (int64_t k = 0; k < nce; k++) {
             uint32_t w;
-            memcpy(&w, cg + 4 * k, 4);
+            memcpy(&w, cw + 4 * k, 4);
             cigar_op[co + k] = (uint8_t)(w & 0xF);
             cigar_len[co + k] = (int32_t)(w >> 4);
         }
-        co += nc;
+        co += nce;
         const uint8_t *sq = cg + 4 * (int64_t)nc;
         for (int32_t k = 0; k < ls; k++) {
             uint8_t nib = (k & 1) ? (sq[k >> 1] & 0xF) : (sq[k >> 1] >> 4);

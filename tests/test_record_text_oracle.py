@@ -357,3 +357,59 @@ def test_header_parity(oracle):
         assert len(ref_l) == len(our_l), (len(ref_l), len(our_l))
         for a, b in zip(ref_l, our_l):
             assert a == b, f"\nref: {a!r}\npy:  {b!r}"
+
+
+def test_record_text_parity_iontorrent(oracle, tmp_path):
+    """Record text under the IonTorrent platform shift (prior_phred 3+8
+    in the TN quals, platform-shifted defaults in the FORMAT planes)."""
+    from test_record_oracle import _run_tn_pipeline
+    from uvc_tpu.constants import SequencingPlatform
+    prepared, cfg = _run_tn_pipeline(tmp_path,
+                                     platform=SequencingPlatform.IONTORRENT)
+    errs = []
+    n = _check_pipeline_records(oracle, prepared, cfg, False, errs)
+    assert n >= 3, f"too few records exercised: {n}"
+    assert not errs, f"{len(errs)} of {n} records differ:\n" + \
+        "\n".join(errs[:6])
+
+
+def test_rescue_decode_semantics():
+    """vcfout/reader.read_tumor_vcf vs the reference's
+    rescue_variants_from_vcf decode conventions (main.cpp:274-391): which
+    FORMAT tag feeds which TumorKeyInfo field, per-allele index [1],
+    capital index [0], the back-compat CDP1b/cDP1f+r (not DP/AD) sources,
+    the link-symbol +1 position key, and the tier-2 gate."""
+    from uvc_tpu.vcfout import reader as vcf_reader
+
+    def mk(vti, pos, extra=""):
+        keys = ("GT:VTI:BDPb:bDPf:bDPr:CDP1x:cDP1x:cVQ1:cPCQ1:CDP2x:cDP2x:"
+                "cVQ2:cPCQ2:bNMQ:vHGQ:CDP1b:cDP1f:cDP1r:CDP2b:cDP2f:cDP2r"
+                + extra)
+        vals = (f"./1:{0},{vti}:11,22:1,2:3,4:500:100,77:10,20:30,40:600:"
+                "200,88:50,60:70,80:5,6:9:41,42:7,8:9,10:43,44:11,12:13,14"
+                + (":1" if extra else ""))
+        return "\t".join(["chr9", str(pos), ".", "A", "T", "30.000000",
+                          "PASS", "SOMATIC", keys, vals])
+
+    text = mk(1, 101) + "\n" + mk(9, 200, extra=":c2LP1") + "\n"
+    import tempfile
+    p = tempfile.mktemp(suffix=".vcf")
+    open(p, "w").write(text)
+    tkis = vcf_reader.read_tumor_vcf(p, {"chr9": 0})
+    os.remove(p)
+    # SNV: symbolpos = POS-1; LINK: symbolpos = POS (main.cpp:281)
+    assert set(tkis) == {(0, 100, 1), (0, 200, 9)}
+    t = tkis[(0, 100, 1)][0]
+    assert t.BDP == 11 + 22            # SUMPAIR(BDPb)
+    assert t.bDP == 2 + 4              # bDPf[1] + bDPr[1]
+    assert t.CDP1x == 500 and t.cDP1x == 77   # [0] capital, [1] allele
+    assert (t.cVQ1, t.cPCQ1, t.CDP2x, t.cDP2x) == (20, 40, 600, 88)
+    assert (t.cVQ2, t.cPCQ2, t.bNMQ, t.vHGQ) == (60, 80, 6, 9)
+    # back-compat block (main.cpp:364-376): CDP1b / cDP1f+cDP1r sources
+    assert t.tDP == 41 + 42
+    assert (t.tAD_ref, t.tAD_alt) == (7 + 9, 8 + 10)
+    assert t.tDPC == 43 + 44
+    assert (t.tADC_ref, t.tADC_alt) == (11 + 13, 12 + 14)
+    assert t.ref_alt == "A\tT"
+    assert not t.enable_tier2           # no tier-2 tags on the first rec
+    assert tkis[(0, 200, 9)][0].enable_tier2

@@ -316,6 +316,35 @@ def decode_records(buf, start: int = 0, end: int = None) -> ReadBatch:
             if v is not None:
                 nm[i] = v
 
+    # CG:B,I long-cigar records (SAM spec 4.2.2 / htslib bam_read1): a
+    # kSmN placeholder cigar with the real >65535-op cigar in a CG aux
+    # array; replace the placeholder with the aux words
+    fixes = {}
+    for i in np.flatnonzero((n_cigar == 2)
+                            & (aux_starts < rec_end)).tolist():
+        o = int(cigar_off[i])
+        if (cigar_op[o] == 4 and int(cigar_len[o]) == int(l_seq[i])
+                and cigar_op[o + 1] == 3):
+            arr = _aux_get_b_u32(u8, int(aux_starts[i]), int(rec_end[i]),
+                                 0x4743)       # 'CG' little-endian
+            if arr is not None:
+                fixes[i] = arr
+    if fixes:
+        ops_l, lens_l = [], []
+        for i in range(n):
+            w = fixes.get(i)
+            if w is not None:
+                ops_l.append((w & 0xF).astype(np.uint8))
+                lens_l.append((w >> 4).astype(np.int32))
+            else:
+                sl = slice(int(cigar_off[i]), int(cigar_off[i + 1]))
+                ops_l.append(cigar_op[sl])
+                lens_l.append(cigar_len[sl])
+        cigar_op = np.concatenate(ops_l)
+        cigar_len = np.concatenate(lens_l)
+        cigar_off = np.concatenate(
+            [[0], np.cumsum([len(x) for x in ops_l])])
+
     return ReadBatch(
         n=n, tid=tid, pos=pos_arr, mapq=mapq.copy(), flag=flag,
         mtid=mtid, mpos=mpos, isize=isize,
@@ -385,6 +414,37 @@ def read_bam(path: str):
 _SYM_TO_NT16 = {0: 1, 1: 2, 2: 4, 3: 8, 4: 15}
 _CHAR_TO_NT16 = {c: i for i, c in enumerate(SEQ_NT16_STR)}
 _CHAR_TO_NT16.update({c.lower(): i for i, c in enumerate(SEQ_NT16_STR)})
+
+
+def _aux_get_b_u32(b, p: int, end: int, tag16: int):
+    """Walk aux tags in b[p:end]; return the B/I (uint32) array of the tag
+    whose chars little-endian-pack to tag16, or None."""
+    while p + 3 <= end:
+        t = int(b[p]) | (int(b[p + 1]) << 8)
+        tp = int(b[p + 2])
+        p += 3
+        if tp in _AUX_FIXED_SIZE:
+            p += _AUX_FIXED_SIZE[tp]
+        elif tp in (ord('Z'), ord('H')):
+            while p < end and b[p] != 0:
+                p += 1
+            p += 1
+        elif tp == ord('B'):
+            if p + 5 > end:
+                return None
+            el = int(b[p])
+            cnt = (int(b[p + 1]) | (int(b[p + 2]) << 8)
+                   | (int(b[p + 3]) << 16) | (int(b[p + 4]) << 24))
+            es = _AUX_B_ELSIZE.get(el, 1)
+            if p + 5 + es * cnt > end:
+                return None
+            if t == tag16 and el == ord('I'):
+                return np.asarray(b[p + 5:p + 5 + 4 * cnt]).copy() \
+                    .view("<u4")
+            p += 5 + es * cnt
+        else:
+            return None
+    return None
 
 
 def encode_aux_int(tag: str, value: int) -> bytes:
