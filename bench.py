@@ -170,7 +170,7 @@ def bench_device_model_guarded(timeout_s=540):
         return 0.0, 0.0, f"unavailable({type(e).__name__})"
 
 
-def bench_device_prepare_ab(files, timeout_s=420):
+def bench_device_prepare_ab(files, timeout_s=240):
     """UVC_TPU_DEVICE_PREPARE=0 vs =1 on the same workload (round-4 weak
     #3: the gate's crossover was asserted, never measured).  Both legs run
     as fresh subprocesses (identical import overhead, gate=1 needs its own

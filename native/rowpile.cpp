@@ -2535,6 +2535,14 @@ int64_t fam_chain_statics(
         fend[fm] = e;
     }
 
+    // interleaved per-(pos,sym,strand) counter block: the 7 cdp planes
+    // live in ONE 28-byte group so a flush touches 1-2 cache lines
+    // instead of 5-7 scattered arrays; de-interleaved into the caller's
+    // planes at the end (sequential)
+    static thread_local std::vector<int32_t> cdp_il;
+    cdp_il.assign((size_t)(P * NS * 2) * 7, 0);
+    int32_t *il_base = cdp_il.data();
+
     // 3) merge + inline consensus + sweep 1
     rcdiag::Phase *ph_m = new rcdiag::Phase("fch.merge");
     sres::g1g.clear(); sres::g1p.clear(); sres::g1st.clear();
@@ -2568,12 +2576,13 @@ int64_t fam_chain_statics(
                 // sweep 1 on the famcov consensus row
                 const int64_t cs = bs1, cc = bv1;
                 const int64_t idx = (fpos * NS + cs) * 2 + strand;
-                cdp12[idx] += 1;
-                if (t1 == 1) cdp21[idx] += 1;
+                int32_t *il = il_base + idx * 7;
+                il[0] += 1;                          // cdp12
+                if (t1 == 1) il[1] += 1;             // cdp21
                 const bool good = t1 >= dup1add
                     && cc * 100 >= t1 * dup1perc && (umi || flag2);
                 if (good) {
-                    cdp2[idx] += 1;
+                    il[2] += 1;                      // cdp2
                     sres::g1g.push_back(fm);
                     sres::g1p.push_back(fpos);
                     sres::g1st.push_back(fst);
@@ -2582,13 +2591,13 @@ int64_t fam_chain_statics(
                     sres::g1t.push_back(t1);
                 }
                 if (t1 >= dup2add && cc * 100 >= t1 * dup2perc)
-                    cdp3[idx] += 1;
+                    il[3] += 1;                      // cdp3
                 const bool is_base = cs < 6;
                 const int64_t emperr = is_base ? emperr_snv : emperr_indel;
                 const int64_t emperc = is_base ? emperc_snv : emperc_indel;
                 if (t1 >= emperr && cc * 100 >= t1 * emperc) {
-                    cdpm[idx] += t1 - cc;
-                    cdpM[idx] += t1 * (is_base ? 5 : 7);
+                    il[4] += t1 - cc;                // cdpm
+                    il[5] += t1 * (is_base ? 5 : 7); // cdpM
                 }
             }
             if (t2 > 0) {
@@ -2635,12 +2644,13 @@ int64_t fam_chain_statics(
                 const int64_t a1 = (fst == 1 || adj >= highbq_snv) ? 1 : 0;
                 if (a1 > 0) {
                     const int64_t idx = (fpos * NS + s) * 2 + strand;
-                    cdp12[idx] += 1;
-                    cdp21[idx] += 1;     // tot == 1
+                    int32_t *il = il_base + idx * 7;
+                    il[0] += 1;                      // cdp12
+                    il[1] += 1;                      // cdp21 (tot == 1)
                     const bool good = 1 >= dup1add && 100 >= dup1perc
                         && (umi || flag2);
                     if (good) {
-                        cdp2[idx] += 1;
+                        il[2] += 1;                  // cdp2
                         sres::g1g.push_back(fm);
                         sres::g1p.push_back(fpos);
                         sres::g1st.push_back(fst);
@@ -2648,12 +2658,12 @@ int64_t fam_chain_statics(
                         sres::g1c.push_back(1);
                         sres::g1t.push_back(1);
                     }
-                    if (1 >= dup2add && 100 >= dup2perc) cdp3[idx] += 1;
+                    if (1 >= dup2add && 100 >= dup2perc) il[3] += 1;
                     const bool is_base = s < 6;
                     if (1 >= (is_base ? emperr_snv : emperr_indel)
                         && 100 >= (is_base ? emperc_snv : emperc_indel)) {
                         // cdpm += tot - cnt == 0; cdpM += tot * n_others
-                        cdpM[idx] += (is_base ? 5 : 7);
+                        il[5] += (is_base ? 5 : 7);  // cdpM
                     }
                 }
                 w_g[w2] = (int32_t)fm;
@@ -2733,11 +2743,12 @@ int64_t fam_chain_statics(
         const int64_t con_nfrags = fch::s2cnf[i];
         const int64_t tot_nfrags = fch::s2tnf[i];
         const int64_t idx = (pos2 * NS + con_sym) * 2 + strand;
-        cdp1[idx] += 1;
+        int32_t *il = il_base + idx * 7;
+        il[6] += 1;                                  // cdp1
         const int64_t avgBQ = tot_nfrags == 0 ? 1
             : cc2 / (tot_nfrags > 1 ? tot_nfrags : 1);
-        const int64_t major = cdpM[idx];
-        const int64_t minor = cdpm[idx];
+        const int64_t major = il[5];
+        const int64_t minor = il[4];
         const double w = 1.0 / ((double)minor + 1.0);
         double realphred;
         if (rp_memo_key[idx] == avgBQ) {
@@ -2789,6 +2800,20 @@ int64_t fam_chain_statics(
             sres::m2ok.push_back(
                 (tot_nfrags >= dup1add
                  && con_nfrags * 100 >= tot_nfrags * dup1perc) ? 1 : 0);
+        }
+    }
+    {
+        // de-interleave the scratch into the caller's (zeroed) planes
+        const int64_t NIDX = P * NS * 2;
+        for (int64_t idx = 0; idx < NIDX; idx++) {
+            const int32_t *il = il_base + idx * 7;
+            cdp12[idx] = il[0];
+            cdp21[idx] = il[1];
+            cdp2[idx] = il[2];
+            cdp3[idx] = il[3];
+            cdpm[idx] = il[4];
+            cdpM[idx] = il[5];
+            cdp1[idx] = il[6];
         }
     }
     counts_out[0] = (int64_t)sres::g1g.size();

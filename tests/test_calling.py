@@ -102,13 +102,20 @@ def test_tumor_normal_join(tmp_path):
     assert rc == 0 or rc is None
     text = bgzf.read_file(str(tmp_path / "out.normal.vcf.gz")).decode()
     recs = [l.split("\t") for l in text.splitlines() if not l.startswith("#")]
-    poss = {int(r[1]) for r in recs}
+    somatic = [r for r in recs if "MGVCF_BLOCK" not in r[7]
+               and "ADDITIONAL_INDEL_CANDIDATE" not in r[7]]
+    poss = {int(r[1]) for r in somatic}
     assert 1001 in poss          # somatic SNV kept
     assert 2201 in poss          # somatic deletion kept
     assert 1801 not in poss      # germline variant filtered
-    for r in recs:
+    for r in somatic:
         assert "SOMATIC" in r[7]
         assert len(r) == 11      # normal + appended tumor column
+    # the normal run ALSO emits MGVCF blocks with the tumor's retrieved
+    # column re-appended (main.cpp:655-757, round-5 fix)
+    mg = [r for r in recs if "MGVCF_BLOCK" in r[7]]
+    assert mg and all(len(r) == 11 for r in mg), \
+        [len(r) for r in mg[:3]]
 
 
 def test_thread_count_determinism(tmp_path):

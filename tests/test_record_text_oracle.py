@@ -413,3 +413,68 @@ def test_rescue_decode_semantics():
     assert t.ref_alt == "A\tT"
     assert not t.enable_tier2           # no tier-2 tags on the first rec
     assert tkis[(0, 200, 9)][0].enable_tier2
+
+
+def test_tumor_aux_column_literals():
+    """The tumor column re-emitted next to a normal run's MGVCF /
+    <ADDITIONAL_INDEL_CANDIDATE> lines (main.cpp:739-755, 784-797):
+    exactly-one retrieved record -> verbatim column (leading tab);
+    several -> the -1 placeholders; absent -> the dot placeholders."""
+    from uvc_tpu.vcfout.aux_records import tumor_aux_column
+    from uvc_tpu.vcfout.reader import TumorKeyInfo
+    one = TumorKeyInfo(tumor_format_text=".:3,15:0,2,.,9,8,8,27,.,42")
+    m = {(1000, 15): [one], (2000, 15): [one, one],
+         (500, 16): [one], (600, 16): [one, one]}
+    assert tumor_aux_column(m, 1000, 15) == "\t" + one.tumor_format_text
+    assert tumor_aux_column(m, 2000, 15) == "\t.:.,.:-1"
+    assert tumor_aux_column(m, 3000, 15) == "\t.:.,.:."
+    assert tumor_aux_column(m, 500, 16) == "\t" + one.tumor_format_text
+    assert tumor_aux_column(m, 600, 16) == "\t.:-1,-1:-1,-1"
+    assert tumor_aux_column(m, 700, 16) == "\t.:.,.:.,."
+
+
+def test_normal_run_emits_mgvcf_with_tumor_column(tmp_path):
+    """End-to-end uvcTN-style pair: the NORMAL run's VCF must contain
+    MGVCF_BLOCK lines with TWO value columns (its own + the tumor's
+    retrieved block), like the reference's normal run."""
+    import gzip
+    import subprocess
+    from uvc_tpu.io import simulate
+
+    ref = simulate.random_ref(4000, 77)
+    tbam, nbam = str(tmp_path / "t.bam"), str(tmp_path / "n.bam")
+    v = [simulate.Variant(1500, f"{ref[1500]}>"
+                          + ("A" if ref[1500] != "A" else "C"), 0.3)]
+    simulate.build_bam(tbam, ref, depth=50, variants=v, seed=3)
+    simulate.build_bam(nbam, ref, depth=40, seed=4, variants=[])
+    fa = str(tmp_path / "r.fa")
+    open(fa, "w").write(">chr1\n" + ref + "\n")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    tvcf = str(tmp_path / "t.vcf.gz")
+    subprocess.run([sys.executable, "-m", "uvc_tpu.cli.uvc1", "-f", fa,
+                    "-o", tvcf, "-t", "1", "--tn-is-paired", "1", tbam],
+                   check=True, env=env, cwd=REPO, capture_output=True,
+                   timeout=600)
+    nvcf = str(tmp_path / "n.vcf.gz")
+    subprocess.run([sys.executable, "-m", "uvc_tpu.cli.uvc1", "-f", fa,
+                    "-o", nvcf, "-t", "1", "--tumor-vcf", tvcf, nbam],
+                   check=True, env=env, cwd=REPO, capture_output=True,
+                   timeout=600)
+    body = gzip.decompress(open(nvcf, "rb").read()).decode()
+    mg = [l for l in body.splitlines()
+          if "MGVCF_BLOCK" in l and not l.startswith("#")]
+    assert mg, "normal run emitted no MGVCF blocks"
+    two_col = [l for l in mg if len(l.split("\t")) == 11]
+    assert two_col, f"no MGVCF line carries the tumor column: {mg[0]}"
+    # the verbatim tumor block at pos 1 must match the tumor VCF's own
+    tbody = gzip.decompress(open(tvcf, "rb").read()).decode()
+    t_mg = {l.split("\t")[1]: l.split("\t")[9]
+            for l in tbody.splitlines()
+            if "MGVCF_BLOCK" in l and not l.startswith("#")}
+    for l in two_col:
+        cols = l.split("\t")
+        if cols[1] in t_mg:
+            assert cols[10] == t_mg[cols[1]], (cols[10], t_mg[cols[1]])
+            break
+    else:
+        assert False, "no overlapping MGVCF block position to compare"

@@ -152,6 +152,7 @@ def _process_region_chunk(idxs, ctx):
         ref_syms = CHAR_TO_SYMBOL[
             np.frombuffer(refstring, dtype=np.uint8) & 0x7F]
         tki_map = None
+        tki_aux = None
         if is_normal:
             # per-tid pos-sorted index: O(log n + hits) per region instead
             # of a full scan of the tumor VCF for every region (the
@@ -160,16 +161,21 @@ def _process_region_chunk(idxs, ctx):
             import bisect
             idx = ctx["tki_index"].get(plan.tid)
             tki_map = {}
-            if idx is not None:
+            tki_aux = {}     # MGVCF/<AIC> symbolic records (VTI 15/16):
+            if idx is not None:   # tumor columns for the aux emitters only
                 poss, keys = idx
                 lo = bisect.bisect_left(poss, plan.ext_beg)
                 hi = bisect.bisect_left(poss, plan.ext_end)
                 tki_all = ctx["tki_all"]
                 for k in keys[lo:hi]:
-                    tki_map[k] = tki_all[k]
+                    if k[2] <= 13:
+                        tki_map[k] = tki_all[k]
+                    else:
+                        tki_aux[(k[1], k[2])] = tki_all[k]
         rctx = calling.prepare_region(
             sub, ref_syms, plan.ext_beg, cfg,
             is_tumor_only=not is_normal, tki_map=tki_map)
+        rctx["_tki_aux"] = tki_aux
         rctx["_plan"] = plan
         rctx["_sub"] = sub
         rctx["_chrom"] = chrom
@@ -214,19 +220,29 @@ def _process_region_chunk(idxs, ctx):
         rbeg = plan.beg - plan.ext_beg
         rend = min(plan.end - plan.ext_beg, F["P"])
         lines = []
-        if not is_normal:
-            t1e = (plan.t1_end - plan.ext_beg if plan.t1_end > 0
-                   else F["P"])
-            lines += [(_line_pos(l), 0, l) for l in aux_records.emit_mgvcf(
-                F, res, cfg, chrom, refstring, plan.ext_beg, rbeg, rend,
-                t1_end=t1e)]
-            lines += [(_line_pos(l), 1, l) for l in
-                      aux_records.emit_indel_candidates(
-                          F, res, cfg, chrom, refstring, plan.ext_beg,
-                          rbeg, rend)]
-            lines += [(_line_pos(l), 2, l) for l in aux_records.emit_germline(
-                F, F["_germ"], F["_cand"], cfg, chrom, refstring,
-                plan.ext_beg, rbeg, rend)]
+        # the aux emitters run in NORMAL mode too (the reference's
+        # per-position loop emits MGVCF / <ADDITIONAL_INDEL_CANDIDATE>
+        # regardless of --tumor-vcf, main.cpp:655-799), with the tumor's
+        # retrieved column re-emitted next to each line when
+        # is_tumor_format_retrieved (main.cpp:739-755, 784-797)
+        tumor_col = None
+        if is_normal and cfg.is_tumor_format_retrieved:
+            aux_map = rctx["_tki_aux"] or {}
+
+            def tumor_col(p_abs, symbol, _m=aux_map):
+                return aux_records.tumor_aux_column(_m, p_abs, symbol)
+        t1e = (plan.t1_end - plan.ext_beg if plan.t1_end > 0
+               else F["P"])
+        lines += [(_line_pos(l), 0, l) for l in aux_records.emit_mgvcf(
+            F, res, cfg, chrom, refstring, plan.ext_beg, rbeg, rend,
+            t1_end=t1e, tumor_col=tumor_col)]
+        lines += [(_line_pos(l), 1, l) for l in
+                  aux_records.emit_indel_candidates(
+                      F, res, cfg, chrom, refstring, plan.ext_beg,
+                      rbeg, rend, tumor_col=tumor_col)]
+        lines += [(_line_pos(l), 2, l) for l in aux_records.emit_germline(
+            F, F["_germ"], F["_cand"], cfg, chrom, refstring,
+            plan.ext_beg, rbeg, rend)]
         kept = [rec for rec in recs
                 if plan.emit_lo <= rec.vcfpos < plan.emit_hi]
         lines += [(rec.vcfpos, 3, vcf_writer.render_record(chrom, rec))

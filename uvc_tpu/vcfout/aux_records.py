@@ -30,7 +30,7 @@ def _are_depths_diff(curr, prev, mul_perc=130, add_num=3):
 
 
 def emit_mgvcf(F, res, cfg, chrom, refstring, region_offset, region_beg,
-               region_end, t1_end=None):
+               region_end, t1_end=None, tumor_col=None):
     """MGVCF_BLOCK lines for one region; region_beg/end are region-relative
     emission bounds.  t1_end (region-relative, exclusive) is the owning
     tier-1 region's end: block CONTENT is cut there (main.cpp:666 cuts at
@@ -84,12 +84,15 @@ def emit_mgvcf(F, res, cfg, chrom, refstring, region_offset, region_beg,
         vec = _mgvcf_block_vec(stats, blk_start, rp2end, region_offset)
         vcfref = refstring[blk_start:blk_start + 1].decode() or "N"
         match_refsym = int(ref_syms[blk_start])
-        lines.append("\t".join([
+        line = "\t".join([
             chrom, str(refpos_abs + 1), ".", vcfref, "<NON_REF>", ".", ".",
             "MGVCF_BLOCK", "GT:VTI:POS_VT_BDP_CDP_HomRefQ",
             "." + f":{match_refsym},{MGVCF_SYMBOL}:"
             + ",".join(str(x) for x in vec)
-            + "," + str(rp2end + region_offset)]))
+            + "," + str(rp2end + region_offset)])
+        if tumor_col is not None:
+            line += tumor_col(refpos_abs, MGVCF_SYMBOL)
+        lines.append(line)
     return lines
 
 
@@ -166,7 +169,7 @@ def _logit2(a, b):
 
 
 def emit_indel_candidates(F, res, cfg, chrom, refstring, region_offset,
-                          region_beg, region_end):
+                          region_beg, region_end, tumor_col=None):
     """<ADDITIONAL_INDEL_CANDIDATE> records (main.cpp:759-799)."""
     if not (cfg.outvar_flag & OUTVAR_ADDITIONAL_INDEL_CANDIDATE):
         return []
@@ -198,13 +201,30 @@ def emit_indel_candidates(F, res, cfg, chrom, refstring, region_offset,
         vcfref = refstring[rp:rp + 1].decode() or "N"
         match_refsym = int(F["ref_syms"][rp])
         ru, rc = repeat_context_str(refstring, z, F) if z < P else ("", 0)
-        lines.append("\t".join([
+        line = "\t".join([
             chrom, str(z + region_offset), ".", vcfref,
             "<ADDITIONAL_INDEL_CANDIDATE>", ".", ".",
             f"ADDITIONAL_INDEL_CANDIDATE;RU={ru};RC={rc}",
             "GT:VTI:clipDP",
-            f".:{match_refsym},{ADDITIONAL_INDEL_CANDIDATE_SYMBOL}:{ADP},{aCDP}"]))
+            f".:{match_refsym},{ADDITIONAL_INDEL_CANDIDATE_SYMBOL}:{ADP},{aCDP}"])
+        if tumor_col is not None:
+            line += tumor_col(z + region_offset - 1,
+                              ADDITIONAL_INDEL_CANDIDATE_SYMBOL)
+        lines.append(line)
     return lines
+
+
+def tumor_aux_column(tki_map, p_abs, symbol):
+    """The re-emitted tumor column next to a normal run's MGVCF /
+    <ADDITIONAL_INDEL_CANDIDATE> line (main.cpp:739-755, 784-797):
+    exactly-one retrieved record -> its verbatim column; several -> the
+    -1 placeholders; none -> the dot placeholders."""
+    tkis = tki_map.get((p_abs, symbol))
+    if not tkis:
+        return "\t.:.,.:." if symbol == MGVCF_SYMBOL else "\t.:.,.:.,."
+    if len(tkis) == 1:
+        return "\t" + tkis[0].tumor_format_text
+    return "\t.:.,.:-1" if symbol == MGVCF_SYMBOL else "\t.:-1,-1:-1,-1"
 
 
 def repeat_context_str(refstring, p, F):

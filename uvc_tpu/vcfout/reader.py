@@ -74,6 +74,16 @@ def read_tumor_vcf(path, name2tid):
         fmt_vals = cols[9].split(":")
         d = dict(zip(fmt_keys, fmt_vals))
         vti = _geti(d, "VTI", default=-1)
+        if vti in (15, 16):
+            # MGVCF_SYMBOL / ADDITIONAL_INDEL_CANDIDATE_SYMBOL records are
+            # retrieved too (main.cpp:265-291): only pos/ref_alt plus the
+            # verbatim tumor column, re-emitted next to the normal's own
+            # aux lines (main.cpp:739-755, 784-797)
+            symbolpos = int(pos_s) - 1
+            tki = TumorKeyInfo(ref_alt=ref + "\t" + alt, VTI=vti,
+                               pos=symbolpos, tumor_format_text=cols[9])
+            tkis.setdefault((tid, symbolpos, vti), []).append(tki)
+            continue
         if vti < 0 or vti > 13:
             continue
         is_subst = vti <= 5
