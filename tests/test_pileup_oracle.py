@@ -648,7 +648,8 @@ def test_exact_indel_maps_oracle(oracle_exe, tmp_path):
     assert not diffs, f"{len(diffs)} exact-indel map diffs: {diffs[:8]}"
 
 
-def test_aux_emitters_oracle(oracle_exe, tmp_path):
+@pytest.mark.parametrize("umi", [False, True])
+def test_aux_emitters_oracle(oracle_exe, tmp_path, umi):
     """MGVCF + ADDITIONAL_INDEL_CANDIDATE emission vs the COMPILED
     reference: the main.cpp:655-799 emitter blocks (sliced verbatim into
     the oracle's `auxemit` op) run over the reference-built
@@ -672,7 +673,8 @@ def test_aux_emitters_oracle(oracle_exe, tmp_path):
         simulate.Variant(1399, "-2", 0.3),
     ]
     path = str(tmp_path / "aux.bam")
-    simulate.build_bam(path, ref, depth=40, variants=variants, seed=19)
+    simulate.build_bam(path, ref, depth=40, variants=variants, seed=19,
+                       umi=umi)
     hdr, batch = bam_mod.read_bam(path)
     cfg = UVCConfig()
     cfg.bam_input_fname = path

@@ -50,7 +50,7 @@ class RegionPlan:
     t1_nreads: int = 0   # bedline n_reads (scheduling/bed-out bookkeeping)
 
 
-UNIT_READS = 8192  # tier-2 work-unit size (reads per unit before split)
+UNIT_READS = 16384  # tier-2 work-unit size (reads per unit before split)
 
 
 def split_plans_into_units(plans, batch, ref_lens, unit_reads=None):
