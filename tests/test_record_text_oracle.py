@@ -478,3 +478,30 @@ def test_normal_run_emits_mgvcf_with_tumor_column(tmp_path):
             break
     else:
         assert False, "no overlapping MGVCF block position to compare"
+
+
+def test_record_text_parity_multiallele_indel(oracle, tmp_path):
+    """Two distinct insertion sequences at one locus: the extra-allele
+    rerun path (indel_get_majority emitting one record per qualifying
+    exact sequence, main.cpp:883-905) must produce byte-identical record
+    text too, incl. the per-allele gapSa/gapSeq tables."""
+    from uvc_tpu.io import simulate
+    variants = [simulate.Variant(2000, "+CT", 0.35),
+                simulate.Variant(2000, "+GA", 0.35),
+                simulate.Variant(4000, "-2", 0.3)]
+    prepared, cfg = _run_pipeline(tmp_path, seed=33, depth=120,
+                                  variants=variants)
+    errs = []
+    n = _check_pipeline_records(oracle, prepared, cfg, True, errs)
+    assert n >= 3, f"too few records exercised: {n}"
+    # both exact insertion alleles must appear as separate records
+    alts = set()
+    for rctx in prepared:
+        for rec in calling.assemble_records(rctx, rctx["_refstring"], 0,
+                                            "chrT", cfg,
+                                            is_tumor_only=True):
+            if rec.vcfpos == 2001 and len(rec.alt) == 3:
+                alts.add(rec.alt[1:])
+    assert {"CT", "GA"} <= alts, alts
+    assert not errs, f"{len(errs)} of {n} records differ:\n" + \
+        "\n".join(errs[:6])
