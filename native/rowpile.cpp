@@ -119,6 +119,11 @@ enum {
 };
 
 static inline int64_t imin(int64_t a, int64_t b) { return a < b ? a : b; }
+// memcpy with n==0 and a null numpy-empty-array pointer is UB
+// (caught by the UBSan flavor); every fetch copy goes through this
+static inline void copy_n(void *dst, const void *src, size_t n) {
+    if (n) memcpy(dst, src, n);
+}
 static inline int64_t imax(int64_t a, int64_t b) { return a > b ? a : b; }
 static inline int64_t iclip(int64_t v, int64_t lo, int64_t hi) {
     return v < lo ? lo : (v > hi ? hi : v);
@@ -2218,16 +2223,16 @@ int pass_d_statics(
 }
 
 void pass_d_fetch_mut(int64_t *f, int64_t *p, int64_t *st, int64_t *s) {
-    memcpy(f, sres::mutf.data(), sres::mutf.size() * 8);
-    memcpy(p, sres::mutp.data(), sres::mutp.size() * 8);
-    memcpy(st, sres::mutst.data(), sres::mutst.size() * 8);
-    memcpy(s, sres::muts.data(), sres::muts.size() * 8);
+    copy_n(f, sres::mutf.data(), sres::mutf.size() * 8);
+    copy_n(p, sres::mutp.data(), sres::mutp.size() * 8);
+    copy_n(st, sres::mutst.data(), sres::mutst.size() * 8);
+    copy_n(s, sres::muts.data(), sres::muts.size() * 8);
 }
 
 void pass_d_fetch_win(int64_t *f, int64_t *p, int64_t *s) {
-    memcpy(f, sres::winf.data(), sres::winf.size() * 8);
-    memcpy(p, sres::winp.data(), sres::winp.size() * 8);
-    memcpy(s, sres::wins.data(), sres::wins.size() * 8);
+    copy_n(f, sres::winf.data(), sres::winf.size() * 8);
+    copy_n(p, sres::winp.data(), sres::winp.size() * 8);
+    copy_n(s, sres::wins.data(), sres::wins.size() * 8);
 }
 
 // family merge over the resident rows: O(1)-swaps them into scratch, runs
@@ -2310,12 +2315,12 @@ int64_t fq_sweep1_statics(
 
 void fq_fetch_good(int64_t *g, int64_t *p, int64_t *st, int64_t *s,
                    int64_t *c, int64_t *t) {
-    memcpy(g, sres::g1g.data(), sres::g1g.size() * 8);
-    memcpy(p, sres::g1p.data(), sres::g1p.size() * 8);
-    memcpy(st, sres::g1st.data(), sres::g1st.size() * 8);
-    memcpy(s, sres::g1s.data(), sres::g1s.size() * 8);
-    memcpy(c, sres::g1c.data(), sres::g1c.size() * 8);
-    memcpy(t, sres::g1t.data(), sres::g1t.size() * 8);
+    copy_n(g, sres::g1g.data(), sres::g1g.size() * 8);
+    copy_n(p, sres::g1p.data(), sres::g1p.size() * 8);
+    copy_n(st, sres::g1st.data(), sres::g1st.size() * 8);
+    copy_n(s, sres::g1s.data(), sres::g1s.size() * 8);
+    copy_n(c, sres::g1c.data(), sres::g1c.size() * 8);
+    copy_n(t, sres::g1t.data(), sres::g1t.size() * 8);
 }
 
 // fq_sweep2_kernel over the resident fammmm consensus (rc::c2g...) and
@@ -2432,11 +2437,11 @@ int64_t fq_sweep2_statics(
 
 void fq_fetch_mut2(int64_t *g, int64_t *p, int64_t *st, int64_t *s,
                    int64_t *ok) {
-    memcpy(g, sres::m2g.data(), sres::m2g.size() * 8);
-    memcpy(p, sres::m2p.data(), sres::m2p.size() * 8);
-    memcpy(st, sres::m2st.data(), sres::m2st.size() * 8);
-    memcpy(s, sres::m2s.data(), sres::m2s.size() * 8);
-    memcpy(ok, sres::m2ok.data(), sres::m2ok.size() * 8);
+    copy_n(g, sres::m2g.data(), sres::m2g.size() * 8);
+    copy_n(p, sres::m2p.data(), sres::m2p.size() * 8);
+    copy_n(st, sres::m2st.data(), sres::m2st.size() * 8);
+    copy_n(s, sres::m2s.data(), sres::m2s.size() * 8);
+    copy_n(ok, sres::m2ok.data(), sres::m2ok.size() * 8);
 }
 
 }  // extern "C"
