@@ -1397,7 +1397,7 @@ int64_t rc2_run_fc(int64_t n, const int64_t *frag, const int64_t *pos,
                    const int64_t *sym, const int64_t *con_cnt,
                    const int64_t *tot, const int64_t *st,
                    const int64_t *fam_of_frag, int64_t highbq_snv,
-                   int64_t P) {
+                   int64_t P, int64_t pdel_ign) {
     const int VAL_BITS = 19;
     const int64_t VAL_MAX = ((int64_t)1 << VAL_BITS) - 1;
     const int SYM_BITS = 4;
@@ -1424,7 +1424,13 @@ int64_t rc2_run_fc(int64_t n, const int64_t *frag, const int64_t *pos,
     for (int64_t i = 0; i < n; i++) {
         const int64_t adj = 2 * con_cnt[i] - tot[i];   // max(2c,t)-t
         if (adj <= 0) continue;
-        const uint64_t filt = (st[i] == 1 || adj >= highbq_snv) ? 1 : 0;
+        // padded-deletion BASE_N/NN fragments are dropped from the
+        // filtered (famcov) container when pdel_ign (the IonTorrent arm
+        // of microadjust_padded_deletion_flag; main.hpp:2905-2908,
+        // 481-485, 410 TIgnorePaddedDel)
+        const uint64_t filt = ((st[i] == 1
+                                || (adj >= highbq_snv
+                                    && !(pdel_ign && sym[i] >= 4)))) ? 1 : 0;
         rows[m++] = ((((uint64_t)fam_of_frag[frag[i]] << GSHIFT)
                       | ((uint64_t)pos[i] << SYM_BITS)
                       | (uint64_t)sym[i]) << LOW_BITS)
@@ -1837,6 +1843,7 @@ static int64_t fam_cons_core(int64_t n, const TI *frag,
                              const TI *st, const int64_t *fam_of_frag,
                              int64_t n_frags, int64_t n_fams,
                              int64_t highbq_snv, int64_t P,
+                             int64_t pdel_ign,
                              int64_t *fbeg, int64_t *fend) {
     int pos_bits = rc::bit_width_u64((uint64_t)(P > 1 ? P - 1 : 1));
     rc::g_P = P;
@@ -1933,7 +1940,9 @@ static int64_t fam_cons_core(int64_t n, const TI *frag,
                 if (adj <= 0) continue;
                 const uint64_t mk = ((uint64_t)pos[i] << 4)
                     | (uint64_t)sym[i];
-                emit(mk, (st[i] == 1 || adj >= highbq_snv) ? 1 : 0, adj);
+                emit(mk, (st[i] == 1
+                          || (adj >= highbq_snv
+                              && !(pdel_ign && sym[i] >= 4))) ? 1 : 0, adj);
             }
             continue;
         }
@@ -1964,7 +1973,10 @@ static int64_t fam_cons_core(int64_t n, const TI *frag,
                             | (uint64_t)sym[cu.i]) == mk)) {
                     const int64_t adj = 2 * con_cnt[cu.i] - tot[cu.i];
                     if (adj > 0) {
-                        acc1 += (st[cu.i] == 1 || adj >= highbq_snv) ? 1 : 0;
+                        acc1 += (st[cu.i] == 1
+                                 || (adj >= highbq_snv
+                                     && !(pdel_ign && sym[cu.i] >= 4)))
+                            ? 1 : 0;
                         acc2 += adj;
                     }
                     cu.i++;
@@ -1989,9 +2001,11 @@ int64_t fam_cons_direct(int64_t n, const int64_t *frag, const int64_t *pos,
                         const int64_t *sym, const int64_t *con_cnt,
                         const int64_t *tot, const int64_t *st,
                         const int64_t *fam_of_frag, int64_t n_frags,
-                        int64_t n_fams, int64_t highbq_snv, int64_t P) {
+                        int64_t n_fams, int64_t highbq_snv, int64_t P,
+                        int64_t pdel_ign) {
     return fam_cons_core(n, frag, pos, sym, con_cnt, tot, st, fam_of_frag,
-                         n_frags, n_fams, highbq_snv, P, nullptr, nullptr);
+                         n_frags, n_fams, highbq_snv, P, pdel_ign,
+                         nullptr, nullptr);
 }
 
 }  // extern "C"
@@ -2242,6 +2256,7 @@ void pass_d_fetch_win(int64_t *f, int64_t *p, int64_t *s) {
 // fallback path.
 int64_t fam_cons_statics(const int64_t *fam_of_frag, int64_t n_frags,
                          int64_t n_fams, int64_t highbq_snv, int64_t P,
+                         int64_t pdel_ign,
                          int64_t *fbeg, int64_t *fend) {
     const int64_t n = (int64_t)rc::cg.size();
     std::swap(rc::cg, sres::in_g);
@@ -2253,7 +2268,8 @@ int64_t fam_cons_statics(const int64_t *fam_of_frag, int64_t n_frags,
     const int64_t w1 = fam_cons_core(
         n, sres::in_g.data(), sres::in_p.data(), sres::in_cs.data(),
         sres::in_cc.data(), sres::in_tot.data(), sres::in_st.data(),
-        fam_of_frag, n_frags, n_fams, highbq_snv, P, fbeg, fend);
+        fam_of_frag, n_frags, n_fams, highbq_snv, P, pdel_ign, fbeg,
+        fend);
     if (w1 < 0) {
         std::swap(rc::cg, sres::in_g);
         std::swap(rc::cp_, sres::in_p);
@@ -2466,7 +2482,7 @@ extern "C" {
 
 int64_t fam_chain_statics(
     const int64_t *fam_of_frag, int64_t n_frags, int64_t n_fams,
-    int64_t highbq_snv, int64_t P,
+    int64_t highbq_snv, int64_t P, int64_t pdel_ign,
     const int64_t *fam_strand, const int64_t *fam_dflag,
     int64_t dup1add, int64_t dup1perc, int64_t dup2add, int64_t dup2perc,
     int64_t fam_flag,
@@ -2646,7 +2662,14 @@ int64_t fam_chain_statics(
                 if (adj <= 0) continue;
                 const int64_t fpos = pos[i], s = sym[i];
                 const int64_t fst = rc::cst[i];
-                const int64_t a1 = (fst == 1 || adj >= highbq_snv) ? 1 : 0;
+                // padded-deletion BASE_N/NN fragments are excluded from
+                // the filtered famcov container when pdel_ign (IonTorrent
+                // arm of microadjust_padded_deletion_flag,
+                // main.hpp:2905-2908 + fillConsensusCounts
+                // TIgnorePaddedDel, main.hpp:410,481-485)
+                const int64_t a1 = (fst == 1
+                                    || (adj >= highbq_snv
+                                        && !(pdel_ign && s >= 4))) ? 1 : 0;
                 if (a1 > 0) {
                     const int64_t idx = (fpos * NS + s) * 2 + strand;
                     int32_t *il = il_base + idx * 7;
@@ -2709,7 +2732,9 @@ int64_t fam_chain_statics(
                             | (uint64_t)sym[cu.i]) == mk)) {
                     const int64_t adj = 2 * con_cnt[cu.i] - tot_in[cu.i];
                     if (adj > 0) {
-                        acc1 += (rc::cst[cu.i] == 1 || adj >= highbq_snv)
+                        acc1 += (rc::cst[cu.i] == 1
+                                 || (adj >= highbq_snv
+                                     && !(pdel_ign && sym[cu.i] >= 4)))
                             ? 1 : 0;
                         acc2 += adj;
                     }

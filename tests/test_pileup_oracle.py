@@ -648,8 +648,12 @@ def test_exact_indel_maps_oracle(oracle_exe, tmp_path):
     assert not diffs, f"{len(diffs)} exact-indel map diffs: {diffs[:8]}"
 
 
-@pytest.mark.parametrize("umi", [False, True])
-def test_aux_emitters_oracle(oracle_exe, tmp_path, umi):
+@pytest.mark.parametrize("umi,platform", [
+    (False, SequencingPlatform.ILLUMINA),
+    (True, SequencingPlatform.ILLUMINA),
+    (False, SequencingPlatform.IONTORRENT),
+])
+def test_aux_emitters_oracle(oracle_exe, tmp_path, umi, platform):
     """MGVCF + ADDITIONAL_INDEL_CANDIDATE emission vs the COMPILED
     reference: the main.cpp:655-799 emitter blocks (sliced verbatim into
     the oracle's `auxemit` op) run over the reference-built
@@ -679,6 +683,8 @@ def test_aux_emitters_oracle(oracle_exe, tmp_path, umi):
     cfg = UVCConfig()
     cfg.bam_input_fname = path
     cfg.outvar_flag |= OUTVAR_MGVCF | OUTVAR_ADDITIONAL_INDEL_CANDIDATE
+    cfg.inferred_sequencing_platform = platform
+    cfg.self_update_by_platform(platform)
     raw_qual = batch.qual.copy()
     ref_syms = CHAR_TO_SYMBOL[np.frombuffer(ref.encode(), np.uint8) & 0x7F]
     rctx = calling.prepare_region(batch, ref_syms, 0, cfg)
@@ -695,7 +701,8 @@ def test_aux_emitters_oracle(oracle_exe, tmp_path, umi):
     ours.sort(key=lambda t: (t[0], t[1]))
     ours_text = "".join(l + "\n" for _, _, l in ours)
 
-    orc = _feed_reads_raw(oracle_exe, batch, raw_qual, ref, cfg)
+    orc = _feed_reads_raw(oracle_exe, batch, raw_qual, ref, cfg,
+                          platform_int=int(platform))
     try:
         orc.send(f"group 0 {L} 0")
         orc.send("run")

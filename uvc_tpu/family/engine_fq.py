@@ -57,6 +57,16 @@ C2_NAMES = ("c2LP1 c2LP2 c2LPL c2RP1 c2RP2 c2RPL c2LP0 c2RP0 "
             "c2LB1 c2LB2 c2LBL c2RB1 c2RB2 c2RBL c2BQ2").split()
 
 
+def _pdel_ignored(cfg):
+    """is_padded_del_ignored (main.hpp:2905-2908): the IonTorrent arm of
+    microadjust_padded_deletion_flag drops padded-deletion BASE_N/NN
+    fragments from the filtered (famcov) family container."""
+    from ..constants import SequencingPlatform
+    arm = (0x2 if cfg.inferred_sequencing_platform
+           == SequencingPlatform.IONTORRENT else 0x1)
+    return int(bool(cfg.microadjust_padded_deletion_flag & arm))
+
+
 def run_fq(frag_cons, frag_gap_info, famgrp, ref_syms, sscs_table, thres,
            baq, baq2, table, batch, P, cfg, is_normal=False) -> FQResult:
     """frag_cons: GroupConsensus per (fragment, pos, symboltype) from the
@@ -100,16 +110,18 @@ def run_fq(frag_cons, frag_gap_info, famgrp, ref_syms, sscs_table, thres,
         fused = _nr.fam_cons_direct(
             fc.group, fc.pos, fc.con_sym, fc.con_cnt, fc.tot, fc.st,
             fam_of_frag, famgrp.n_fams, cfg.fam_thres_highBQ_snv, P,
-            fetch_unique=not _has_sweep2)
+            fetch_unique=not _has_sweep2, pdel_ign=_pdel_ignored(cfg))
         if fused is None:
             fused = _nr.reduce_consensus2_fc(
                 fc.group, fc.pos, fc.con_sym, fc.con_cnt, fc.tot, fc.st,
                 fam_of_frag, cfg.fam_thres_highBQ_snv, P,
-                fetch_unique=not _has_sweep2)
+                fetch_unique=not _has_sweep2, pdel_ign=_pdel_ignored(cfg))
     if fused is None:
         adj = np.maximum(2 * fc.con_cnt, fc.tot) - fc.tot
         pass_filt = (adj > 0) & ((fc.st == 1)
-                                 | (adj >= cfg.fam_thres_highBQ_snv))
+                                 | ((adj >= cfg.fam_thres_highBQ_snv)
+                                    & ~(bool(_pdel_ignored(cfg))
+                                        & (fc.con_sym >= 4))))
         fam_of_row = fam_of_frag[fc.group]
         mm = adj > 0
         if int(mm.sum()) > 4096:
@@ -361,12 +373,14 @@ def _run_fq_statics(frag_gap_info, famgrp, ref_syms, sscs_table, thres,
     hist = np.zeros((2, P, NS, NUM_BUCKETS), dtype=np.int32)
     fused = nr.fam_chain_statics(famgrp, P, cfg, ref_syms, sscs_table,
                                  rescue_add, cdp12, cdp21, cdp2, cdp3,
-                                 cdpm, cdpM, cdp1, hist)
+                                 cdpm, cdpM, cdp1, hist,
+                                 pdel_ign=_pdel_ignored(cfg))
     if fused is not None:
         (gg, gp, gst, gs, gcnt, gtot), m2, fbeg, fend = fused
     else:
         res1 = nr.fam_cons_statics(fam_of_frag, famgrp.n_fams,
-                                   cfg.fam_thres_highBQ_snv, P)
+                                   cfg.fam_thres_highBQ_snv, P,
+                                   pdel_ign=_pdel_ignored(cfg))
         if res1 is None:
             return None
         _, fbeg, fend = res1

@@ -314,7 +314,7 @@ def pass_d_statics(bg, aDP4, ref_syms, frag_strand, normMQ, P, n_frags,
     return bdp, bta, btb, hist, vq_bmq, mut, win
 
 
-def fam_cons_statics(fam_of_frag, n_fams, highbq_snv, P):
+def fam_cons_statics(fam_of_frag, n_fams, highbq_snv, P, pdel_ign=0):
     """Family merge over the resident rows; returns (n_famcov_uniques,
     fbeg [n_fams], fend [n_fams]) or None on a validation failure (the
     rows are then restored for fetch_frag_cons)."""
@@ -327,6 +327,7 @@ def fam_cons_statics(fam_of_frag, n_fams, highbq_snv, P):
         fam_of_frag.ctypes.data_as(ctypes.c_void_p),
         ctypes.c_int64(len(fam_of_frag)), ctypes.c_int64(int(n_fams)),
         ctypes.c_int64(highbq_snv), ctypes.c_int64(P),
+        ctypes.c_int64(int(pdel_ign)),
         fbeg.ctypes.data_as(ctypes.c_void_p),
         fend.ctypes.data_as(ctypes.c_void_p))
     if w1 < 0:
@@ -368,7 +369,8 @@ def fq_sweep1_statics(fam_strand, fam_dflag, P, cfg, cdp12, cdp21, cdp2,
 
 
 def fam_chain_statics(famgrp, P, cfg, ref_syms, sscs_table, rescue_add,
-                      cdp12, cdp21, cdp2, cdp3, cdpm, cdpM, cdp1, hist):
+                      cdp12, cdp21, cdp2, cdp3, cdpm, cdpM, cdp1, hist,
+                      pdel_ign=0):
     """Fully fused family chain over the resident rows: ONE call does the
     family merge, both consensus scans, sweep 1 and sweep 2.  Returns
     (good rows 6-tuple, mut rows 5-tuple, fbeg, fend), or None when the
@@ -391,6 +393,7 @@ def fam_chain_statics(famgrp, P, cfg, ref_syms, sscs_table, rescue_add,
         fam_of_frag.ctypes.data_as(ctypes.c_void_p),
         ctypes.c_int64(len(fam_of_frag)), ctypes.c_int64(n_fams),
         ctypes.c_int64(cfg.fam_thres_highBQ_snv), ctypes.c_int64(P),
+        ctypes.c_int64(int(pdel_ign)),
         cp(famgrp.fam_strand), cp(famgrp.fam_dflag),
         ctypes.c_int64(cfg.fam_thres_dup1add),
         ctypes.c_int64(cfg.fam_thres_dup1perc),
@@ -625,7 +628,7 @@ def pass_a_native(table, batch, ref_syms, baq, off, P, highbq_thres,
 
 
 def reduce_consensus2_fc(frag, pos, sym, con_cnt, tot, st, fam_of_frag,
-                         highbq_snv, P, fetch_unique=True):
+                         highbq_snv, P, fetch_unique=True, pdel_ign=0):
     """reduce_consensus2 variant taking raw fragment-consensus rows: the
     adj/filter/fam-map row prep runs inside the kernel.  Returns the same
     triple (uniq is None when fetch_unique=False -- the sweep-2 kernel can
@@ -643,7 +646,7 @@ def reduce_consensus2_fc(frag, pos, sym, con_cnt, tot, st, fam_of_frag,
     rc = lib.rc2_run_fc(ctypes.c_int64(len(frag)), cp(frag), cp(pos),
                         cp(sym), cp(con_cnt), cp(tot), cp(st),
                         cp(fam_of_frag), ctypes.c_int64(highbq_snv),
-                        ctypes.c_int64(P))
+                        ctypes.c_int64(P), ctypes.c_int64(int(pdel_ign)))
     if rc < 0:
         return None
     sizes = np.empty(4, dtype=np.int64)
@@ -664,7 +667,7 @@ def reduce_consensus2_fc(frag, pos, sym, con_cnt, tot, st, fam_of_frag,
 
 
 def fam_cons_direct(frag, pos, sym, con_cnt, tot, st, fam_of_frag, n_fams,
-                    highbq_snv, P, fetch_unique=True):
+                    highbq_snv, P, fetch_unique=True, pdel_ign=0):
     """Sort-free variant of reduce_consensus2_fc: fragment-consensus rows
     are already frag-grouped and key-sorted, so the family reduction is a
     counting sort + per-family merge.  Same returns/fallback contract as
@@ -682,7 +685,8 @@ def fam_cons_direct(frag, pos, sym, con_cnt, tot, st, fam_of_frag, n_fams,
         ctypes.c_int64(len(frag)), cp(frag), cp(pos), cp(sym), cp(con_cnt),
         cp(tot), cp(st), cp(fam_of_frag),
         ctypes.c_int64(len(fam_of_frag)), ctypes.c_int64(int(n_fams)),
-        ctypes.c_int64(highbq_snv), ctypes.c_int64(P))
+        ctypes.c_int64(highbq_snv), ctypes.c_int64(P),
+        ctypes.c_int64(int(pdel_ign)))
     if rc < 0:
         return None
     sizes = np.empty(4, dtype=np.int64)
