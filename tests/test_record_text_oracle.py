@@ -505,3 +505,26 @@ def test_record_text_parity_multiallele_indel(oracle, tmp_path):
     assert {"CT", "GA"} <= alts, alts
     assert not errs, f"{len(errs)} of {n} records differ:\n" + \
         "\n".join(errs[:6])
+
+
+def test_record_text_parity_umi_duplex(oracle, tmp_path):
+    """UMI+duplex workload: records carrying the duplex tiers (dDP1/dDP2,
+    DDP planes, the duplex-rescued t2DP/t2AD composition via CDPDb+DDP2)
+    must render byte-identical through the compiled append_vcf_record."""
+    prepared, cfg = _run_pipeline(tmp_path, seed=13, depth=160,
+                                  umi=dict(umi=True, duplex=True,
+                                           n_umi_families=300))
+    errs = []
+    n = _check_pipeline_records(oracle, prepared, cfg, True, errs)
+    assert n >= 2, f"too few records exercised: {n}"
+    # at least one record must carry non-zero duplex depth
+    has_duplex = False
+    for rctx in prepared:
+        recs = calling.assemble_records(rctx, rctx["_refstring"], 0,
+                                        "chrT", cfg, is_tumor_only=True)
+        for rec in recs:
+            if any(x for x in rec.fmt.get("dDP1", ())):
+                has_duplex = True
+    assert has_duplex, "no duplex depth reached a record"
+    assert not errs, f"{len(errs)} of {n} records differ:\n" + \
+        "\n".join(errs[:6])
