@@ -652,6 +652,7 @@ def test_exact_indel_maps_oracle(oracle_exe, tmp_path):
     (False, SequencingPlatform.ILLUMINA),
     (True, SequencingPlatform.ILLUMINA),
     (False, SequencingPlatform.IONTORRENT),
+    (True, SequencingPlatform.IONTORRENT),
 ])
 def test_aux_emitters_oracle(oracle_exe, tmp_path, umi, platform):
     """MGVCF + ADDITIONAL_INDEL_CANDIDATE emission vs the COMPILED
