@@ -467,8 +467,23 @@ def test_full_chain_reference_grouping(oracle_exe, tmp_path, umi):
         orc.close()
 
 
-@pytest.mark.parametrize("umi,duplex", [(True, False), (True, True)])
-def test_consensus_fastq_oracle(oracle_exe, tmp_path, umi, duplex):
+@pytest.mark.parametrize("umi,duplex,platform", [
+    (True, False, SequencingPlatform.ILLUMINA),
+    (True, True, SequencingPlatform.ILLUMINA),
+    # KNOWN GAP (round 5): on IonTorrent (dedup_idflag 0x9) the per-UMI
+    # record SETS match (90/90 families, identical labels) but the FILE
+    # ORDER follows the reference's MolecularBarcode map iteration, which
+    # under the 0x9 masking does not reduce to our (masked-beg, umi) sort
+    # on this workload, and one family record differs in content; kept as
+    # xfail so the divergence stays visible rather than silently untested
+    pytest.param(True, False, SequencingPlatform.IONTORRENT,
+                 marks=pytest.mark.xfail(
+                     reason="proton consensus-FASTQ family emission order"
+                            " + one-family content divergence",
+                     strict=True)),
+])
+def test_consensus_fastq_oracle(oracle_exe, tmp_path, umi, duplex,
+                                platform):
     """family/consensus_fastq.py vs the COMPILED reference's own fqdata3
     (generate_consensus_fastq_data + the ConsensusBlock machinery,
     main_consensus.hpp:13-226 + main.hpp:2862-3396)."""
@@ -491,11 +506,14 @@ def test_consensus_fastq_oracle(oracle_exe, tmp_path, umi, duplex):
     cfg = UVCConfig()
     cfg.bam_input_fname = path
     cfg.fam_consensus_out_fastq = str(tmp_path / "fam")
+    cfg.inferred_sequencing_platform = platform
+    cfg.self_update_by_platform(platform)
     raw_qual = batch.qual.copy()
     ref_syms = CHAR_TO_SYMBOL[np.frombuffer(ref.encode(), np.uint8) & 0x7F]
     res = region_mod.call_region(batch, ref_syms, 0, cfg)
 
-    orc = _feed_reads_raw(oracle_exe, batch, raw_qual, ref, cfg)
+    orc = _feed_reads_raw(oracle_exe, batch, raw_qual, ref, cfg,
+                          platform_int=int(platform))
     try:
         orc.send("ps fam_consensus_out_fastq=" + po.esc("x.fq"))
         orc.send(f"group 0 {len(ref)} 0")
