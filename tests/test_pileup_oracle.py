@@ -471,15 +471,19 @@ def test_full_chain_reference_grouping(oracle_exe, tmp_path, umi):
     (True, False, SequencingPlatform.ILLUMINA),
     (True, True, SequencingPlatform.ILLUMINA),
     # KNOWN GAP (round 5): on IonTorrent (dedup_idflag 0x9) the per-UMI
-    # record SETS match (90/90 families, identical labels) but the FILE
-    # ORDER follows the reference's MolecularBarcode map iteration, which
-    # under the 0x9 masking does not reduce to our (masked-beg, umi) sort
-    # on this workload, and one family record differs in content; kept as
-    # xfail so the divergence stays visible rather than silently untested
+    # record SETS match (90/90 families, identical labels) but (a) the
+    # FILE ORDER follows the reference's MolecularBarcode map iteration,
+    # which under the 0x9 masking does not reduce to our
+    # (masked-beg, umi) sort on this workload, and (b) ONE family's
+    # consensus BQ string is off by exactly 1 at 2 adjacent gap-flanking
+    # bases (the TIsProton flanking-BQ min rule in the FASTQ-tier value,
+    # main.hpp:1952-1974/3022).  Kept as a strict xfail so the divergence
+    # stays visible rather than silently untested.
     pytest.param(True, False, SequencingPlatform.IONTORRENT,
                  marks=pytest.mark.xfail(
-                     reason="proton consensus-FASTQ family emission order"
-                            " + one-family content divergence",
+                     reason="proton consensus-FASTQ family emission order "
+                            "+ one-unit gap-flank BQ at 2 bases of one "
+                            "family",
                      strict=True)),
 ])
 def test_consensus_fastq_oracle(oracle_exe, tmp_path, umi, duplex,
